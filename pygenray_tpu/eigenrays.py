@@ -1,0 +1,180 @@
+"""Eigenray search: batched regula-falsi over launch angle.
+
+Reference behavior (`/root/reference/src/pygenray/eigenrays.py:11-268`):
+bracket sign changes of final depth across the fan, then iterate false
+position per bracket, re-shooting one ray per iteration per worker process.
+Here every (receiver depth × bracket) candidate across *all* receiver depths
+advances together: each iteration is one jitted batched trace of all
+candidate angles (final-state only), and the converged angles get a single
+batched full-save trace at the end.  The per-iteration cost is therefore one
+fan shot regardless of bracket count — the reference's
+``processes × iterations × full-ray-shoot`` structure collapses into
+``iterations × one-batched-shot``.
+
+The reference's stale-index bookkeeping bug for failed brackets
+(`eigenrays.py:159-164`: the parallel branch records loop variable ``k``
+left over from args building) is fixed: each failed bracket records its own
+original bracketing angles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .integrate import trace
+from .ops.host import bilinear_np
+from .ray_objects import EigenRays, Ray
+from .shoot import _resolve_env, settings_for
+
+__all__ = ["find_eigenrays"]
+
+
+def find_eigenrays(
+    rays,
+    receiver_depths,
+    source_depth,
+    source_range,
+    receiver_range,
+    num_range_save,
+    environment,
+    ztol=1,
+    max_iter=20,
+    num_workers=None,  # accepted for API compatibility; unused
+    **kwargs,
+):
+    """Find eigenrays for each receiver depth via batched regula falsi.
+
+    ``rays`` is the initial fan (``RayFan`` from ``shoot_rays``);
+    ``receiver_depths`` are positive depths (the fan's ``zs`` use the
+    negative-down user convention, so an eigenray hits when
+    ``z_end + receiver_depth ≈ 0``).  Extra kwargs mirror ``shoot_ray``
+    (rtol, flatearth, dx, interp, dtype, terminate_backwards).
+    """
+    rtol = kwargs.get("rtol", 1e-9)
+    flatearth = kwargs.get("flatearth", True)
+    dx = kwargs.get("dx", None)
+    interp = kwargs.get("interp", "auto")
+    dtype = kwargs.get("dtype", None)
+    terminate_backwards = kwargs.get("terminate_backwards", True)
+    settings = settings_for(rtol, dx, interp, terminate_backwards)
+
+    backwards = receiver_range < source_range
+    env = _resolve_env(environment, flatearth, backwards, settings.interp, dtype)
+    x0 = -source_range if backwards else source_range
+    x1 = -receiver_range if backwards else receiver_range
+    c_src = bilinear_np(
+        x0, source_depth, np.asarray(env.r), np.asarray(env.z), np.asarray(env.c)
+    )
+
+    def shoot_batch(user_thetas, num_save):
+        """Batched trace in user angle convention; returns TraceResult."""
+        theta_ode = -np.asarray(user_thetas, float)
+        p0 = jnp.asarray(np.sin(np.radians(theta_ode)) / c_src, env.c.dtype)
+        return trace(env, source_depth, p0, x0, x1, num_save, settings)
+
+    # ---- collect brackets across all receiver depths ---------------------
+    receiver_depths = np.atleast_1d(np.asarray(receiver_depths, float))
+    items = []  # (rd_idx, rd, theta1, theta2, z1, z2, theta1_orig, theta2_orig)
+    num_eigenrays = {}
+    for rd_idx, rd in enumerate(receiver_depths):
+        depth_sign = np.sign(rays.zs[:, -1] + rd)
+        sign_change = np.diff(depth_sign)
+        starts = np.where(sign_change)[0]
+        num_eigenrays[rd] = len(starts)
+        for s in starts:
+            items.append(
+                dict(
+                    rd_idx=rd_idx,
+                    rd=rd,
+                    theta1=float(rays.thetas[s]),
+                    theta2=float(rays.thetas[s + 1]),
+                    z1=float(rays.zs[s, -1]),
+                    z2=float(rays.zs[s + 1, -1]),
+                )
+            )
+
+    erays_dict = {rd_idx: [] for rd_idx in range(len(receiver_depths))}
+    failed = {rd_idx: [] for rd_idx in range(len(receiver_depths))}
+    num_found = {}
+
+    if len(items) == 0:
+        for rd_idx in range(len(receiver_depths)):
+            num_found[rd_idx] = 0
+        return EigenRays(
+            receiver_depths, erays_dict, environment, num_eigenrays, num_found, failed
+        )
+
+    NB = len(items)
+    rd_arr = np.array([it["rd"] for it in items])
+    th1 = np.array([it["theta1"] for it in items])
+    th2 = np.array([it["theta2"] for it in items])
+    z1 = np.array([it["z1"] for it in items])
+    z2 = np.array([it["z2"] for it in items])
+    th1_orig, th2_orig = th1.copy(), th2.copy()
+
+    denom = np.where(np.abs(z2 - z1) > 1e-300, z2 - z1, 1.0)
+    theta = th1 - (z1 + rd_arr) * (th2 - th1) / denom
+
+    converged = np.zeros(NB, bool)
+    dead = np.zeros(NB, bool)
+    theta_hit = np.full(NB, np.nan)
+
+    # ---- batched false-position iterations -------------------------------
+    for _ in range(max_iter + 2):
+        active = ~(converged | dead)
+        if not active.any():
+            break
+        res = shoot_batch(theta, num_save=2)
+        alive = np.asarray(res.alive)
+        z_end = -np.asarray(res.zs, float)[:, -1]  # user convention
+
+        newly_dead = active & ~alive
+        dead |= newly_dead
+        act = active & alive
+        hit = act & (np.abs(z_end + rd_arr) < ztol)
+        converged |= hit
+        theta_hit = np.where(hit, theta, theta_hit)
+
+        upd = act & ~hit
+        side1 = np.sign(z_end + rd_arr) == np.sign(z1 + rd_arr)
+        z1 = np.where(upd & side1, z_end, z1)
+        th1 = np.where(upd & side1, theta, th1)
+        z2 = np.where(upd & ~side1, z_end, z2)
+        th2 = np.where(upd & ~side1, theta, th2)
+        denom = np.where(np.abs(z2 - z1) > 1e-300, z2 - z1, 1.0)
+        theta_new = th1 - (z1 + rd_arr) * (th2 - th1) / denom
+        theta = np.where(upd, theta_new, theta)
+
+    # ---- final full-resolution trace of the converged angles -------------
+    conv_idx = np.where(converged)[0]
+    if conv_idx.size:
+        res = shoot_batch(theta_hit[conv_idx], num_save=num_range_save)
+        rs = np.asarray(res.rs, float)
+        if backwards:
+            rs = -rs
+        ts = np.asarray(res.ts, float)
+        zs = np.asarray(res.zs, float)
+        ps = np.asarray(res.ps, float)
+        nb = np.asarray(res.n_bott)
+        ns = np.asarray(res.n_surf)
+        for j, i in enumerate(conv_idx):
+            ray = Ray(
+                rs,
+                np.stack([ts[j], zs[j], ps[j]]),
+                int(nb[j]),
+                int(ns[j]),
+                launch_angle=float(theta_hit[i]),
+                source_depth=source_depth,
+            )
+            erays_dict[items[i]["rd_idx"]].append(ray)
+
+    for i in np.where(~converged)[0]:
+        failed[items[i]["rd_idx"]].append((th1_orig[i], th2_orig[i]))
+
+    for rd_idx in range(len(receiver_depths)):
+        num_found[rd_idx] = len(erays_dict[rd_idx])
+
+    return EigenRays(
+        receiver_depths, erays_dict, environment, num_eigenrays, num_found, failed
+    )

@@ -1,0 +1,247 @@
+"""Device-resident environment data for the ray engine.
+
+``EnvData`` is the frozen pytree the jitted integrator closes over: sound
+speed and its depth-derivative as 2D tables (canonical semantics, matching
+the reference's bilinear-interpolated fields,
+`/root/reference/src/pygenray/launch_rays.py:717-742`), plus optional
+Chebyshev "spectral profile" coefficients — the TPU fast path (see
+``pygenray_tpu.ops.cheb``).  Static metadata (uniform-grid flags, fit
+availability, domain bounds) is carried as hashable aux data so the
+integrator can specialize code paths at trace time.
+
+Where the reference copies these arrays into POSIX shared memory for its
+process pool (`/root/reference/src/pygenray/multi_processing.py:7-66`), here
+they are simply device arrays closed over by a jitted function — replicated
+(or sharded) across chips by ``jax.sharding`` with zero copies per call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops.cheb import fit_profile_cheb, fit_series_cheb
+from .ops.interp import cubic_spline_coeffs
+
+__all__ = ["EnvData", "make_env_data", "mirror_env_arrays"]
+
+# fit-acceptance tolerances for the spectral fast path; exceeded → the engine
+# silently falls back to exact table interpolation
+C_FIT_TOL = 2e-3  # [m/s] systematic sound-speed error << 0.1 ms travel-time budget
+CP_FIT_TOL = 5e-4  # [1/s]
+BANGLE_FIT_TOL = 1e-3  # [deg]
+
+
+def _is_uniform(g: np.ndarray) -> bool:
+    if g.shape[0] < 2:
+        return False
+    d = np.diff(g)
+    return bool(np.all(np.abs(d - d[0]) <= 1e-9 * max(abs(g[0]), abs(g[-1]), 1.0)))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "c",
+        "dcdz",
+        "r",
+        "z",
+        "bathy",
+        "bathy_r",
+        "bottom_angle",
+        "bangle_coef",
+        "c_cheb",
+        "dcdz_cheb",
+        "bangle_cheb",
+    ],
+    meta_fields=[
+        "range_dependent",
+        "uniform_z",
+        "uniform_r",
+        "uniform_bathy_r",
+        "has_cheb",
+        "bangle_mode",
+        "bangle_const",
+        "z_dom",
+        "r_dom",
+    ],
+)
+@dataclasses.dataclass(frozen=True)
+class EnvData:
+    # canonical tables
+    c: jax.Array  # (nr, nz) sound speed [m/s]
+    dcdz: jax.Array  # (nr, nz) [1/s]
+    r: jax.Array  # (nr,) range grid [m]
+    z: jax.Array  # (nz,) depth grid [m], increasing
+    bathy: jax.Array  # (nb,) bottom depth [m]
+    bathy_r: jax.Array  # (nb,) bathymetry range grid [m]
+    bottom_angle: jax.Array  # (nb,) bottom slope angle [deg]
+    bangle_coef: jax.Array  # (nb-1, 4) not-a-knot cubic spline coefficients
+    # spectral representation (zeros when has_cheb is False)
+    c_cheb: jax.Array  # (nr, K)
+    dcdz_cheb: jax.Array  # (nr, K)
+    bangle_cheb: jax.Array  # (Kb,)
+    # static metadata
+    range_dependent: bool
+    uniform_z: bool
+    uniform_r: bool
+    uniform_bathy_r: bool
+    has_cheb: bool
+    bangle_mode: str  # "const" | "cheb" | "spline"
+    bangle_const: float
+    z_dom: tuple  # (z[0], z[-1]) as python floats
+    r_dom: tuple  # (r[0], r[-1]) as python floats
+
+    @property
+    def nz(self):
+        return self.z.shape[0]
+
+    @property
+    def nr(self):
+        return self.r.shape[0]
+
+
+def make_env_data(
+    c,
+    r,
+    z,
+    bathy,
+    bathy_r,
+    bottom_angle=None,
+    dcdz=None,
+    interp: str = "auto",
+    cheb_order: int = 47,
+    dtype=None,
+) -> EnvData:
+    """Build an ``EnvData`` from host tables.
+
+    Parameters mirror the reference's unpacked environment arrays
+    (`/root/reference/src/pygenray/launch_rays.py:717-742`): ``c`` is
+    (nr, nz) or (nz,), ``dcdz`` defaults to ``np.gradient`` along depth
+    (the xarray-``differentiate`` semantics the reference uses), and
+    ``bottom_angle`` defaults to ``degrees(arctan(gradient(bathy)))``.
+
+    ``interp`` selects the profile backend: "table" (exact reference
+    semantics), "cheb" (spectral fast path; raises if the fit is poor), or
+    "auto" (fit and keep the spectral path only if within tolerance).
+    """
+    c = np.asarray(c, np.float64)
+    if c.ndim == 1:
+        c = np.stack([c, c])
+        r = np.asarray([0.0, 1.0]) if r is None else None
+        if r is None:
+            raise ValueError("1D c requires an explicit 2-point range grid")
+    z = np.asarray(z, np.float64)
+    r = np.asarray(r, np.float64)
+    bathy = np.asarray(bathy, np.float64)
+    bathy_r = np.asarray(bathy_r, np.float64)
+
+    if not np.all(np.diff(r) >= 0):
+        raise ValueError("Sound speed range coordinates must be monotonically increasing.")
+    if not np.all(np.diff(z) >= 0):
+        raise ValueError("Sound speed depth coordinates must be monotonically increasing.")
+    if not np.all(np.diff(bathy_r) >= 0):
+        raise ValueError("Bathymetry range coordinates must be monotonically increasing.")
+
+    if dcdz is None:
+        dcdz = np.gradient(c, z, axis=1)
+    else:
+        dcdz = np.asarray(dcdz, np.float64)
+    if bottom_angle is None:
+        slope = np.gradient(bathy, bathy_r)
+        bottom_angle = np.degrees(np.arctan(slope))
+    else:
+        bottom_angle = np.asarray(bottom_angle, np.float64)
+
+    range_dependent = not bool(np.all(c == c[:1]))
+
+    # spectral fit
+    has_cheb = False
+    K = min(cheb_order, len(z) - 1) + 1
+    c_cheb = np.zeros((c.shape[0], K))
+    dcdz_cheb = np.zeros((c.shape[0], K))
+    if interp in ("auto", "cheb"):
+        c_cheb_f, c_res = fit_profile_cheb(c, z, order=K - 1)
+        cp_cheb_f, cp_res = fit_profile_cheb(dcdz, z, order=K - 1)
+        ok = c_res < C_FIT_TOL and cp_res < CP_FIT_TOL
+        if interp == "cheb" and not ok:
+            raise ValueError(
+                f"Chebyshev profile fit residuals too large (c: {c_res:.2e} m/s, "
+                f"dc/dz: {cp_res:.2e} 1/s); use interp='table' or 'auto'."
+            )
+        if ok:
+            has_cheb = True
+            c_cheb, dcdz_cheb = c_cheb_f, cp_cheb_f
+
+    # bottom angle representation
+    if bathy_r.shape[0] >= 2:
+        bangle_coef = cubic_spline_coeffs(bathy_r, bottom_angle)
+    else:
+        bangle_coef = np.zeros((1, 4))
+    if np.all(bottom_angle == bottom_angle[0]):
+        bangle_mode = "const"
+        bangle_const = float(bottom_angle[0])
+        bangle_cheb = np.zeros(8)
+    else:
+        # fit the cubic-spline interpolant (reference semantics:
+        # interp1d(kind="cubic"), launch_rays.py:396-399) with a Chebyshev
+        # series; fall back to the device spline gather if the fit is poor.
+        from scipy.interpolate import CubicSpline
+
+        cs = CubicSpline(bathy_r, bottom_angle, bc_type="not-a-knot")
+        rr = np.linspace(bathy_r[0], bathy_r[-1], max(4 * len(bathy_r), 256))
+        kb = min(64, len(rr) - 1)
+        bangle_cheb, b_res = fit_series_cheb(rr, cs(rr), kb)
+        bangle_const = 0.0
+        if b_res < BANGLE_FIT_TOL:
+            bangle_mode = "cheb"
+        else:
+            bangle_mode = "spline"
+            bangle_cheb = np.zeros(8)
+
+    dtype = dtype or jnp.float32
+    dev = lambda a: jnp.asarray(a, dtype)
+    return EnvData(
+        c=dev(c),
+        dcdz=dev(dcdz),
+        r=dev(r),
+        z=dev(z),
+        bathy=dev(bathy),
+        bathy_r=dev(bathy_r),
+        bottom_angle=dev(bottom_angle),
+        bangle_coef=dev(bangle_coef),
+        c_cheb=dev(c_cheb),
+        dcdz_cheb=dev(dcdz_cheb),
+        bangle_cheb=dev(bangle_cheb),
+        range_dependent=range_dependent,
+        uniform_z=_is_uniform(z),
+        uniform_r=_is_uniform(r),
+        uniform_bathy_r=_is_uniform(bathy_r),
+        has_cheb=has_cheb,
+        bangle_mode=bangle_mode,
+        bangle_const=bangle_const,
+        z_dom=(float(z[0]), float(z[-1])),
+        r_dom=(float(r[0]), float(r[-1])),
+    )
+
+
+def mirror_env_arrays(c, dcdz, r, bathy, bathy_r, bottom_angle):
+    """Reflect host environment arrays about the range axis (x' = -x).
+
+    Matches the reference's backwards-shot handling
+    (`/root/reference/src/pygenray/launch_rays.py:684-714`): coordinates are
+    negated and reversed so they stay increasing, fields are reversed along
+    range, and bottom angles flip sign.
+    """
+    return (
+        c[::-1, :],
+        dcdz[::-1, :],
+        -r[::-1],
+        bathy[::-1],
+        -bathy_r[::-1],
+        -bottom_angle[::-1],
+    )

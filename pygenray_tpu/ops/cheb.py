@@ -1,0 +1,103 @@
+"""Chebyshev "spectral profile" representation — the TPU fast path.
+
+TPU vector units are fast at fused multiply-adds and slow at scattered
+gathers.  The reference's hot loop does two table interpolations per
+derivative evaluation (`/root/reference/src/pygenray/integration_processes.py:86-87`)
+— a gather-bound pattern that measures ~25x slower on TPU than evaluating a
+fitted polynomial.  So at environment construction we fit each sound-speed
+profile column c(z) (and the tabulated dc/dz column) with a Chebyshev series
+and evaluate on device with the Clenshaw recurrence: pure FMAs, no gathers.
+
+The fit is guarded: ``fit_profile_cheb`` reports the max residual against the
+table, and the engine falls back to exact table interpolation when the
+residual exceeds tolerance (rough/measured profiles).  For smooth analytic
+profiles (Munk, linear gradient, isovelocity) the fit is exact to roundoff.
+
+Range dependence: coefficients are fitted per range station and blended
+linearly in range, which is exactly the bilinear-in-range structure of the
+reference field applied to the fitted columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["fit_profile_cheb", "fit_series_cheb", "clenshaw", "cheb_mirror"]
+
+
+def fit_series_cheb(x: np.ndarray, y: np.ndarray, order: int, lo=None, hi=None):
+    """Least-squares Chebyshev fit of samples y(x) on domain [lo, hi].
+
+    Returns (coef (order+1,), max_abs_residual).
+    """
+    import numpy.polynomial.chebyshev as ncheb
+
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    lo = x[0] if lo is None else lo
+    hi = x[-1] if hi is None else hi
+    order = min(order, len(x) - 1)
+    f = ncheb.Chebyshev.fit(x, y, order, domain=[lo, hi])
+    resid = float(np.max(np.abs(f(x) - y)))
+    coef = np.zeros(order + 1)
+    coef[: len(f.coef)] = f.coef
+    return coef, resid
+
+
+def fit_profile_cheb(c: np.ndarray, z: np.ndarray, order: int = 47):
+    """Fit every range-station column of c(r, z) with a Chebyshev series.
+
+    Parameters
+    ----------
+    c : (nr, nz) sound-speed (or dc/dz) table
+    z : (nz,) depth grid
+    order : polynomial order (K-1)
+
+    Returns
+    -------
+    coef : (nr, K) per-station coefficients on domain [z[0], z[-1]]
+    max_resid : worst-case absolute fit residual over the whole table
+    """
+    import numpy.polynomial.chebyshev as ncheb
+
+    c = np.atleast_2d(np.asarray(c, np.float64))
+    z = np.asarray(z, np.float64)
+    order = min(order, len(z) - 1)
+    K = order + 1
+    nr = c.shape[0]
+    coef = np.zeros((nr, K))
+    max_resid = 0.0
+    # vectorized fit: chebfit supports 2D rhs (columns = separate fits)
+    u = (2.0 * z - (z[0] + z[-1])) / (z[-1] - z[0])
+    cf = ncheb.chebfit(u, c.T, order)  # (K, nr)
+    coef[:, : cf.shape[0]] = cf.T
+    fitted = ncheb.chebval(u, cf)  # (nr, nz)
+    max_resid = float(np.max(np.abs(fitted - c)))
+    return coef, max_resid
+
+
+def clenshaw(u, coef):
+    """Evaluate a Chebyshev series at u in [-1, 1].
+
+    ``u`` is an array (any shape); ``coef`` has shape (K,) or (..., K) with
+    leading dims broadcasting against u.
+    """
+    K = coef.shape[-1]
+    b1 = jnp.zeros_like(u)
+    b2 = jnp.zeros_like(u)
+    for k in range(K - 1, 0, -1):
+        b1, b2 = coef[..., k] + 2.0 * u * b1 - b2, b1
+    return coef[..., 0] + u * b1 - b2
+
+
+def cheb_mirror(coef):
+    """Coefficients of f(-u) given those of f(u): negate odd terms.
+
+    Used when mirroring the environment about the range axis for backwards
+    shots (reference behavior: `/root/reference/src/pygenray/launch_rays.py:684-714`).
+    Works for numpy or jax arrays, any leading batch dims.
+    """
+    K = coef.shape[-1]
+    sign = (-1.0) ** np.arange(K)
+    return coef * sign

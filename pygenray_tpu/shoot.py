@@ -1,0 +1,196 @@
+"""User-facing ray shooting API: ``shoot_rays`` (fan) and ``shoot_ray``.
+
+Reference parity (`/root/reference/src/pygenray/launch_rays.py:11-322`) with
+one deliberate unification: the reference integrates a *different* sign
+convention in its serial (<70 rays) branch than in its multiprocessing
+branch (double angle negation, `launch_rays.py:67` + `:251`).  The
+convention locked by the reference's own tests and consumed by
+``find_eigenrays`` is the multiprocessing/direct-``shoot_ray`` one — user
+angle θ maps to ODE launch angle -θ — and this implementation uses it for
+every batch size (there is only one code path: the batched scan).
+
+Backwards shots (receiver_range < source_range) mirror the environment
+about the range axis, integrate forward, and un-mirror the saved ranges
+(`launch_rays.py:124-131`).
+
+Instead of a process pool + shared memory, the fan is one jitted batched
+trace; multi-chip scaling shards the launch-angle axis (see
+``pygenray_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .envdata import EnvData
+from .environment import OceanEnvironment2D
+from .integrate import SolverSettings, trace
+from .ops.host import bilinear_np
+from .ray_objects import Ray, RayFan
+
+__all__ = ["shoot_rays", "shoot_ray", "settings_for"]
+
+
+def settings_for(rtol=1e-9, dx=None, interp="auto", terminate_backwards=True):
+    """Solver settings; ``rtol`` is accepted for reference-API compatibility
+    and mapped onto a nominal fixed step when ``dx`` is not given."""
+    if dx is None:
+        dx = float(np.clip(50.0 * (rtol / 1e-9) ** 0.25, 5.0, 500.0))
+    return SolverSettings(dx=dx, interp=interp, terminate_backwards=terminate_backwards)
+
+
+def _resolve_env(environment, flatearth, mirrored, interp, dtype):
+    if isinstance(environment, EnvData):
+        if mirrored:
+            raise ValueError(
+                "backwards shots need a host environment to mirror; pass an "
+                "OceanEnvironment2D"
+            )
+        return environment
+    return environment.env_data(
+        flatearth=flatearth, mirrored=mirrored, interp=interp, dtype=dtype
+    )
+
+
+def _trace_fan(
+    source_depth,
+    source_range,
+    theta_ode,
+    receiver_range,
+    num_range_save,
+    environment,
+    settings,
+    flatearth,
+    dtype,
+    mesh=None,
+):
+    """Shared fan-trace core in the ODE convention. Returns (result, env, backwards)."""
+    backwards = receiver_range < source_range
+    env = _resolve_env(environment, flatearth, backwards, settings.interp, dtype)
+    if backwards:
+        x0, x1 = -source_range, -receiver_range
+    else:
+        x0, x1 = source_range, receiver_range
+
+    c_src = bilinear_np(
+        x0, source_depth, np.asarray(env.r), np.asarray(env.z), np.asarray(env.c)
+    )
+    p0 = np.sin(np.radians(np.asarray(theta_ode, float))) / c_src
+    p0 = jnp.asarray(p0, env.c.dtype)
+
+    if mesh is not None:
+        from .parallel.sharding import shard_rays
+
+        p0 = shard_rays(p0, mesh)
+
+    res = trace(env, source_depth, p0, x0, x1, num_range_save, settings)
+    return res, env, backwards
+
+
+def shoot_rays(
+    source_depth: float,
+    source_range: float,
+    launch_angles,
+    receiver_range: float,
+    num_range_save: int,
+    environment,
+    rtol=1e-9,
+    terminate_backwards: bool = True,
+    n_processes: int = None,  # accepted for API compatibility; unused
+    debug: bool = False,
+    flatearth: bool = True,
+    *,
+    dx: float = None,
+    interp: str = "auto",
+    dtype=None,
+    mesh=None,
+    keep_dropped: bool = False,
+) -> RayFan:
+    """Integrate a fan of rays; returns a ``RayFan``.
+
+    Reference signature `launch_rays.py:11-23` plus TPU extras: ``dx``
+    (nominal step, m), ``interp`` (profile backend), ``mesh`` (shard the
+    angle axis over a ``jax.sharding.Mesh``), ``keep_dropped`` (keep dead
+    rays in the fan with their death diagnostics instead of dropping them).
+    Rays that turn vertical, leave the domain, or bounce backwards are
+    dropped from the fan exactly like the reference drops ``None`` rays
+    (`launch_rays.py:169-184`).
+    """
+    launch_angles = np.atleast_1d(np.asarray(launch_angles, float))
+    theta_ode = -launch_angles
+    settings = settings_for(rtol, dx, interp, terminate_backwards)
+
+    res, env, backwards = _trace_fan(
+        source_depth, source_range, theta_ode, receiver_range, num_range_save,
+        environment, settings, flatearth, dtype, mesh,
+    )
+
+    alive = np.asarray(res.alive)
+    keep = np.ones_like(alive) if keep_dropped else alive
+    rs = np.asarray(res.rs, float)
+    if backwards:
+        rs = -rs
+    M = int(keep.sum())
+    rs_fan = np.broadcast_to(rs, (M, rs.shape[0])).copy()
+
+    fan = RayFan.from_arrays(
+        thetas=launch_angles[keep],
+        rs=rs_fan,
+        ts=np.asarray(res.ts, float)[keep],
+        zs=-np.asarray(res.zs, float)[keep],
+        ps=-np.asarray(res.ps, float)[keep],
+        n_botts=np.asarray(res.n_bott)[keep],
+        n_surfs=np.asarray(res.n_surf)[keep],
+        source_depths=np.full(M, source_depth, float),
+    )
+    if keep_dropped:
+        fan.alive = alive
+        fan.death_code = np.asarray(res.death_code)
+    return fan
+
+
+def shoot_ray(
+    source_depth: float,
+    source_range: float,
+    launch_angle: float,
+    receiver_range: float,
+    num_range_save: int,
+    environment,
+    rtol=1e-9,
+    terminate_backwards: bool = True,
+    debug: bool = False,
+    flatearth: bool = True,
+    *,
+    dx: float = None,
+    interp: str = "auto",
+    dtype=None,
+) -> Ray | None:
+    """Integrate a single ray; returns a ``Ray`` or None if it was dropped.
+
+    Reference quirk preserved (`launch_rays.py:251`, `:313-320`): the
+    returned ``Ray.launch_angle`` is the *negated* user input;
+    ``find_eigenrays`` flips it back.
+    """
+    theta_ode = -float(launch_angle)
+    settings = settings_for(rtol, dx, interp, terminate_backwards)
+    res, env, backwards = _trace_fan(
+        source_depth, source_range, np.array([theta_ode]), receiver_range,
+        num_range_save, environment, settings, flatearth, dtype,
+    )
+    if not bool(np.asarray(res.alive)[0]):
+        return None
+    rs = np.asarray(res.rs, float)
+    if backwards:
+        rs = -rs
+    y = np.stack(
+        [np.asarray(res.ts)[0], np.asarray(res.zs)[0], np.asarray(res.ps)[0]]
+    )
+    return Ray(
+        rs,
+        y,
+        int(np.asarray(res.n_bott)[0]),
+        int(np.asarray(res.n_surf)[0]),
+        theta_ode,
+        source_depth,
+    )
