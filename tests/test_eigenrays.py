@@ -1,0 +1,162 @@
+"""Eigenray solver tests: analytic oracle in constant-c, Munk convergence,
+bookkeeping (counts, failed brackets), and EigenRays object behavior."""
+
+import numpy as np
+import pytest
+from matplotlib import pyplot as plt
+
+import pygenray_tpu as pr
+from pygenray_tpu.models import const_env, munk_env
+
+TABLE = dict(interp="table", dtype="float64")
+
+
+class TestEigenraysConstC:
+    """In a homogeneous medium rays are straight lines, so the eigenray
+    launch angle to a receiver at (R, zr) from a source at z0 is exactly
+    atan((zr - z0)/R) — a closed-form oracle for the whole solver chain."""
+
+    C0 = 1500.0
+    Z0 = 1000.0
+    R = 30e3
+
+    def _fan(self, env):
+        angles = np.linspace(-12, 12, 49)
+        return pr.shoot_rays(
+            self.Z0, 0.0, angles, self.R, 50, env, flatearth=False, **TABLE
+        )
+
+    def test_analytic_eigenray_angle(self):
+        env = const_env(c0=self.C0, z_max=6000.0, bathy_depth=5500.0, r_max=self.R + 1e3)
+        rays = self._fan(env)
+        receiver_depth = 2500.0
+        er = pr.find_eigenrays(
+            rays, [receiver_depth], self.Z0, 0.0, self.R, 50, env,
+            ztol=0.5, flatearth=False, **TABLE,
+        )
+        # two paths: direct (downward) and surface-bounce (upward then down)
+        assert er.num_eigenrays_found[0] == 2
+        direct_mask = (er.n_surfs[0] == 0) & (er.n_botts[0] == 0)
+        assert direct_mask.sum() == 1 and (~direct_mask).sum() == 1
+        # analytic: z_ode grows as z0 + R tan(theta_ode); theta_ode = -user
+        th_direct = -np.degrees(np.arctan((receiver_depth - self.Z0) / self.R))
+        th_bounce = np.degrees(np.arctan((receiver_depth + self.Z0) / self.R))
+        found_direct = er.launch_angles[0][direct_mask][0]
+        found_bounce = er.launch_angles[0][~direct_mask][0]
+        assert found_direct == pytest.approx(th_direct, abs=0.01)
+        assert found_bounce == pytest.approx(th_bounce, abs=0.01)
+        assert er.n_surfs[0][~direct_mask][0] == 1
+        # final depths within ztol (user convention: zs negative down)
+        assert np.all(np.abs(er.zs[0][:, -1] + receiver_depth) < 0.5)
+        # received angle equals launch angle magnitude in constant c
+        assert abs(abs(er.received_angles[0][direct_mask][0]) - abs(th_direct)) < 0.05
+
+    def test_travel_time_matches_straight_line(self):
+        env = const_env(c0=self.C0, z_max=6000.0, bathy_depth=5500.0, r_max=self.R + 1e3)
+        rays = self._fan(env)
+        rd = 2500.0
+        er = pr.find_eigenrays(
+            rays, [rd], self.Z0, 0.0, self.R, 50, env, ztol=0.1,
+            flatearth=False, **TABLE,
+        )
+        direct = (er.n_surfs[0] == 0) & (er.n_botts[0] == 0)
+        L = np.hypot(self.R, rd - self.Z0)
+        assert er.ts[0][direct, -1][0] == pytest.approx(L / self.C0, rel=1e-5)
+
+
+class TestEigenraysMunk:
+    def _setup(self):
+        env = munk_env(r_max=50e3, nr=30, nz=400)
+        angles = np.linspace(-14, 14, 141)
+        rays = pr.shoot_rays(1300.0, 0.0, angles, 50e3, 50, env, flatearth=False, **TABLE)
+        return env, rays
+
+    def test_multipath_convergence(self):
+        env, rays = self._setup()
+        rds = [1000.0, 1300.0]
+        er = pr.find_eigenrays(
+            rays, rds, 1300.0, 0.0, 50e3, 50, env, ztol=1.0,
+            flatearth=False, **TABLE,
+        )
+        for ridx, rd in enumerate(rds):
+            assert er.num_eigenrays_found[ridx] >= 2  # multipath arrivals
+            # every found eigenray ends within ztol of the receiver
+            resid = np.abs(er.zs[ridx][:, -1] + rd)
+            assert np.all(resid < 1.0)
+            # bookkeeping consistency
+            assert (
+                er.num_eigenrays_found[ridx]
+                + len(er.failed_eray_theta_brackets[ridx])
+                == er.num_eigenrays[rd]
+            )
+
+    def test_eigenrays_match_fan_bracketing(self):
+        """Each eigenray launch angle must lie inside one fan bracket."""
+        env, rays = self._setup()
+        rd = 1300.0
+        er = pr.find_eigenrays(
+            rays, [rd], 1300.0, 0.0, 50e3, 50, env, ztol=1.0,
+            flatearth=False, **TABLE,
+        )
+        sign = np.sign(rays.zs[:, -1] + rd)
+        starts = np.where(np.diff(sign))[0]
+        brackets = [(rays.thetas[s], rays.thetas[s + 1]) for s in starts]
+        for th in er.launch_angles[0]:
+            assert any(min(a, b) - 1e-9 <= th <= max(a, b) + 1e-9 for a, b in brackets)
+
+    def test_plot_smokes(self):
+        env, rays = self._setup()
+        er = pr.find_eigenrays(
+            rays, [1300.0], 1300.0, 0.0, 50e3, 50, env, ztol=1.0,
+            flatearth=False, **TABLE,
+        )
+        plt.figure()
+        er.plot()
+        er.plot_angle_time()
+        er.plot_ducted()
+        plt.close("all")
+
+    def test_save_mat(self, tmp_path):
+        import scipy.io
+
+        env, rays = self._setup()
+        er = pr.find_eigenrays(
+            rays, [1300.0], 1300.0, 0.0, 50e3, 50, env, ztol=1.0,
+            flatearth=False, **TABLE,
+        )
+        path = str(tmp_path / "erays.mat")
+        er.save_mat(path)
+        data = scipy.io.loadmat(path)
+        assert "eigenrays" in data
+
+
+class TestEigenraysEdgeCases:
+    def test_no_brackets_returns_empty(self):
+        env = const_env(c0=1500.0, r_max=31e3)
+        angles = np.linspace(-2, -1, 11)  # all rays end above the receiver depth
+        rays = pr.shoot_rays(1000.0, 0.0, angles, 30e3, 50, env, flatearth=False, **TABLE)
+        er = pr.find_eigenrays(
+            rays, [4000.0], 1000.0, 0.0, 30e3, 50, env, flatearth=False, **TABLE
+        )
+        assert er.num_eigenrays_found[0] == 0
+        assert er.num_eigenrays[4000.0] == 0
+
+    def test_timefront_many_receiver_depths(self):
+        """Vertical-array timefront: eigenrays for many receiver depths in
+        one call (the tomography observable)."""
+        env = munk_env(r_max=50e3, nr=30, nz=400)
+        angles = np.linspace(-12, 12, 97)
+        rays = pr.shoot_rays(1300.0, 0.0, angles, 50e3, 50, env, flatearth=False, **TABLE)
+        rds = np.linspace(800.0, 1800.0, 8)
+        er = pr.find_eigenrays(
+            rays, rds, 1300.0, 0.0, 50e3, 50, env, ztol=1.0,
+            flatearth=False, **TABLE,
+        )
+        total = sum(er.num_eigenrays_found[i] for i in range(len(rds)))
+        assert total >= len(rds)  # at least one arrival at every depth
+        for i, rd in enumerate(rds):
+            # every bracketed arrival converges at this short range
+            assert er.num_eigenrays_found[i] == er.num_eigenrays[rd]
+            assert er.num_eigenrays_found[i] >= 1
+            if er.num_eigenrays_found[i]:
+                assert np.all(np.abs(er.zs[i][:, -1] + rds[i]) < 1.0)
