@@ -1,0 +1,131 @@
+"""Benchmark: Munk-profile ray fan throughput + travel-time accuracy.
+
+North-star config (BASELINE.json): 10^5-ray Munk fan, ±15°, 100 km, one TPU
+chip, travel times within 0.1 ms of the CPU/SciPy reference.
+
+Prints ONE JSON line:
+  {"metric": "rays_per_sec_chip", "value": N, "unit": "rays/s",
+   "vs_baseline": N / 1e5, ...extras}
+
+``vs_baseline`` is measured against the north-star target itself
+(10^5 rays in 1 s => 1e5 rays/s), since the reference publishes no numbers
+(BASELINE.md).
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+R_MAX = 100e3
+NUM_RAYS = 102_400
+ANGLE_SPAN = 15.0
+SRC_DEPTH = 1300.0
+NUM_SAVE = 50
+NZ = 2048
+NR = 32
+BASELINE_RAYS_PER_SEC = 1e5  # north star: 1e5 rays < 1 s on one chip
+
+ORACLE_CACHE = pathlib.Path(__file__).parent / "tests" / "fixtures" / "bench_oracle_100km.npz"
+ORACLE_ANGLES = np.linspace(-14.0, 14.0, 15)  # subset checked for accuracy
+
+
+def build_env(dtype):
+    from pygenray_tpu.envdata import make_env_data
+    from pygenray_tpu.environment import munk_ssp
+
+    z = np.linspace(0.0, 6000.0, NZ)
+    r = np.linspace(0.0, R_MAX, NR)
+    c = np.outer(np.ones(NR), munk_ssp(z))
+    return make_env_data(c, r, z, np.full(NR, 5000.0), r, dtype=dtype)
+
+
+def oracle_times():
+    """Travel times from the scipy RK45 oracle (cached on disk)."""
+    if ORACLE_CACHE.exists():
+        d = np.load(ORACLE_CACHE)
+        if d["angles"].shape == ORACLE_ANGLES.shape and np.allclose(
+            d["angles"], ORACLE_ANGLES
+        ):
+            return d["ts"], d["zs"]
+    sys.path.insert(0, str(pathlib.Path(__file__).parent / "tests"))
+    import reference_impl as oracle
+
+    z = np.linspace(0.0, 6000.0, NZ)
+    r = np.linspace(0.0, R_MAX, NR)
+    c = np.outer(np.ones(NR), oracle.munk_profile(z))
+    oenv = oracle.OracleEnv.from_tables(c, r, z, np.full(NR, 5000.0), r)
+    ts, zs = [], []
+    for a in ORACLE_ANGLES:
+        out = oracle.trace_ray_oracle(
+            oenv, SRC_DEPTH, 0.0, -a, R_MAX, 2, rtol=1e-12, atol=1e-12
+        )
+        ts.append(out[1][0, -1])
+        zs.append(-out[1][1, -1])
+    ts, zs = np.array(ts), np.array(zs)
+    ORACLE_CACHE.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(ORACLE_CACHE, angles=ORACLE_ANGLES, ts=ts, zs=zs)
+    return ts, zs
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pygenray_tpu.integrate import SolverSettings, trace
+    from pygenray_tpu.ops.host import bilinear_np
+
+    dtype = jnp.float32
+    env = build_env(dtype)
+    settings = SolverSettings(dx=50.0)
+
+    angles = np.linspace(-ANGLE_SPAN, ANGLE_SPAN, NUM_RAYS)
+    c_src = bilinear_np(0.0, SRC_DEPTH, np.asarray(env.r), np.asarray(env.z), np.asarray(env.c))
+    p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, dtype)
+
+    def run():
+        return trace(env, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE, settings)
+
+    # warmup/compile
+    res = run()
+    jax.block_until_ready(res.ts)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run()
+        jax.block_until_ready(res.ts)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rays_per_sec = NUM_RAYS / best
+
+    # accuracy vs scipy oracle on the angle subset
+    o_ts, o_zs = oracle_times()
+    p0a = jnp.asarray(np.sin(np.radians(-ORACLE_ANGLES)) / c_src, dtype)
+    resa = trace(env, SRC_DEPTH, p0a, 0.0, R_MAX, 2, settings)
+    ts = np.asarray(resa.ts, float)[:, -1]
+    zs = -np.asarray(resa.zs, float)[:, -1]
+    max_dt_ms = float(np.max(np.abs(ts - o_ts)) * 1e3)
+    max_dz_m = float(np.max(np.abs(zs - o_zs)))
+
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_sec_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+                "config": f"munk fan {NUM_RAYS} rays ±{ANGLE_SPAN}° to {R_MAX/1e3:.0f} km, dx={settings.dx} m, f32",
+                "wall_s": round(best, 4),
+                "max_travel_time_err_ms": round(max_dt_ms, 4),
+                "max_final_depth_err_m": round(max_dz_m, 3),
+                "accuracy_target_ms": 0.1,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
