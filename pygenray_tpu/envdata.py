@@ -159,32 +159,38 @@ def make_env_data(
 
     range_dependent = not bool(np.all(c == c[:1]))
 
-    # spectral fit
+    # spectral fit: pick the smallest order meeting tolerance (Clenshaw cost
+    # on the hot path is linear in the order)
     has_cheb = False
-    K = min(cheb_order, len(z) - 1) + 1
-    c_cheb = np.zeros((c.shape[0], K))
-    dcdz_cheb = np.zeros((c.shape[0], K))
+    c_cheb = np.zeros((c.shape[0], 8))
+    dcdz_cheb = np.zeros((c.shape[0], 8))
     if interp in ("auto", "cheb"):
-        c_cheb_f, c_res = fit_profile_cheb(c, z, order=K - 1)
-        cp_cheb_f, cp_res = fit_profile_cheb(dcdz, z, order=K - 1)
-        ok = c_res < C_FIT_TOL and cp_res < CP_FIT_TOL
-        if interp == "cheb" and not ok:
+        c_res = cp_res = np.inf
+        orders = [o for o in (15, 23, 31, 47, 63, 95) if o <= cheb_order] or [cheb_order]
+        for order in orders:
+            order = min(order, len(z) - 1)
+            c_cheb_f, c_res = fit_profile_cheb(c, z, order=order)
+            cp_cheb_f, cp_res = fit_profile_cheb(dcdz, z, order=order)
+            if c_res < C_FIT_TOL and cp_res < CP_FIT_TOL:
+                has_cheb = True
+                c_cheb, dcdz_cheb = c_cheb_f, cp_cheb_f
+                break
+        if interp == "cheb" and not has_cheb:
             raise ValueError(
                 f"Chebyshev profile fit residuals too large (c: {c_res:.2e} m/s, "
                 f"dc/dz: {cp_res:.2e} 1/s); use interp='table' or 'auto'."
             )
-        if ok:
-            has_cheb = True
-            c_cheb, dcdz_cheb = c_cheb_f, cp_cheb_f
 
     # bottom angle representation
     if bathy_r.shape[0] >= 2:
         bangle_coef = cubic_spline_coeffs(bathy_r, bottom_angle)
     else:
         bangle_coef = np.zeros((1, 4))
-    if np.all(bottom_angle == bottom_angle[0]):
+    # near-constant detection with tolerance: np.gradient of a flat bottom
+    # produces O(1e-15) degree floating-point noise
+    if np.ptp(bottom_angle) < 1e-9:
         bangle_mode = "const"
-        bangle_const = float(bottom_angle[0])
+        bangle_const = float(np.mean(bottom_angle))
         bangle_cheb = np.zeros(8)
     else:
         # fit the cubic-spline interpolant (reference semantics:

@@ -98,7 +98,8 @@ def _use_cheb(env: EnvData, settings: SolverSettings) -> bool:
 
 
 def _make_eval(env: EnvData, use_cheb: bool):
-    """Returns ``ev(prof, z) -> (c, dcdz)`` for a station profile ``prof``."""
+    """Returns ``(ev, ev_c)``: full ``(c, dcdz)`` and c-only evaluation of a
+    station profile at batched depths."""
     zlo, zhi = env.z_dom
 
     if use_cheb:
@@ -111,6 +112,10 @@ def _make_eval(env: EnvData, use_cheb: bool):
             u = jnp.clip(sc * z - off, -1.0, 1.0)
             return clenshaw(u, prof[0]), clenshaw(u, prof[1])
 
+        def ev_c(prof, z):
+            u = jnp.clip(sc * z - off, -1.0, 1.0)
+            return clenshaw(u, prof[0])
+
     else:
 
         def ev(prof, z):
@@ -121,7 +126,13 @@ def _make_eval(env: EnvData, use_cheb: bool):
             cp = (1.0 - w) * prof[1][i] + w * prof[1][i + 1]
             return c, cp
 
-    return ev
+        def ev_c(prof, z):
+            i = interval_index(z, env.z, env.uniform_z)
+            z0g = env.z[i]
+            w = (z - z0g) / (env.z[i + 1] - z0g)
+            return (1.0 - w) * prof[0][i] + w * prof[0][i + 1]
+
+    return ev, ev_c
 
 
 def _station_profile(env: EnvData, use_cheb: bool, x):
@@ -147,30 +158,42 @@ def _station_profile(env: EnvData, use_cheb: bool, x):
 
 
 def _make_bangle(env: EnvData):
-    """Bottom-slope angle β(x) [deg] at per-ray ranges."""
-    if env.bangle_mode == "const":
-        const = env.bangle_const
+    """``sincos2b(x) -> (sin 2β, cos 2β)`` for the bottom reflection.
 
-        def bangle(x):
-            return jnp.full(jnp.shape(x), const, dtype=jnp.result_type(x))
+    The bottom reflection θ' = 2β - θ is applied without any inverse trig:
+    sin θ' = sin 2β cos θ - cos 2β sin θ with sin θ = c·p taken directly
+    from the ray state — mathematically identical to the reference's
+    degrees(arcsin(...)) round-trip (`launch_rays.py:459-471`) but
+    transcendental-free on the per-step hot path.  For a constant-slope
+    bottom, sin/cos 2β are compile-time constants.
+    """
+    import math
+
+    if env.bangle_mode == "const":
+        b = math.radians(env.bangle_const)
+        s2b, c2b = math.sin(2 * b), math.cos(2 * b)
+
+        def sincos2b(x):
+            return s2b, c2b
 
     elif env.bangle_mode == "cheb":
-        rlo, rhi = float(env.r_dom[0]), float(env.r_dom[1])
-        # the spline is defined on the bathymetry range grid; map from it
         coef = env.bangle_cheb
 
-        def bangle(x):
+        def sincos2b(x):
             blo = env.bathy_r[0]
             bhi = env.bathy_r[-1]
             u = jnp.clip((2.0 * x - (blo + bhi)) / (bhi - blo), -1.0, 1.0)
-            return clenshaw(u, coef)
+            b2 = 2.0 * jnp.radians(clenshaw(u, coef))
+            return jnp.sin(b2), jnp.cos(b2)
 
     else:
 
-        def bangle(x):
-            return cubic_spline_eval(x, env.bathy_r, env.bangle_coef, env.uniform_bathy_r)
+        def sincos2b(x):
+            beta = cubic_spline_eval(x, env.bathy_r, env.bangle_coef, env.uniform_bathy_r)
+            b2 = 2.0 * jnp.radians(beta)
+            return jnp.sin(b2), jnp.cos(b2)
 
-    return bangle
+    return sincos2b
 
 
 # ---------------------------------------------------------------------------
@@ -230,8 +253,8 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
     B = p0.shape[0]
 
     use_cheb = _use_cheb(env, settings)
-    ev = _make_eval(env, use_cheb)
-    bangle = _make_bangle(env)
+    ev, ev_c = _make_eval(env, use_cheb)
+    sincos2b = _make_bangle(env)
     zlo, zhi = env.z_dom
     rlo, rhi = env.r_dom
     btol = settings.bbox_tol
@@ -351,23 +374,29 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
         p_c = _hermite(f, p, p1, hs * kp1, hs * kp4)
         x_c = d["x0"] + f * hs
 
-        # -- reflect -------------------------------------------------------
-        _, _, _, c_c = rhs(prof_m, z_c, p_c)
-        theta_c = jnp.degrees(jnp.arcsin(jnp.clip(p_c * c_c, -1.0, 1.0)))
-        beta = bangle(x_c)
-        theta_b = 2.0 * beta - theta_c
-        p_ref = jnp.where(surf, -p_c, jnp.sin(jnp.radians(theta_b)) / c_c)
-        back_dead = cross & bott & (jnp.abs(theta_b) > 90.0) if settings.terminate_backwards else jnp.zeros_like(cross)
+        # -- reflect (transcendental-free; see _make_bangle) ---------------
+        c_c = ev_c(prof_m, z_c)
+        sin_th = jnp.clip(p_c * c_c, -1.0, 1.0)
+        cos_th = jnp.sqrt(jnp.maximum(1.0 - sin_th * sin_th, 0.0))
+        s2b, c2b = sincos2b(x_c)
+        p_ref = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
+        if settings.terminate_backwards:
+            # |2β - θ| > 90°  ⇔  cos(2β - θ) < 0; small epsilon so the
+            # degenerate vertical-ray case (cos θ = 0 exactly) is not
+            # misclassified by angle-table roundoff — it dies as vertical
+            back_dead = cross & bott & (c2b * cos_th + s2b * sin_th < -1e-9)
+        else:
+            back_dead = jnp.zeros_like(cross)
 
         # -- re-integrate the remainder of the step from the crossing -----
+        # (Heun: the remainder is at most one step long and starts on the
+        # boundary, so second order there is far below the RK4 step error)
         hr = (1.0 - f) * hs
         rT1, rz1, rp1, _ = rhs(prof_m, z_c, p_ref)
-        rT2, rz2, rp2, _ = rhs(prof_m, z_c + 0.5 * hr * rz1, p_ref + 0.5 * hr * rp1)
-        rT3, rz3, rp3, _ = rhs(prof_m, z_c + 0.5 * hr * rz2, p_ref + 0.5 * hr * rp2)
-        rT4, rz4, rp4, _ = rhs(prof_1, z_c + hr * rz3, p_ref + hr * rp3)
-        dT_fix = t_off + hr / 6.0 * (rT1 + 2 * rT2 + 2 * rT3 + rT4)
-        z_fix = z_c + hr / 6.0 * (rz1 + 2 * rz2 + 2 * rz3 + rz4)
-        p_fix = p_ref + hr / 6.0 * (rp1 + 2 * rp2 + 2 * rp3 + rp4)
+        rT2, rz2, rp2, _ = rhs(prof_1, z_c + hr * rz1, p_ref + hr * rp1)
+        dT_fix = t_off + hr * 0.5 * (rT1 + rT2)
+        z_fix = z_c + hr * 0.5 * (rz1 + rz2)
+        p_fix = p_ref + hr * 0.5 * (rp1 + rp2)
 
         # -- merge ---------------------------------------------------------
         use_fix = cross & (~back_dead)
