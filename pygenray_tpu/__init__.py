@@ -22,6 +22,7 @@ from .envdata import EnvData, make_env_data
 from .integrate import DEATH_CODES, SolverSettings, TraceResult, trace
 from .shoot import shoot_ray, shoot_rays, settings_for
 from .eigenrays import find_eigenrays
+from .montecarlo import make_env_ensemble, mc_eigenray_times, trace_ensemble
 from .ray_objects import EigenRays, Ray, RayFan
 from .ops.host import bilinear_np, derivs_np, linear_np, ray_angle_np
 from .ops.interp import bilinear_interp, linear_interp
@@ -49,6 +50,9 @@ __all__ = [
     "shoot_rays",
     "settings_for",
     "find_eigenrays",
+    "make_env_ensemble",
+    "trace_ensemble",
+    "mc_eigenray_times",
     "Ray",
     "RayFan",
     "EigenRays",

@@ -115,6 +115,8 @@ def make_env_data(
     dcdz=None,
     interp: str = "auto",
     cheb_order: int = 47,
+    cheb_exact_order: bool = False,
+    force_range_dependent: bool = False,
     dtype=None,
 ) -> EnvData:
     """Build an ``EnvData`` from host tables.
@@ -157,7 +159,7 @@ def make_env_data(
     else:
         bottom_angle = np.asarray(bottom_angle, np.float64)
 
-    range_dependent = not bool(np.all(c == c[:1]))
+    range_dependent = force_range_dependent or not bool(np.all(c == c[:1]))
 
     # spectral fit: pick the smallest order meeting tolerance (Clenshaw cost
     # on the hot path is linear in the order)
@@ -166,7 +168,10 @@ def make_env_data(
     dcdz_cheb = np.zeros((c.shape[0], 8))
     if interp in ("auto", "cheb"):
         c_res = cp_res = np.inf
-        orders = [o for o in (15, 23, 31, 47, 63, 95) if o <= cheb_order] or [cheb_order]
+        if cheb_exact_order:
+            orders = [cheb_order]
+        else:
+            orders = [o for o in (15, 23, 31, 47, 63, 95) if o <= cheb_order] or [cheb_order]
         for order in orders:
             order = min(order, len(z) - 1)
             c_cheb_f, c_res = fit_profile_cheb(c, z, order=order)

@@ -1,0 +1,206 @@
+"""Monte-Carlo tomography: ensembles of perturbed environments.
+
+Supports the 10^6-ray Monte-Carlo configuration (BASELINE.json configs[4]):
+an ensemble of E internal-wave-perturbed sound-speed realizations traced as
+one batched computation — the realization axis is just another vmapped
+batch dimension on top of the launch-angle axis, and eigenray regula-falsi
+iterations run for all (realization × bracket) candidates simultaneously.
+
+The reference package would run this as E independent multiprocessing fans
+plus E × brackets root-finding processes; here it is two nested batch axes
+on one jitted scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .envdata import EnvData, make_env_data
+from .integrate import SolverSettings, TraceResult, _plan, _trace_impl
+from .ops.host import bilinear_np
+
+__all__ = ["make_env_ensemble", "trace_ensemble", "mc_eigenray_times"]
+
+
+def make_env_ensemble(
+    c_ens, r, z, bathy, bathy_r, interp: str = "auto", dtype=None, **kw
+) -> EnvData:
+    """Stack per-realization environments into one EnvData with a leading
+    ensemble axis on every data field (static metadata must agree, so the
+    Chebyshev order is fixed by the first realization's adaptive fit)."""
+    c_ens = np.asarray(c_ens, np.float64)
+    E = c_ens.shape[0]
+    # first pass: adaptive fit per realization to find the largest order any
+    # member needs, so every member shares one static fit structure
+    kw.setdefault("force_range_dependent", True)
+    probes = [
+        make_env_data(c_ens[e], r, z, bathy, bathy_r, interp=interp, dtype=dtype, **kw)
+        for e in range(E)
+    ]
+    if interp != "table" and not all(p.has_cheb for p in probes):
+        if interp == "cheb":
+            raise ValueError(
+                "some realizations fail the Chebyshev fit guard; "
+                "use interp='table' for rough ensembles"
+            )
+        interp = "table"  # auto mode: fall back uniformly
+        probes = [
+            make_env_data(c_ens[e], r, z, bathy, bathy_r, interp="table", dtype=dtype, **kw)
+            for e in range(E)
+        ]
+    if interp == "table" or not probes[0].has_cheb:
+        envs = probes
+    else:
+        order = max(p.c_cheb.shape[1] for p in probes) - 1
+        envs = [
+            make_env_data(
+                c_ens[e], r, z, bathy, bathy_r, interp=interp, dtype=dtype,
+                cheb_order=order, cheb_exact_order=True, **kw,
+            )
+            for e in range(E)
+        ]
+    return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *envs)
+
+
+def trace_ensemble(
+    env_ens: EnvData,
+    z0,
+    p0,
+    x0: float,
+    x1: float,
+    num_save: int,
+    settings: SolverSettings = SolverSettings(),
+) -> TraceResult:
+    """Trace a (possibly per-realization) angle batch through every
+    realization: ``p0`` is (B,) shared or (E, B) per-realization; returns a
+    TraceResult with leading ensemble axis (E, B, ...)."""
+    h, sps, nseg = _plan(float(x0), float(x1), int(num_save), settings.dx)
+    geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
+    p0 = jnp.asarray(p0)
+    p_axis = 0 if p0.ndim == 2 else None
+    fn = lambda env, p: _trace_impl(env, z0, p, geom, settings)
+    return jax.vmap(fn, in_axes=(0, p_axis))(env_ens, p0)
+
+
+def mc_eigenray_times(
+    env_ens: EnvData,
+    fan_angles,
+    receiver_depth: float,
+    source_depth: float,
+    source_range: float,
+    receiver_range: float,
+    ztol: float = 1.0,
+    max_iter: int = 20,
+    settings: SolverSettings = SolverSettings(),
+):
+    """Eigenray travel times at one receiver depth across an ensemble.
+
+    Runs a fan per realization, brackets the arrivals, then iterates regula
+    falsi for ALL (realization × bracket) candidates as one batched trace
+    per iteration.  Returns a dict of (E, M) arrays (M = max bracket count
+    over realizations): ``theta`` (user launch angles), ``t`` (travel
+    times), ``z_resid`` (final-depth residual), ``n_surf``/``n_bott``, and
+    ``valid`` (bracket exists and converged).
+    """
+    fan_angles = np.asarray(fan_angles, float)
+    E = env_ens.c.shape[0]
+
+    c_src = np.array(
+        [
+            bilinear_np(
+                source_range, source_depth,
+                np.asarray(env_ens.r[e]), np.asarray(env_ens.z[e]),
+                np.asarray(env_ens.c[e]),
+            )
+            for e in range(E)
+        ]
+    )
+
+    def angles_to_p0(theta_user):  # (E, M) user angles -> ODE p0
+        return jnp.asarray(
+            np.sin(np.radians(-np.asarray(theta_user))) / c_src[:, None],
+            env_ens.c.dtype,
+        )
+
+    # 1. fan through every realization
+    p0 = angles_to_p0(np.broadcast_to(fan_angles, (E, fan_angles.size)))
+    fan = trace_ensemble(
+        env_ens, source_depth, p0, source_range, receiver_range, 2, settings
+    )
+    z_end = -np.asarray(fan.zs, float)[..., -1]  # (E, B) user convention
+    z_end = np.where(np.asarray(fan.alive), z_end, np.nan)
+
+    # 2. bracket per realization, pad to common M
+    g = z_end + receiver_depth
+    sign = np.sign(g)
+    starts = [np.where(np.diff(sign[e]) != 0)[0] for e in range(E)]
+    M = max((len(s) for s in starts), default=0)
+    if M == 0:
+        shape = (E, 0)
+        return {k: np.zeros(shape) for k in ("theta", "t", "z_resid", "n_surf", "n_bott", "valid")}
+
+    th1 = np.zeros((E, M))
+    th2 = np.zeros((E, M))
+    z1 = np.ones((E, M))
+    z2 = -np.ones((E, M))
+    valid = np.zeros((E, M), bool)
+    for e, s in enumerate(starts):
+        k = len(s)
+        th1[e, :k] = fan_angles[s]
+        th2[e, :k] = fan_angles[s + 1]
+        z1[e, :k] = z_end[e, s]
+        z2[e, :k] = z_end[e, s + 1]
+        valid[e, :k] = True
+
+    rd = receiver_depth
+    denom = np.where(np.abs(z2 - z1) > 1e-300, z2 - z1, 1.0)
+    theta = th1 - (z1 + rd) * (th2 - th1) / denom
+    converged = np.zeros((E, M), bool)
+    dead = ~valid
+    theta_hit = np.full((E, M), np.nan)
+
+    # 3. batched false-position iterations across the whole ensemble
+    for _ in range(max_iter + 2):
+        active = ~(converged | dead)
+        if not active.any():
+            break
+        res = trace_ensemble(
+            env_ens, source_depth, angles_to_p0(theta),
+            source_range, receiver_range, 2, settings,
+        )
+        alive = np.asarray(res.alive)
+        ze = -np.asarray(res.zs, float)[..., -1]
+        dead |= active & ~alive
+        act = active & alive
+        hit = act & (np.abs(ze + rd) < ztol)
+        converged |= hit
+        theta_hit = np.where(hit, theta, theta_hit)
+        upd = act & ~hit
+        side1 = np.sign(ze + rd) == np.sign(z1 + rd)
+        z1 = np.where(upd & side1, ze, z1)
+        th1 = np.where(upd & side1, theta, th1)
+        z2 = np.where(upd & ~side1, ze, z2)
+        th2 = np.where(upd & ~side1, theta, th2)
+        denom = np.where(np.abs(z2 - z1) > 1e-300, z2 - z1, 1.0)
+        theta = np.where(upd, th1 - (z1 + rd) * (th2 - th1) / denom, theta)
+
+    # 4. final batched evaluation of the converged angles
+    theta_eval = np.where(converged, theta_hit, 0.0)
+    res = trace_ensemble(
+        env_ens, source_depth, angles_to_p0(theta_eval),
+        source_range, receiver_range, 2, settings,
+    )
+    t_end = np.asarray(res.ts, float)[..., -1]
+    z_res = np.abs(-np.asarray(res.zs, float)[..., -1] + rd)
+    return {
+        "theta": np.where(converged, theta_hit, np.nan),
+        "t": np.where(converged, t_end, np.nan),
+        "z_resid": np.where(converged, z_res, np.nan),
+        "n_surf": np.where(converged, np.asarray(res.n_surf), -1),
+        "n_bott": np.where(converged, np.asarray(res.n_bott), -1),
+        "valid": converged,
+    }

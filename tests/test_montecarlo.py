@@ -1,0 +1,116 @@
+"""Monte-Carlo ensemble tests: internal-wave perturbations, vmapped
+ensemble tracing, and batched cross-realization eigenray solves."""
+
+import numpy as np
+import pytest
+
+from pygenray_tpu.integrate import SolverSettings
+from pygenray_tpu.models.internal_waves import iw_perturbations, perturbed_munk_tables
+from pygenray_tpu.montecarlo import (
+    make_env_ensemble,
+    mc_eigenray_times,
+    trace_ensemble,
+)
+
+
+class TestInternalWaves:
+    def test_shapes_and_rms(self):
+        z = np.linspace(0, 6000, 300)
+        r = np.linspace(0, 100e3, 40)
+        mu = iw_perturbations(z, r, n_realizations=4, mu_rms=5e-4, seed=1)
+        assert mu.shape == (4, 40, 300)
+        band = z < 2000.0
+        rms = np.sqrt(np.mean(mu[..., band] ** 2))
+        assert rms == pytest.approx(5e-4, rel=0.05)
+
+    def test_decays_with_depth(self):
+        z = np.linspace(0, 6000, 300)
+        r = np.linspace(0, 100e3, 40)
+        mu = iw_perturbations(z, r, n_realizations=4, seed=2)
+        shallow = np.sqrt(np.mean(mu[..., z < 1000] ** 2))
+        deep = np.sqrt(np.mean(mu[..., z > 4000] ** 2))
+        assert deep < 0.2 * shallow
+
+    def test_reproducible(self):
+        z = np.linspace(0, 6000, 100)
+        r = np.linspace(0, 50e3, 20)
+        a = iw_perturbations(z, r, 2, seed=7)
+        b = iw_perturbations(z, r, 2, seed=7)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestEnsembleTrace:
+    def _ensemble(self, E=3):
+        c_ens, r, z = perturbed_munk_tables(E, r_max=50e3, nr=24, nz=400, seed=3)
+        return make_env_ensemble(
+            c_ens, r, z, np.full(24, 5000.0), r, dtype="float64"
+        ), r, z
+
+    def test_shapes(self):
+        env_ens, r, z = self._ensemble()
+        angles = np.linspace(-10, 10, 16)
+        p0 = np.sin(np.radians(-angles)) / 1500.0
+        res = trace_ensemble(env_ens, 1300.0, p0, 0.0, 50e3, 20, SolverSettings(dx=100.0))
+        assert res.ts.shape == (3, 16, 20)
+        assert res.alive.shape == (3, 16)
+        assert np.asarray(res.alive).all()
+
+    def test_unperturbed_realization_matches_single_trace(self):
+        """An ensemble whose first member is unperturbed must reproduce the
+        plain single-environment trace bit-for-bit."""
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.integrate import trace
+
+        c_ens, r, z = perturbed_munk_tables(2, r_max=50e3, nr=24, nz=400, mu_rms=1e-4, seed=4)
+        c_ens[0] = c_ens[0] * 0 + np.outer(
+            np.ones(24), __import__("pygenray_tpu").munk_ssp(z)
+        )
+        bathy = np.full(24, 5000.0)
+        env_ens = make_env_ensemble(c_ens, r, z, bathy, r, dtype="float64")
+        env0 = make_env_data(
+            c_ens[0], r, z, bathy, r, dtype="float64",
+            cheb_order=env_ens.c_cheb.shape[-1] - 1, cheb_exact_order=True,
+        )
+
+        angles = np.linspace(-10, 10, 8)
+        p0 = np.sin(np.radians(-angles)) / 1500.0
+        s = SolverSettings(dx=100.0)
+        res_e = trace_ensemble(env_ens, 1300.0, p0, 0.0, 50e3, 10, s)
+        res_s = trace(env0, 1300.0, p0, 0.0, 50e3, 10, s)
+        np.testing.assert_allclose(
+            np.asarray(res_e.ts)[0], np.asarray(res_s.ts), rtol=0, atol=1e-12
+        )
+
+    def test_perturbations_spread_travel_times(self):
+        env_ens, r, z = self._ensemble()
+        angles = np.linspace(-10, 10, 16)
+        p0 = np.sin(np.radians(-angles)) / 1500.0
+        res = trace_ensemble(env_ens, 1300.0, p0, 0.0, 50e3, 2, SolverSettings(dx=100.0))
+        ts = np.asarray(res.ts)[..., -1]
+        spread = np.ptp(ts, axis=0)  # across realizations
+        assert np.all(spread > 0)
+        assert np.all(spread < 0.1)  # small perturbations, small spread
+
+
+class TestMCEigenrays:
+    def test_mc_eigenray_times(self):
+        c_ens, r, z = perturbed_munk_tables(3, r_max=50e3, nr=24, nz=400, seed=5)
+        env_ens = make_env_ensemble(c_ens, r, z, np.full(24, 5000.0), r, dtype="float64")
+        out = mc_eigenray_times(
+            env_ens,
+            np.linspace(-12, 12, 49),
+            receiver_depth=1300.0,
+            source_depth=1300.0,
+            source_range=0.0,
+            receiver_range=50e3,
+            ztol=1.0,
+            settings=SolverSettings(dx=100.0),
+        )
+        assert out["valid"].shape[0] == 3
+        # every realization finds at least one arrival
+        assert np.all(out["valid"].sum(axis=1) >= 1)
+        # converged arrivals are within ztol
+        assert np.all(out["z_resid"][out["valid"]] < 1.0)
+        # travel times cluster near the unperturbed value
+        t = out["t"][out["valid"]]
+        assert np.all((t > 33.0) & (t < 34.0))
