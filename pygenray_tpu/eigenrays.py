@@ -119,9 +119,16 @@ def find_eigenrays(
     converged = np.zeros(NB, bool)
     dead = np.zeros(NB, bool)
     theta_hit = np.full(NB, np.nan)
+    iterations = np.zeros(NB, np.int32)
+    resid = np.full(NB, np.nan)
 
     # ---- batched false-position iterations -------------------------------
-    for _ in range(max_iter + 2):
+    it_range = range(max_iter + 2)
+    if kwargs.get("verbose", False):
+        from tqdm import tqdm
+
+        it_range = tqdm(it_range, desc="Finding eigenrays")
+    for _ in it_range:
         active = ~(converged | dead)
         if not active.any():
             break
@@ -135,6 +142,8 @@ def find_eigenrays(
         hit = act & (np.abs(z_end + rd_arr) < ztol)
         converged |= hit
         theta_hit = np.where(hit, theta, theta_hit)
+        iterations += active.astype(np.int32)
+        resid = np.where(act, np.abs(z_end + rd_arr), resid)
 
         upd = act & ~hit
         side1 = np.sign(z_end + rd_arr) == np.sign(z1 + rd_arr)
@@ -175,6 +184,15 @@ def find_eigenrays(
     for rd_idx in range(len(receiver_depths)):
         num_found[rd_idx] = len(erays_dict[rd_idx])
 
-    return EigenRays(
+    er = EigenRays(
         receiver_depths, erays_dict, environment, num_eigenrays, num_found, failed
     )
+    # structured solver diagnostics (per bracket, flattened across depths)
+    er.diagnostics = {
+        "rd_idx": np.array([it["rd_idx"] for it in items]),
+        "iterations": iterations,
+        "converged": converged,
+        "dropped": dead,
+        "depth_residual": resid,
+    }
+    return er
