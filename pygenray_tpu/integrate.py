@@ -64,6 +64,10 @@ class SolverSettings:
     # boundary-ray residual trace is latency-bound, so at typical batch
     # sizes one fused trace wins; keep available for experimentation.
     partition: bool = False
+    # "auto": Pallas mega-kernel on TPU when the configuration supports it
+    # (range-independent spectral profiles; ~1.5x over the XLA scan by
+    # eliminating per-step kernel-launch overhead), else the XLA scan.
+    backend: str = "auto"  # auto | xla | pallas
 
 
 @partial(
@@ -707,4 +711,31 @@ def trace(
     if settings.partition and not sharded:
         return _trace_partitioned(env, z0, p0, geom, settings)
     p0 = jnp.atleast_1d(jnp.asarray(p0))
-    return _trace_impl(env, z0, p0, geom, settings)
+
+    if settings.backend != "xla" and not sharded:
+        from .ops.pallas_stepper import pallas_supported, trace_pallas_cached
+
+        supported = pallas_supported(env, settings, _use_cheb(env, settings))
+        on_tpu = jax.default_backend() == "tpu"
+        if settings.backend == "pallas" and not supported:
+            raise ValueError("Pallas backend unsupported for this configuration")
+        if supported and (on_tpu or settings.backend == "pallas"):
+            return trace_pallas_cached(env, z0, p0, geom, settings)
+    return _trace_impl_cached(env, z0, p0, geom, settings)
+
+
+_XLA_JIT_CACHE = {}
+
+
+def _trace_impl_cached(env, z0, p0, geom, settings):
+    """Jit closure over (env, geom, settings) — skips per-call environment
+    pytree flattening and static hashing (tens of ms at 1e5-ray batches)."""
+    z0a = jnp.asarray(z0, env.c.dtype)
+    key = (id(env), geom, settings, p0.shape, z0a.shape)
+    entry = _XLA_JIT_CACHE.get(key)
+    if entry is None:
+        if len(_XLA_JIT_CACHE) > 128:
+            _XLA_JIT_CACHE.clear()
+        fn = jax.jit(lambda p, z: _trace_impl(env, z, p, geom, settings))
+        _XLA_JIT_CACHE[key] = entry = (fn, env)
+    return entry[0](p0, z0a)

@@ -1,0 +1,419 @@
+"""Pallas TPU mega-kernel: the whole ray integration loop in one launch.
+
+The XLA scan path compiles each range step into several fused kernels; at
+~20-30 µs launch overhead each, a 500-2000-step trace pays a fixed
+~0.1 ms/step regardless of batch size — half the wall time at B ~ 1e5.
+This kernel runs *every* step of *every* segment inside a single
+``pallas_call``: ray state lives in VMEM scratch the whole time, per-step
+work is pure VPU arithmetic, and segment-boundary saves are DMA'd to HBM.
+
+Scope (falls back to the XLA path otherwise):
+- range-independent environments with a Chebyshev profile fit
+  (coefficients replicated across lanes once — no per-step station data),
+- constant-slope or Chebyshev bottom-angle models (no spline gathers).
+
+The step math mirrors ``integrate._trace_impl`` exactly (RK4 + FSAL carry,
+cubic-Hermite crossing localization, transcendental-free reflections, Heun
+remainder, Kahan-compensated T/z, alive-masks with death codes); the test
+suite checks equivalence in interpret mode.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TINY = 1e-30
+
+
+def pallas_supported(env, settings, use_cheb: bool) -> bool:
+    return (
+        use_cheb
+        and not env.range_dependent
+        and env.bangle_mode in ("const", "cheb")
+    )
+
+
+def _hermite(s, y0, y1, m0, m1):
+    s2 = s * s
+    s3 = s2 * s
+    return (
+        (2 * s3 - 3 * s2 + 1) * y0
+        + (s3 - 2 * s2 + s) * m0
+        + (-2 * s3 + 3 * s2) * y1
+        + (s3 - s2) * m1
+    )
+
+
+def _hermite_d(s, y0, y1, m0, m1):
+    s2 = s * s
+    return (
+        (6 * s2 - 6 * s) * y0
+        + (3 * s2 - 4 * s + 1) * m0
+        + (-6 * s2 + 6 * s) * y1
+        + (3 * s2 - 2 * s) * m1
+    )
+
+
+def _clenshaw_rep(u, coef_ref, K):
+    """Clenshaw with lane-replicated coefficients: coef_ref is (K, 128)."""
+    b1 = jnp.zeros_like(u)
+    b2 = jnp.zeros_like(u)
+    for k in range(K - 1, 0, -1):
+        ck = coef_ref[k]  # (128,) broadcasts over rows
+        b1, b2 = ck + 2.0 * u * b1 - b2, b1
+    return coef_ref[0] + u * b1 - b2
+
+
+def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
+    x0g, x1g, h = geom
+    (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
+     b_rlo, b_rhi, term_back, any_x_oob) = consts
+
+    def kernel(
+        p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
+        ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out,
+        T_s, Tc_s, z_s, zc_s, p_s, kT_s, kz_s, kp_s, al_s, ns_s, nb_s, de_s,
+        stage_s, sem,
+    ):
+        ib = pl.program_id(0)
+
+        def ev(zq):
+            u = jnp.clip(sc * zq - off, -1.0, 1.0)
+            c = _clenshaw_rep(u, ccoef_ref, K)
+            cp = _clenshaw_rep(u, cpcoef_ref, K)
+            return c, cp
+
+        def ev_c(zq):
+            u = jnp.clip(sc * zq - off, -1.0, 1.0)
+            return _clenshaw_rep(u, ccoef_ref, K)
+
+        def rhs(zq, pq):
+            c, cp = ev(zq)
+            cp2 = c * pq
+            inv_s = lax.rsqrt(jnp.maximum(1.0 - cp2 * cp2, _TINY))
+            invc = 1.0 / c
+            return inv_s * invc, cp2 * inv_s, -cp * inv_s * invc * invc, c
+
+        # ---- init -------------------------------------------------------
+        z0 = z0_ref[0]
+        p0 = p0_ref[0]
+        kT, kz, kp, _ = rhs(z0, p0)
+        T_s[...] = jnp.zeros_like(z0)
+        Tc_s[...] = jnp.zeros_like(z0)
+        z_s[...] = z0
+        zc_s[...] = jnp.zeros_like(z0)
+        p_s[...] = p0
+        kT_s[...] = kT
+        kz_s[...] = kz
+        kp_s[...] = kp
+        alive0 = (z0 >= zlo - btol) & (z0 <= zhi + btol)
+        al_s[...] = alive0.astype(jnp.float32)
+        ns_s[...] = jnp.zeros_like(z0, dtype=jnp.int32)
+        nb_s[...] = jnp.zeros_like(z0, dtype=jnp.int32)
+        de_s[...] = jnp.where(alive0, 0, 2).astype(jnp.int32)
+
+        def save(row, a, b, c):
+            stage_s[0] = a
+            stage_s[1] = b
+            stage_s[2] = c
+            cp0 = pltpu.make_async_copy(stage_s.at[0], ts_out.at[row, ib], sem.at[0])
+            cp1 = pltpu.make_async_copy(stage_s.at[1], zs_out.at[row, ib], sem.at[1])
+            cp2 = pltpu.make_async_copy(stage_s.at[2], ps_out.at[row, ib], sem.at[2])
+            cp0.start()
+            cp1.start()
+            cp2.start()
+            cp0.wait()
+            cp1.wait()
+            cp2.wait()
+
+        save(0, T_s[...], z_s[...], p_s[...])
+
+        hs = jnp.float32(h)
+
+        def step_body(k, _):
+            T = T_s[...]
+            Tc = Tc_s[...]
+            z = z_s[...]
+            zc = zc_s[...]
+            p = p_s[...]
+            kT1 = kT_s[...]
+            kz1 = kz_s[...]
+            kp1 = kp_s[...]
+            alive = al_s[...] > 0.5
+
+            kf = k.astype(jnp.float32)
+            x0 = x0g + kf * hs
+            b0 = b0s_ref[k]
+            b1 = b1s_ref[k]
+
+            # RK4 (k1 carried)
+            kT2, kz2, kp2, _ = rhs(z + 0.5 * hs * kz1, p + 0.5 * hs * kp1)
+            kT3, kz3, kp3, _ = rhs(z + 0.5 * hs * kz2, p + 0.5 * hs * kp2)
+            kT4, kz4, kp4, _ = rhs(z + hs * kz3, p + hs * kp3)
+            dT = hs / 6.0 * (kT1 + 2 * kT2 + 2 * kT3 + kT4)
+            dz = hs / 6.0 * (kz1 + 2 * kz2 + 2 * kz3 + kz4)
+            dp = hs / 6.0 * (kp1 + 2 * kp2 + 2 * kp3 + kp4)
+            z1 = z + dz
+            p1 = p + dp
+
+            surf = (z1 < 0.0) & (z >= 0.0)
+            bott = (z1 > b1) & (z <= b0)
+            cross = alive & (surf | bott)
+
+            bnd0 = jnp.where(surf, 0.0, b0)
+            bnd1 = jnp.where(surf, 0.0, b1)
+            db = bnd1 - bnd0
+            mz0 = hs * kz1
+            mz1 = hs * kz4
+            g0 = z - bnd0
+            g1 = z1 - bnd1
+            f = g0 / jnp.where(jnp.abs(g0 - g1) > _TINY, g0 - g1, 1.0)
+            f = jnp.clip(f, 0.0, 1.0)
+            for _i in range(2):
+                G = _hermite(f, z, z1, mz0, mz1) - (bnd0 + f * db)
+                Gp = _hermite_d(f, z, z1, mz0, mz1) - db
+                f = jnp.clip(f - G / jnp.where(jnp.abs(Gp) > _TINY, Gp, 1.0), 0.0, 1.0)
+
+            t_off = _hermite(f, jnp.zeros_like(dT), dT, hs * kT1, hs * kT4)
+            z_c = _hermite(f, z, z1, mz0, mz1)
+            p_c = _hermite(f, p, p1, hs * kp1, hs * kp4)
+            x_c = x0 + f * hs
+
+            c_c = ev_c(z_c)
+            sin_th = jnp.clip(p_c * c_c, -1.0, 1.0)
+            cos_th = jnp.sqrt(jnp.maximum(1.0 - sin_th * sin_th, 0.0))
+            if bangle_mode == "const":
+                s2b = s2b_c
+                c2b = c2b_c
+            else:
+                ub = jnp.clip((2.0 * x_c - (b_rlo + b_rhi)) / (b_rhi - b_rlo), -1.0, 1.0)
+                b2 = 2.0 * jnp.radians(_clenshaw_rep(ub, bacoef_ref, Kb))
+                s2b = jnp.sin(b2)
+                c2b = jnp.cos(b2)
+            p_ref = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
+            if term_back:
+                back_dead = cross & bott & (c2b * cos_th + s2b * sin_th < -1e-9)
+            else:
+                back_dead = jnp.zeros_like(cross)
+
+            hr = (1.0 - f) * hs
+            rT1, rz1, rp1, _ = rhs(z_c, p_ref)
+            rT2, rz2, rp2, _ = rhs(z_c + hr * rz1, p_ref + hr * rp1)
+            dT_fix = t_off + hr * 0.5 * (rT1 + rT2)
+            z_fix = z_c + hr * 0.5 * (rz1 + rz2)
+            p_fix = p_ref + hr * 0.5 * (rp1 + rp2)
+
+            use_fix = cross & (~back_dead)
+            dT_tot = jnp.where(use_fix, dT_fix, dT)
+            dz_tot = jnp.where(use_fix, z_fix - z, dz)
+            p_new = jnp.where(use_fix, p_fix, p1)
+
+            upd = alive
+            dT_m = jnp.where(upd, dT_tot, 0.0)
+            yk = dT_m - Tc
+            T_n = T + yk
+            Tc_n = (T_n - T) - yk
+            dz_m = jnp.where(upd, dz_tot, 0.0)
+            yz = dz_m - zc
+            z_n = z + yz
+            zc_n = (z_n - z) - yz
+            p_n = jnp.where(upd, p_new, p)
+
+            kTe, kze, kpe, c_e = rhs(z_n, p_n)
+            vert = jnp.abs(c_e * p_n) > sin_lim
+            oob = (z_n > zhi + btol) | (z_n < zlo - btol)
+            if any_x_oob:
+                # per-step x-domain check, computed in f64 on the host grid
+                # to avoid double-rounding at the domain edge
+                oob = oob | (
+                    (x0 < jnp.float32(rlo - btol))
+                    | (x0g + (kf + 1.0) * hs > jnp.float32(rhi + btol))
+                )
+            newly = alive & (vert | oob | back_dead)
+            alive_n = alive & ~newly
+            death = de_s[...]
+            death = jnp.where(
+                alive & back_dead, 3,
+                jnp.where(alive & vert, 1, jnp.where(alive & oob, 2, death)),
+            ).astype(jnp.int32)
+
+            T_s[...] = T_n
+            Tc_s[...] = Tc_n
+            z_s[...] = z_n
+            zc_s[...] = zc_n
+            p_s[...] = p_n
+            kT_s[...] = jnp.where(upd, kTe, kT1)
+            kz_s[...] = jnp.where(upd, kze, kz1)
+            kp_s[...] = jnp.where(upd, kpe, kp1)
+            al_s[...] = alive_n.astype(jnp.float32)
+            ns_s[...] = ns_s[...] + (cross & surf & upd).astype(jnp.int32)
+            nb_s[...] = nb_s[...] + (cross & bott & upd).astype(jnp.int32)
+            de_s[...] = death
+            return 0
+
+        def seg_body(seg, _):
+            lax.fori_loop(seg * sps, (seg + 1) * sps, step_body, 0)
+            save(seg + 1, T_s[...] + Tc_s[...], z_s[...] + zc_s[...], p_s[...])
+            return 0
+
+        lax.fori_loop(0, nseg, seg_body, 0)
+
+        nsurf_out[0] = ns_s[...]
+        nbott_out[0] = nb_s[...]
+        death_out[0] = de_s[...]
+
+    return kernel
+
+
+_JIT_CACHE = {}
+
+
+def trace_pallas_cached(env, z0, p0, geom, settings):
+    """Memoized jit closure over (env, geom, settings): avoids re-flattening
+    the environment pytree and re-hashing statics on every call — measured
+    tens of ms of per-call dispatch overhead at 1e5-ray batches."""
+    z0a = jnp.asarray(z0, env.c.dtype)
+    key = (id(env), geom, settings, p0.shape, z0a.shape)
+    entry = _JIT_CACHE.get(key)
+    if entry is None:
+        if len(_JIT_CACHE) > 128:
+            _JIT_CACHE.clear()
+        fn = jax.jit(lambda p, z: trace_pallas(env, z, p, geom, settings))
+        _JIT_CACHE[key] = entry = (fn, env)  # keep env alive so id() is stable
+    return entry[0](p0, z0a)
+
+
+def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
+    """Run the mega-kernel; returns a TraceResult (ODE convention).
+
+    ``p0`` is (B,); B is padded internally to a multiple of the lane block.
+    """
+    from ..integrate import TraceResult, _use_cheb
+    from ..ops.interp import linear_interp
+
+    x0, x1, h, sps, nseg = geom
+    nsteps = sps * nseg
+    dtype = jnp.float32
+    p0 = jnp.asarray(p0, dtype)
+    B = p0.shape[0]
+    z0v = jnp.broadcast_to(jnp.asarray(z0, dtype), (B,))
+
+    # block layout: rows of 128 lanes
+    BB_MAX = 16384
+    nblocks = max(1, -(-B // BB_MAX))
+    R = -(-B // (nblocks * 128))
+    Bb = R * 128
+    Bpad = nblocks * Bb
+    p0p = jnp.pad(p0, (0, Bpad - B)).reshape(nblocks, R, 128)
+    z0p = jnp.pad(z0v, (0, Bpad - B)).reshape(nblocks, R, 128)
+
+    K = env.c_cheb.shape[1]
+    ccoef = jnp.broadcast_to(env.c_cheb[0][:, None], (K, 128)).astype(dtype)
+    cpcoef = jnp.broadcast_to(env.dcdz_cheb[0][:, None], (K, 128)).astype(dtype)
+    Kb = env.bangle_cheb.shape[0]
+    bacoef = jnp.broadcast_to(env.bangle_cheb[:, None], (Kb, 128)).astype(dtype)
+
+    ks = jnp.arange(nsteps, dtype=dtype)
+    xs0 = x0 + ks * h
+    xs1 = x0 + (ks + 1.0) * h
+    b0s = linear_interp(xs0, env.bathy_r, env.bathy, env.uniform_bathy_r).astype(dtype)
+    b1s = linear_interp(xs1, env.bathy_r, env.bathy, env.uniform_bathy_r).astype(dtype)
+    b0s = jnp.broadcast_to(b0s[:, None], (nsteps, 128))
+    b1s = jnp.broadcast_to(b1s[:, None], (nsteps, 128))
+
+    zlo, zhi = env.z_dom
+    rlo, rhi = env.r_dom
+    sc = 2.0 / (zhi - zlo)
+    off = (zlo + zhi) / (zhi - zlo)
+    sin_lim = math.sin(math.radians(settings.vertical_limit_deg))
+    b = math.radians(env.bangle_const)
+    # static per-shot check: does any step's x-span leave the c-grid?
+    ks64 = np.arange(nsteps, dtype=np.float64)
+    any_x_oob = bool(
+        np.any((x0 + ks64 * h < rlo - settings.bbox_tol)
+               | (x0 + (ks64 + 1.0) * h > rhi + settings.bbox_tol))
+    )
+    consts = (
+        zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
+        math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
+        float(np.asarray(env.bathy_r)[0]), float(np.asarray(env.bathy_r)[-1]),
+        settings.terminate_backwards, any_x_oob,
+    )
+
+    kernel = _make_kernel((x0, x1, h), consts, K, Kb, R, nseg, sps)
+
+    num_save = nseg + 1
+    out_shape = [
+        jax.ShapeDtypeStruct((num_save, nblocks, R, 128), dtype),  # ts
+        jax.ShapeDtypeStruct((num_save, nblocks, R, 128), dtype),  # zs
+        jax.ShapeDtypeStruct((num_save, nblocks, R, 128), dtype),  # ps
+        jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # n_surf
+        jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # n_bott
+        jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # death
+    ]
+    # T, Tc, z, zc, p, kT, kz, kp, alive(f32) | ns, nb, death | staging | sem
+    scratch = (
+        [pltpu.VMEM((R, 128), dtype) for _ in range(9)]
+        + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
+        + [pltpu.VMEM((3, R, 128), dtype), pltpu.SemaphoreType.DMA((3,))]
+    )
+
+    grid = (nblocks,)
+    in_specs = [
+            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ccoef
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cpcoef
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bacoef
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b0s
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1s
+    ]
+    out_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    ts, zs, ps, n_surf, n_bott, death = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s)
+
+    def unblock(a):  # (num_save, nblocks, R, 128) -> (B, num_save)
+        return a.reshape(num_save, Bpad).T[:B]
+
+    def unblock1(a):  # (nblocks, R, 128) -> (B,)
+        return a.reshape(Bpad)[:B]
+
+    ts = unblock(ts)
+    zs = unblock(zs)
+    ps = unblock(ps)
+    n_surf = unblock1(n_surf)
+    n_bott = unblock1(n_bott)
+    death = unblock1(death)
+    alive = death == 0
+    rs = x0 + (x1 - x0) * jnp.arange(num_save, dtype=dtype) / nseg
+    return TraceResult(
+        rs=rs, ts=ts, zs=zs, ps=ps,
+        n_bott=n_bott, n_surf=n_surf,
+        alive=alive,
+        alive_save=jnp.broadcast_to(alive[:, None], ts.shape),
+        death_code=death,
+    )

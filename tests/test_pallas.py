@@ -1,0 +1,76 @@
+"""Pallas mega-kernel equivalence tests (interpreter mode on CPU).
+
+The kernel's step math must match the XLA scan path exactly: travel times
+and bounce counters bitwise, depths to f32 association noise.  On real TPU
+hardware the same comparison is exercised by the benchmark harness.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pygenray_tpu.envdata import make_env_data
+from pygenray_tpu.environment import munk_ssp
+from pygenray_tpu.integrate import SolverSettings, _plan, _trace_impl
+from pygenray_tpu.ops.pallas_stepper import pallas_supported, trace_pallas
+
+
+def _env(nz=512, nr=8, bathy=None):
+    z = np.linspace(0, 6000, nz)
+    r = np.linspace(0, 100e3, nr)
+    c = np.outer(np.ones(nr), munk_ssp(z))
+    bathy = np.full(nr, 4600.0) if bathy is None else bathy
+    return make_env_data(c, r, z, bathy, r, dtype=jnp.float32)
+
+
+def _compare(env, angles, x1=50e3, num_save=10, dx=200.0, z0=1300.0, ts_atol=0.0):
+    s = SolverSettings(dx=dx)
+    h, sps, nseg = _plan(0.0, x1, num_save, s.dx)
+    geom = (0.0, x1, h, sps, nseg)
+    c_src = np.interp(z0, np.asarray(env.z), np.asarray(env.c[0]))
+    p0 = jnp.asarray(np.sin(np.radians(-np.asarray(angles))) / c_src, jnp.float32)
+    ref = _trace_impl(env, z0, p0, geom, s)
+    out = trace_pallas(env, z0, p0, geom, s, interpret=True)
+    if ts_atol == 0.0:
+        np.testing.assert_array_equal(np.asarray(ref.ts), np.asarray(out.ts))
+    else:
+        np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(out.ts), atol=ts_atol)
+    np.testing.assert_allclose(np.asarray(ref.zs), np.asarray(out.zs), atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(ref.n_surf), np.asarray(out.n_surf))
+    np.testing.assert_array_equal(np.asarray(ref.n_bott), np.asarray(out.n_bott))
+    np.testing.assert_array_equal(np.asarray(ref.death_code), np.asarray(out.death_code))
+    return ref, out
+
+
+class TestPallasEquivalence:
+    def test_supported_configs(self):
+        env = _env()
+        s = SolverSettings()
+        assert pallas_supported(env, s, True)
+        # spline bottom angle unsupported
+        import dataclasses
+
+        env2 = dataclasses.replace(env, bangle_mode="spline")
+        assert not pallas_supported(env2, s, True)
+        assert not pallas_supported(env, s, False)
+
+    def test_bouncing_fan_matches_xla(self):
+        env = _env()
+        _compare(env, np.linspace(-18, 18, 256))
+
+    def test_sloped_bottom_matches_xla(self):
+        env = _env(bathy=np.linspace(4400.0, 4800.0, 8))
+        assert env.bangle_mode in ("const", "cheb")
+        # cheb bottom-angle trig rounds slightly differently between the
+        # two compilers; f32 noise only
+        _compare(env, np.linspace(-20, -14, 128), ts_atol=1e-5)
+
+    def test_vertical_and_domain_deaths_match(self):
+        env = _env()
+        ref, out = _compare(env, np.array([-90.0, -89.0, -45.0, 0.0]))
+        assert (np.asarray(out.death_code) > 0).any()
+
+    def test_nonmultiple_batch_padding(self):
+        env = _env()
+        _compare(env, np.linspace(-10, 10, 77))
