@@ -3,13 +3,17 @@
 North-star config (BASELINE.json): 10^5-ray Munk fan, ±15°, 100 km, one TPU
 chip, travel times within 0.1 ms of the CPU/SciPy reference.
 
-Prints ONE JSON line:
+Default (no args) prints ONE JSON line for the headline config:
   {"metric": "rays_per_sec_chip", "value": N, "unit": "rays/s",
    "vs_baseline": N / 1e5, ...extras}
 
 ``vs_baseline`` is measured against the north-star target itself
 (10^5 rays in 1 s => 1e5 rays/s), since the reference publishes no numbers
 (BASELINE.md).
+
+``python bench.py --all`` additionally measures the other BASELINE.json
+configs (range-dependent field, eigenray pair, 64-depth timefront,
+Monte-Carlo ensemble), one JSON line each.
 """
 
 import json
@@ -134,5 +138,141 @@ def main():
     )
 
 
+def bench_extra_configs():
+    """Measure BASELINE.json configs 1-4 (one JSON line each)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pygenray_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import pygenray_tpu as pr
+    from pygenray_tpu.envdata import make_env_data
+    from pygenray_tpu.environment import munk_ssp
+    from pygenray_tpu.integrate import SolverSettings, trace
+    from pygenray_tpu.models.internal_waves import perturbed_munk_tables
+    from pygenray_tpu.montecarlo import make_env_ensemble, mc_eigenray_times
+    from pygenray_tpu.ops.host import bilinear_np
+
+    def timeit(fn, n=3):
+        fn()
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    class _Emit(list):
+        def append(self, line):
+            print(json.dumps(line), flush=True)
+            super().append(line)
+
+    out = _Emit()
+
+    # -- config 1: range-dependent c(r,z) + sloped bathymetry --------------
+    z = np.linspace(0.0, 6000.0, NZ)
+    r = np.linspace(0.0, R_MAX, 64)
+    c_rd = np.array([munk_ssp(z, sofar_depth=1300 + 0.002 * ri) for ri in r])
+    bathy = np.linspace(4400.0, 4900.0, 64)
+    env_rd = make_env_data(c_rd, r, z, bathy, r, dtype=jnp.float32)
+    s = SolverSettings(dx=100.0)
+    angles = np.linspace(-ANGLE_SPAN, ANGLE_SPAN, NUM_RAYS)
+    c_src = bilinear_np(0.0, SRC_DEPTH, r, z, c_rd)
+    p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, jnp.float32)
+    run = lambda: jax.block_until_ready(
+        trace(env_rd, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE, s).ts
+    )
+    best = timeit(run)
+    out.append(
+        {
+            "metric": "rays_per_sec_chip_range_dependent",
+            "value": round(NUM_RAYS / best, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(NUM_RAYS / best / BASELINE_RAYS_PER_SEC, 3),
+            "config": f"range-dependent Munk + sloped bottom, {NUM_RAYS} rays, 100 km, dx=100, f32",
+            "wall_s": round(best, 4),
+        }
+    )
+
+    # -- configs 2+3: eigenray pair and 64-depth timefront -----------------
+    env = build_env(jnp.float32)
+    envh = env  # EnvData accepted directly by find_eigenrays via _resolve_env
+    fan_angles = np.linspace(-14.0, 14.0, 1024)
+    fan = pr.shoot_rays(
+        SRC_DEPTH, 0.0, fan_angles, R_MAX, 2, envh, flatearth=False, dx=200.0
+    )
+
+    def eig_single():
+        er = pr.find_eigenrays(
+            fan, [1300.0], SRC_DEPTH, 0.0, R_MAX, NUM_SAVE, envh,
+            ztol=1.0, flatearth=False, dx=200.0,
+        )
+        return er
+
+    best = timeit(eig_single, n=2)
+    er = eig_single()
+    out.append(
+        {
+            "metric": "eigenray_pair_latency",
+            "value": round(best, 4),
+            "unit": "s",
+            "vs_baseline": None,
+            "config": "single source-receiver pair, 1024-angle fan brackets, ztol=1m",
+            "found": int(er.num_eigenrays_found[0]),
+        }
+    )
+
+    rds = np.linspace(500.0, 2100.0, 64)
+
+    def eig_timefront():
+        return pr.find_eigenrays(
+            fan, rds, SRC_DEPTH, 0.0, R_MAX, NUM_SAVE, envh,
+            ztol=1.0, flatearth=False, dx=200.0,
+        )
+
+    best = timeit(eig_timefront, n=2)
+    er = eig_timefront()
+    total = sum(er.num_eigenrays_found[i] for i in range(len(rds)))
+    out.append(
+        {
+            "metric": "timefront_64_depths_latency",
+            "value": round(best, 4),
+            "unit": "s",
+            "vs_baseline": None,
+            "config": "vertical array, 64 receiver depths, batched regula falsi",
+            "eigenrays_found": int(total),
+        }
+    )
+
+    # -- config 4: Monte-Carlo ensemble ------------------------------------
+    E, BMC = 16, 65536  # ~1e6 rays total
+    c_ens, r_mc, z_mc = perturbed_munk_tables(E, r_max=R_MAX, nr=32, nz=1024, seed=0)
+    env_ens = make_env_ensemble(c_ens, r_mc, z_mc, np.full(32, 5000.0), r_mc)
+    mc_angles = np.linspace(-ANGLE_SPAN, ANGLE_SPAN, BMC)
+    p0_mc = jnp.asarray(np.sin(np.radians(-mc_angles)) / c_src, jnp.float32)
+    from pygenray_tpu.montecarlo import trace_ensemble
+
+    s_mc = SolverSettings(dx=200.0)
+    run = lambda: jax.block_until_ready(
+        trace_ensemble(env_ens, SRC_DEPTH, p0_mc, 0.0, R_MAX, 2, s_mc).ts
+    )
+    best = timeit(run, n=2)
+    nrays = E * BMC
+    out.append(
+        {
+            "metric": "mc_rays_per_sec_chip",
+            "value": round(nrays / best, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(nrays / best / BASELINE_RAYS_PER_SEC, 3),
+            "config": f"{E} internal-wave realizations x {BMC} rays = {nrays/1e6:.2f}M rays, 100 km",
+            "wall_s": round(best, 4),
+        }
+    )
+
+
+
 if __name__ == "__main__":
     main()
+    if "--all" in sys.argv:
+        bench_extra_configs()

@@ -23,6 +23,7 @@ from .integrate import DEATH_CODES, SolverSettings, TraceResult, trace
 from .shoot import shoot_ray, shoot_rays, settings_for
 from .eigenrays import find_eigenrays
 from .montecarlo import make_env_ensemble, mc_eigenray_times, trace_ensemble
+from .adjoint import perturbation_response, travel_time_jacobian
 from .ray_objects import EigenRays, Ray, RayFan
 from .ops.host import bilinear_np, derivs_np, linear_np, ray_angle_np
 from .ops.interp import bilinear_interp, linear_interp
@@ -53,6 +54,8 @@ __all__ = [
     "make_env_ensemble",
     "trace_ensemble",
     "mc_eigenray_times",
+    "travel_time_jacobian",
+    "perturbation_response",
     "Ray",
     "RayFan",
     "EigenRays",

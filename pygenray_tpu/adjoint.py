@@ -1,0 +1,119 @@
+"""Differentiable travel times: sensitivity kernels for tomography inversion.
+
+Ocean acoustic tomography inverts eigenray travel-time anomalies δT for
+sound-speed anomalies δc(r, z).  The forward operator's adjoint — the
+sensitivity kernel ∂T/∂c — falls out of the engine for free because the
+whole trace is a differentiable JAX computation: reverse-mode AD through
+the RK4 scan gives exact discrete gradients of the travel time with respect
+to the spectral (Chebyshev) sound-speed coefficients, with the dc/dz field
+chained consistently through the Chebyshev derivative operator.
+
+This has no counterpart in the CPU reference (scipy's integrator is not
+differentiable); ray-perturbation sensitivities there would require finite
+differences of full re-shoots.
+
+Scope: range-independent environments with a spectral fit (the standard
+tomography configuration).  Use modest ray batches (eigenrays of interest)
+— the Jacobian costs one backward pass per ray.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .envdata import EnvData
+from .integrate import SolverSettings, _plan, _trace_impl, _use_cheb
+
+__all__ = ["cheb_derivative_matrix", "travel_time_jacobian", "perturbation_response"]
+
+
+def cheb_derivative_matrix(K: int, zlo: float, zhi: float) -> np.ndarray:
+    """Matrix D with (d/dz) [Σ_k a_k T_k(u(z))] = Σ_j (D a)_j T_j(u(z)).
+
+    u(z) maps [zlo, zhi] to [-1, 1], so D includes the 2/(zhi-zlo) scale.
+    """
+    import numpy.polynomial.chebyshev as ncheb
+
+    D = np.zeros((K, K))
+    for k in range(K):
+        e = np.zeros(K)
+        e[k] = 1.0
+        d = ncheb.chebder(e)
+        D[: len(d), k] = d
+    return D * (2.0 / (zhi - zlo))
+
+
+def travel_time_jacobian(
+    env: EnvData,
+    z0,
+    p0,
+    x0: float,
+    x1: float,
+    settings: SolverSettings = SolverSettings(),
+    mode: str = "fwd",
+):
+    """∂T_end/∂(c Chebyshev coefficients) for each ray.
+
+    Returns ``(T_end (B,), jac (B, K))`` where ``jac[b, k]`` is the exact
+    discrete derivative of ray b's receiver travel time with respect to the
+    k-th Chebyshev coefficient of the (range-independent) sound-speed
+    profile, with the dc/dz field perturbed consistently (chained through
+    the spectral derivative operator).
+    """
+    if not _use_cheb(env, settings):
+        raise ValueError("travel_time_jacobian requires a spectral (cheb) environment")
+    if env.range_dependent:
+        raise ValueError("travel_time_jacobian supports range-independent environments")
+
+    h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
+    geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
+    # the Pallas kernel has no AD rule; force the XLA scan path.  Kahan
+    # compensation is disabled: it is unnecessary at f64 and its
+    # cancellation pattern provokes pathologically slow XLA simplification
+    # in the transposed (reverse-mode) scan.
+    settings = dataclasses.replace(
+        settings, backend="xla", partition=False, kahan=False
+    )
+
+    K = env.c_cheb.shape[1]
+    zlo, zhi = env.z_dom
+    D = jnp.asarray(cheb_derivative_matrix(K, zlo, zhi), env.c_cheb.dtype)
+    p0 = jnp.atleast_1d(jnp.asarray(p0, env.c.dtype))
+
+    ccoef0 = env.c_cheb[0]
+    cp_offset = env.dcdz_cheb[0] - D @ ccoef0  # fitted-vs-analytic residual
+
+    def T_of(ccoef):
+        cc = jnp.broadcast_to(ccoef, env.c_cheb.shape)
+        cp = jnp.broadcast_to(cp_offset + D @ ccoef, env.dcdz_cheb.shape)
+        env2 = dataclasses.replace(env, c_cheb=cc, dcdz_cheb=cp)
+        res = _trace_impl(env2, z0, p0, geom, settings)
+        return res.ts[:, -1]
+
+    T_end = T_of(ccoef0)
+    # forward mode by default: K tangent passes, and it sidesteps an XLA
+    # pathologically-slow simplification of the transposed scan (measured
+    # 20-50x faster compiles than jacrev at identical Jacobians)
+    jac_fn = jax.jacfwd(T_of) if mode == "fwd" else jax.jacrev(T_of)
+    jac = jax.jit(jac_fn)(ccoef0)  # (B, K)
+    return T_end, jac
+
+
+def perturbation_response(jac, env: EnvData, delta_c, z_samples=None):
+    """First-order travel-time anomaly δT for a profile perturbation δc(z).
+
+    ``delta_c`` is sampled on ``z_samples`` (default: the environment's
+    depth grid); it is projected onto the spectral basis and contracted
+    with the Jacobian: δT_b = Σ_k jac[b, k] δcoef_k.
+    """
+    from .ops.cheb import fit_series_cheb
+
+    z_samples = np.asarray(env.z) if z_samples is None else np.asarray(z_samples)
+    K = jac.shape[1]
+    zlo, zhi = env.z_dom
+    dcoef, _ = fit_series_cheb(z_samples, np.asarray(delta_c), K - 1, lo=zlo, hi=zhi)
+    return np.asarray(jac) @ dcoef[:K]

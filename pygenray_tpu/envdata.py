@@ -171,7 +171,8 @@ def make_env_data(
         if cheb_exact_order:
             orders = [cheb_order]
         else:
-            orders = [o for o in (15, 23, 31, 47, 63, 95) if o <= cheb_order] or [cheb_order]
+            ladder = (15, 23, 31, 47, 63, 95, 127, 191, 255)
+            orders = [o for o in ladder if o <= cheb_order] or [cheb_order]
         for order in orders:
             order = min(order, len(z) - 1)
             c_cheb_f, c_res = fit_profile_cheb(c, z, order=order)

@@ -64,6 +64,10 @@ class SolverSettings:
     # boundary-ray residual trace is latency-bound, so at typical batch
     # sizes one fused trace wins; keep available for experimentation.
     partition: bool = False
+    # compensated (Kahan) accumulation of T and z: essential in float32,
+    # unnecessary in float64 (and its cancellation pattern provokes slow
+    # XLA simplifier behavior under autodiff — the adjoint disables it)
+    kahan: bool = True
     # "auto": Pallas mega-kernel on TPU when the configuration supports it
     # (range-independent spectral profiles; ~1.5x over the XLA scan by
     # eliminating per-step kernel-launch overhead), else the XLA scan.
@@ -413,8 +417,12 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
         p_new = jnp.where(use_fix, p_fix, p1)
 
         upd = alive
-        T_n, Tc_n = _kahan_add(T, Tc, jnp.where(upd, dT_tot, 0.0))
-        z_n, zc_n = _kahan_add(z, zc, jnp.where(upd, dz_tot, 0.0))
+        if settings.kahan:
+            T_n, Tc_n = _kahan_add(T, Tc, jnp.where(upd, dT_tot, 0.0))
+            z_n, zc_n = _kahan_add(z, zc, jnp.where(upd, dz_tot, 0.0))
+        else:
+            T_n, Tc_n = T + jnp.where(upd, dT_tot, 0.0), Tc
+            z_n, zc_n = z + jnp.where(upd, dz_tot, 0.0), zc
         p_n = jnp.where(upd, p_new, p)
 
         # -- end-of-step derivative (next step's k1) + death checks -------
@@ -515,8 +523,12 @@ def _trace_ducted_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
         dT = hs / 6.0 * (kT1 + 2 * kT2 + 2 * kT3 + kT4)
         dz = hs / 6.0 * (kz1 + 2 * kz2 + 2 * kz3 + kz4)
         dp = hs / 6.0 * (kp1 + 2 * kp2 + 2 * kp3 + kp4)
-        T, Tc = _kahan_add(T, Tc, dT)
-        z, zc = _kahan_add(z, zc, dz)
+        if settings.kahan:
+            T, Tc = _kahan_add(T, Tc, dT)
+            z, zc = _kahan_add(z, zc, dz)
+        else:
+            T = T + dT
+            z = z + dz
         p = p + dp
         kTe, kze, kpe = rhs(z, p)
         return (T, Tc, z, zc, p, kTe, kze, kpe,

@@ -27,7 +27,8 @@ __all__ = ["make_env_ensemble", "trace_ensemble", "mc_eigenray_times"]
 
 
 def make_env_ensemble(
-    c_ens, r, z, bathy, bathy_r, interp: str = "auto", dtype=None, **kw
+    c_ens, r, z, bathy, bathy_r, interp: str = "auto", dtype=None,
+    cheb_order: int = 255, **kw
 ) -> EnvData:
     """Stack per-realization environments into one EnvData with a leading
     ensemble axis on every data field (static metadata must agree, so the
@@ -37,6 +38,7 @@ def make_env_ensemble(
     # first pass: adaptive fit per realization to find the largest order any
     # member needs, so every member shares one static fit structure
     kw.setdefault("force_range_dependent", True)
+    kw.setdefault("cheb_order", cheb_order)  # perturbed fields need high order
     probes = [
         make_env_data(c_ens[e], r, z, bathy, bathy_r, interp=interp, dtype=dtype, **kw)
         for e in range(E)
@@ -48,6 +50,14 @@ def make_env_ensemble(
                 "use interp='table' for rough ensembles"
             )
         interp = "table"  # auto mode: fall back uniformly
+        import warnings
+
+        warnings.warn(
+            "ensemble fell back to table interpolation; the vmapped "
+            "gather path is slow on TPU — consider raising cheb_order "
+            "or smoothing the realizations",
+            stacklevel=2,
+        )
         probes = [
             make_env_data(c_ens[e], r, z, bathy, bathy_r, interp="table", dtype=dtype, **kw)
             for e in range(E)
@@ -56,10 +66,11 @@ def make_env_ensemble(
         envs = probes
     else:
         order = max(p.c_cheb.shape[1] for p in probes) - 1
+        kw2 = {k: v for k, v in kw.items() if k not in ("cheb_order", "cheb_exact_order")}
         envs = [
             make_env_data(
                 c_ens[e], r, z, bathy, bathy_r, interp=interp, dtype=dtype,
-                cheb_order=order, cheb_exact_order=True, **kw,
+                cheb_order=order, cheb_exact_order=True, **kw2,
             )
             for e in range(E)
         ]

@@ -275,7 +275,12 @@ class EigenRays:
         self.num_eigenrays_found = num_eigenrays_found
         self.failed_eray_theta_brackets = failed_eray_theta_brackets
 
-        cin, _, rin, zin, *_ = environment.unpack(flatearth=False)
+        if hasattr(environment, "unpack"):
+            cin, _, rin, zin, *_ = environment.unpack(flatearth=False)
+        else:  # bare EnvData pytree
+            cin = np.asarray(environment.c, float)
+            rin = np.asarray(environment.r, float)
+            zin = np.asarray(environment.z, float)
 
         from .ops.host import bilinear_np
 

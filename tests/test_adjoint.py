@@ -1,0 +1,102 @@
+"""Differentiable travel-time tests: exact AD Jacobians vs finite
+differences, and the physical sanity of the sensitivity kernel."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pygenray_tpu.adjoint import (
+    cheb_derivative_matrix,
+    perturbation_response,
+    travel_time_jacobian,
+)
+from pygenray_tpu.envdata import make_env_data
+from pygenray_tpu.environment import munk_ssp
+from pygenray_tpu.integrate import SolverSettings, _plan, _trace_impl
+
+
+def _env(nz=800, nr=8, r_max=20e3):
+    z = np.linspace(0, 6000, nz)
+    r = np.linspace(0, r_max, nr)
+    c = np.outer(np.ones(nr), munk_ssp(z))
+    return make_env_data(c, r, z, np.full(nr, 5500.0), r, dtype=jnp.float64)
+
+
+class TestChebDerivativeMatrix:
+    def test_matches_chebder(self):
+        import numpy.polynomial.chebyshev as ncheb
+
+        K, zlo, zhi = 12, 0.0, 6000.0
+        D = cheb_derivative_matrix(K, zlo, zhi)
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=K)
+        expected = np.zeros(K)
+        d = ncheb.chebder(a) * (2.0 / (zhi - zlo))
+        expected[: len(d)] = d
+        np.testing.assert_allclose(D @ a, expected, rtol=1e-12, atol=1e-15)
+
+
+class TestTravelTimeJacobian:
+    def test_matches_finite_differences(self):
+        env = _env()
+        settings = SolverSettings(dx=200.0, interp="cheb")
+        angles = np.array([-10.0, -4.0, 3.0, 12.0])
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = np.sin(np.radians(-angles)) / c_src
+
+        T0, jac = travel_time_jacobian(env, 1300.0, p0, 0.0, 20e3, settings)
+        assert jac.shape == (4, env.c_cheb.shape[1])
+
+        # central finite differences on a random coefficient direction
+        import dataclasses
+
+        rng = np.random.default_rng(1)
+        K = env.c_cheb.shape[1]
+        v = rng.normal(size=K)
+        v /= np.linalg.norm(v)
+        eps = 1e-3
+        D = cheb_derivative_matrix(K, *env.z_dom)
+
+        def T_at(coef_shift):
+            cc = np.asarray(env.c_cheb) + coef_shift[None, :]
+            cp = np.asarray(env.dcdz_cheb) + (D @ coef_shift)[None, :]
+            env2 = dataclasses.replace(
+                env, c_cheb=jnp.asarray(cc), dcdz_cheb=jnp.asarray(cp)
+            )
+            h, sps, nseg = _plan(0.0, 20e3, 2, settings.dx)
+            geom = (0.0, 20e3, h, sps, nseg)
+            res = _trace_impl(env2, 1300.0, jnp.asarray(p0), geom, settings)
+            return np.asarray(res.ts)[:, -1]
+
+        fd = (T_at(eps * v) - T_at(-eps * v)) / (2 * eps)
+        ad = np.asarray(jac) @ v
+        np.testing.assert_allclose(ad, fd, rtol=1e-5, atol=1e-12)
+
+    def test_sensitivity_sign_is_physical(self):
+        """A uniform sound-speed increase must decrease travel time
+        (dT/dc < 0): T ~ path/c."""
+        env = _env()
+        settings = SolverSettings(dx=200.0, interp="cheb")
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = np.sin(np.radians(-np.array([-8.0, 0.0, 8.0]))) / c_src
+        T0, jac = travel_time_jacobian(env, 1300.0, p0, 0.0, 20e3, settings)
+        # uniform δc = 1 m/s: only the T_0 Chebyshev term
+        dT = np.asarray(jac)[:, 0]
+        assert np.all(dT < 0)
+        # magnitude ~ T/c ~ 33/1500 ≈ 0.022 s per m/s
+        np.testing.assert_allclose(-dT, np.asarray(T0) / 1500.0, rtol=0.05)
+
+    def test_perturbation_response(self):
+        env = _env()
+        settings = SolverSettings(dx=200.0, interp="cheb")
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = np.sin(np.radians(-np.array([-8.0, 8.0]))) / c_src
+        T0, jac = travel_time_jacobian(env, 1300.0, p0, 0.0, 20e3, settings)
+
+        # a warm layer near 1000 m: Gaussian bump of +1 m/s
+        z = np.asarray(env.z)
+        dc = np.exp(-(((z - 1000.0) / 200.0) ** 2))
+        dT = perturbation_response(jac, env, dc)
+        assert dT.shape == (2,)
+        assert np.all(dT < 0)  # faster medium -> earlier arrivals
+        assert np.all(np.abs(dT) < 0.03)
