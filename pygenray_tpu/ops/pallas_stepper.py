@@ -7,9 +7,11 @@ This kernel runs *every* step of *every* segment inside a single
 ``pallas_call``: ray state lives in VMEM scratch the whole time, per-step
 work is pure VPU arithmetic, and segment-boundary saves are DMA'd to HBM.
 
-Scope (falls back to the XLA path otherwise):
-- range-independent environments with a Chebyshev profile fit
-  (coefficients replicated across lanes once — no per-step station data),
+Supported configurations (falls back to the XLA path otherwise):
+- spectral (Chebyshev) profiles, range-independent or range-dependent —
+  for the latter the per-step blended station coefficients are precomputed
+  outside the kernel (same arrays as the XLA path's scan inputs) and read
+  per step as (K, 1) planes that broadcast across ray lanes,
 - constant-slope or Chebyshev bottom-angle models (no spline gathers).
 
 The step math mirrors ``integrate._trace_impl`` exactly (RK4 + FSAL carry,
@@ -34,11 +36,7 @@ _TINY = 1e-30
 
 
 def pallas_supported(env, settings, use_cheb: bool) -> bool:
-    return (
-        use_cheb
-        and not env.range_dependent
-        and env.bangle_mode in ("const", "cheb")
-    )
+    return use_cheb and env.bangle_mode in ("const", "cheb")
 
 
 def _hermite(s, y0, y1, m0, m1):
@@ -62,50 +60,66 @@ def _hermite_d(s, y0, y1, m0, m1):
     )
 
 
-def _clenshaw_rep(u, coef_ref, K):
-    """Clenshaw with lane-replicated coefficients: coef_ref is (K, 128)."""
+def _clenshaw_ref(u, ref, pre, K):
+    """Clenshaw reading lane-replicated coefficient rows from a VMEM ref.
+
+    ``ref[(*pre, k)]`` must be a (128,) lane-replicated row: each iteration
+    is a memory row load (Mosaic handles those at any sublane), never an
+    extract from a register vector (unsupported broadcast layouts).
+    """
     b1 = jnp.zeros_like(u)
     b2 = jnp.zeros_like(u)
     for k in range(K - 1, 0, -1):
-        ck = coef_ref[k]  # (128,) broadcasts over rows
-        b1, b2 = ck + 2.0 * u * b1 - b2, b1
-    return coef_ref[0] + u * b1 - b2
+        b1, b2 = ref[(*pre, k)] + 2.0 * u * b1 - b2, b1
+    return ref[(*pre, 0)] + u * b1 - b2
 
 
 def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd) = consts
 
     def kernel(
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
+        st_tab_ref, ci_ref,
         ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out,
         T_s, Tc_s, z_s, zc_s, p_s, kT_s, kz_s, kp_s, al_s, ns_s, nb_s, de_s,
-        stage_s, sem,
+        stage_s, st_s, sem, stsem,
     ):
         ib = pl.program_id(0)
 
-        def ev(zq):
+        # station handle: ((c_ref, c_prefix), (cp_ref, cp_prefix))
+        def ev(st, zq):
+            (cr, pc), (cpr, pcp) = st
             u = jnp.clip(sc * zq - off, -1.0, 1.0)
-            c = _clenshaw_rep(u, ccoef_ref, K)
-            cp = _clenshaw_rep(u, cpcoef_ref, K)
-            return c, cp
+            return _clenshaw_ref(u, cr, pc, K), _clenshaw_ref(u, cpr, pcp, K)
 
-        def ev_c(zq):
+        def ev_c(st, zq):
+            (cr, pc), _ = st
             u = jnp.clip(sc * zq - off, -1.0, 1.0)
-            return _clenshaw_rep(u, ccoef_ref, K)
+            return _clenshaw_ref(u, cr, pc, K)
 
-        def rhs(zq, pq):
-            c, cp = ev(zq)
+        def rhs(st, zq, pq):
+            c, cp = ev(st, zq)
             cp2 = c * pq
             inv_s = lax.rsqrt(jnp.maximum(1.0 - cp2 * cp2, _TINY))
             invc = 1.0 / c
             return inv_s * invc, cp2 * inv_s, -cp * inv_s * invc * invc, c
 
+        def st_dma(kstep, slot):
+            return pltpu.make_async_copy(
+                st_tab_ref.at[kstep], st_s.at[slot], stsem.at[slot]
+            )
+
         # ---- init -------------------------------------------------------
+        if rd:
+            st_init = ((ci_ref, (0,)), (ci_ref, (1,)))
+            st_dma(0, 0).start()
+        else:
+            st_init = ((ccoef_ref, ()), (cpcoef_ref, ()))
         z0 = z0_ref[0]
         p0 = p0_ref[0]
-        kT, kz, kp, _ = rhs(z0, p0)
+        kT, kz, kp, _ = rhs(st_init, z0, p0)
         T_s[...] = jnp.zeros_like(z0)
         Tc_s[...] = jnp.zeros_like(z0)
         z_s[...] = z0
@@ -124,15 +138,14 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
             stage_s[0] = a
             stage_s[1] = b
             stage_s[2] = c
-            cp0 = pltpu.make_async_copy(stage_s.at[0], ts_out.at[row, ib], sem.at[0])
-            cp1 = pltpu.make_async_copy(stage_s.at[1], zs_out.at[row, ib], sem.at[1])
-            cp2 = pltpu.make_async_copy(stage_s.at[2], ps_out.at[row, ib], sem.at[2])
-            cp0.start()
-            cp1.start()
-            cp2.start()
-            cp0.wait()
-            cp1.wait()
-            cp2.wait()
+            cps = [
+                pltpu.make_async_copy(stage_s.at[i], out.at[row, ib], sem.at[i])
+                for i, out in enumerate((ts_out, zs_out, ps_out))
+            ]
+            for cp_ in cps:
+                cp_.start()
+            for cp_ in cps:
+                cp_.wait()
 
         save(0, T_s[...], z_s[...], p_s[...])
 
@@ -149,15 +162,28 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
             kp1 = kp_s[...]
             alive = al_s[...] > 0.5
 
+            if rd:
+                # double-buffered station planes: prefetch step k+1 while
+                # computing step k, then consume slot k%2
+                slot = lax.rem(k, 2)
+                @pl.when(k + 1 < nseg * sps)
+                def _():
+                    st_dma(k + 1, 1 - slot).start()
+                st_dma(k, slot).wait()
+                st_m = ((st_s, (slot, 0)), (st_s, (slot, 1)))
+                st_1 = ((st_s, (slot, 2)), (st_s, (slot, 3)))
+            else:
+                st_m = st_1 = ((ccoef_ref, ()), (cpcoef_ref, ()))
+
             kf = k.astype(jnp.float32)
             x0 = x0g + kf * hs
             b0 = b0s_ref[k]
             b1 = b1s_ref[k]
 
             # RK4 (k1 carried)
-            kT2, kz2, kp2, _ = rhs(z + 0.5 * hs * kz1, p + 0.5 * hs * kp1)
-            kT3, kz3, kp3, _ = rhs(z + 0.5 * hs * kz2, p + 0.5 * hs * kp2)
-            kT4, kz4, kp4, _ = rhs(z + hs * kz3, p + hs * kp3)
+            kT2, kz2, kp2, _ = rhs(st_m, z + 0.5 * hs * kz1, p + 0.5 * hs * kp1)
+            kT3, kz3, kp3, _ = rhs(st_m, z + 0.5 * hs * kz2, p + 0.5 * hs * kp2)
+            kT4, kz4, kp4, _ = rhs(st_1, z + hs * kz3, p + hs * kp3)
             dT = hs / 6.0 * (kT1 + 2 * kT2 + 2 * kT3 + kT4)
             dz = hs / 6.0 * (kz1 + 2 * kz2 + 2 * kz3 + kz4)
             dp = hs / 6.0 * (kp1 + 2 * kp2 + 2 * kp3 + kp4)
@@ -187,7 +213,7 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
             p_c = _hermite(f, p, p1, hs * kp1, hs * kp4)
             x_c = x0 + f * hs
 
-            c_c = ev_c(z_c)
+            c_c = ev_c(st_m, z_c)
             sin_th = jnp.clip(p_c * c_c, -1.0, 1.0)
             cos_th = jnp.sqrt(jnp.maximum(1.0 - sin_th * sin_th, 0.0))
             if bangle_mode == "const":
@@ -195,7 +221,7 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
                 c2b = c2b_c
             else:
                 ub = jnp.clip((2.0 * x_c - (b_rlo + b_rhi)) / (b_rhi - b_rlo), -1.0, 1.0)
-                b2 = 2.0 * jnp.radians(_clenshaw_rep(ub, bacoef_ref, Kb))
+                b2 = 2.0 * jnp.radians(_clenshaw_ref(ub, bacoef_ref, (), Kb))
                 s2b = jnp.sin(b2)
                 c2b = jnp.cos(b2)
             p_ref = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
@@ -205,8 +231,8 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
                 back_dead = jnp.zeros_like(cross)
 
             hr = (1.0 - f) * hs
-            rT1, rz1, rp1, _ = rhs(z_c, p_ref)
-            rT2, rz2, rp2, _ = rhs(z_c + hr * rz1, p_ref + hr * rp1)
+            rT1, rz1, rp1, _ = rhs(st_m, z_c, p_ref)
+            rT2, rz2, rp2, _ = rhs(st_1, z_c + hr * rz1, p_ref + hr * rp1)
             dT_fix = t_off + hr * 0.5 * (rT1 + rT2)
             z_fix = z_c + hr * 0.5 * (rz1 + rz2)
             p_fix = p_ref + hr * 0.5 * (rp1 + rp2)
@@ -227,12 +253,10 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
             zc_n = (z_n - z) - yz
             p_n = jnp.where(upd, p_new, p)
 
-            kTe, kze, kpe, c_e = rhs(z_n, p_n)
+            kTe, kze, kpe, c_e = rhs(st_1, z_n, p_n)
             vert = jnp.abs(c_e * p_n) > sin_lim
             oob = (z_n > zhi + btol) | (z_n < zlo - btol)
             if any_x_oob:
-                # per-step x-domain check, computed in f64 on the host grid
-                # to avoid double-rounding at the domain edge
                 oob = oob | (
                     (x0 < jnp.float32(rlo - btol))
                     | (x0g + (kf + 1.0) * hs > jnp.float32(rhi + btol))
@@ -296,8 +320,8 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
 
     ``p0`` is (B,); B is padded internally to a multiple of the lane block.
     """
-    from ..integrate import TraceResult, _use_cheb
-    from ..ops.interp import linear_interp
+    from ..integrate import TraceResult
+    from ..ops.interp import interval_index, linear_interp
 
     x0, x1, h, sps, nseg = geom
     nsteps = sps * nseg
@@ -316,18 +340,47 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
     z0p = jnp.pad(z0v, (0, Bpad - B)).reshape(nblocks, R, 128)
 
     K = env.c_cheb.shape[1]
-    ccoef = jnp.broadcast_to(env.c_cheb[0][:, None], (K, 128)).astype(dtype)
-    cpcoef = jnp.broadcast_to(env.dcdz_cheb[0][:, None], (K, 128)).astype(dtype)
+    rd = bool(env.range_dependent)
+    rep = lambda a: jnp.broadcast_to(a.astype(dtype)[:, None], (a.shape[0], 128))
+    ccoef = rep(env.c_cheb[0])  # (K, 128) lane-replicated
+    cpcoef = rep(env.dcdz_cheb[0])
     Kb = env.bangle_cheb.shape[0]
-    bacoef = jnp.broadcast_to(env.bangle_cheb[:, None], (Kb, 128)).astype(dtype)
+    bacoef = rep(env.bangle_cheb)
 
     ks = jnp.arange(nsteps, dtype=dtype)
     xs0 = x0 + ks * h
+    xsm = xs0 + 0.5 * h
     xs1 = x0 + (ks + 1.0) * h
     b0s = linear_interp(xs0, env.bathy_r, env.bathy, env.uniform_bathy_r).astype(dtype)
     b1s = linear_interp(xs1, env.bathy_r, env.bathy, env.uniform_bathy_r).astype(dtype)
     b0s = jnp.broadcast_to(b0s[:, None], (nsteps, 128))
     b1s = jnp.broadcast_to(b1s[:, None], (nsteps, 128))
+
+    if rd:
+        ctab, cptab = env.c_cheb.astype(dtype), env.dcdz_cheb.astype(dtype)
+
+        def blend_rows(x):
+            i = interval_index(x, env.r, env.uniform_r)
+            w = ((x - env.r[i]) / (env.r[i + 1] - env.r[i]))[:, None]
+            return (
+                (1.0 - w) * ctab[i] + w * ctab[i + 1],
+                (1.0 - w) * cptab[i] + w * cptab[i + 1],
+            )
+
+        cm, cpm = blend_rows(xsm)  # (nsteps, K)
+        c1, cp1 = blend_rows(xs1)
+        # (nsteps, 4, K, 128) lane-replicated station table, DMA'd per step
+        st_tab = jnp.broadcast_to(
+            jnp.stack([cm, cpm, c1, cp1], axis=1)[..., None],
+            (nsteps, 4, K, 128),
+        )
+        ci0, cpi0 = blend_rows(jnp.asarray([x0], dtype))
+        ci = jnp.broadcast_to(
+            jnp.concatenate([ci0, cpi0], axis=0)[..., None], (2, K, 128)
+        )
+    else:
+        st_tab = jnp.zeros((1, 4, K, 128), dtype)
+        ci = jnp.zeros((2, K, 128), dtype)
 
     zlo, zhi = env.z_dom
     rlo, rhi = env.r_dom
@@ -335,7 +388,6 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
     off = (zlo + zhi) / (zhi - zlo)
     sin_lim = math.sin(math.radians(settings.vertical_limit_deg))
     b = math.radians(env.bangle_const)
-    # static per-shot check: does any step's x-span leave the c-grid?
     ks64 = np.arange(nsteps, dtype=np.float64)
     any_x_oob = bool(
         np.any((x0 + ks64 * h < rlo - settings.bbox_tol)
@@ -345,7 +397,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
         zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
         math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
         float(np.asarray(env.bathy_r)[0]), float(np.asarray(env.bathy_r)[-1]),
-        settings.terminate_backwards, any_x_oob,
+        settings.terminate_backwards, any_x_oob, rd,
     )
 
     kernel = _make_kernel((x0, x1, h), consts, K, Kb, R, nseg, sps)
@@ -359,30 +411,40 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
         jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # n_bott
         jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # death
     ]
-    # T, Tc, z, zc, p, kT, kz, kp, alive(f32) | ns, nb, death | staging | sem
+    # T, Tc, z, zc, p, kT, kz, kp, alive(f32) | ns, nb, death
+    # | save staging | RD station double-buffer | save sems | station sems
     scratch = (
         [pltpu.VMEM((R, 128), dtype) for _ in range(9)]
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
-        + [pltpu.VMEM((3, R, 128), dtype), pltpu.SemaphoreType.DMA((3,))]
+        + [
+            pltpu.VMEM((3, R, 128), dtype),
+            pltpu.VMEM((2, 4, K, 128), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     )
 
     grid = (nblocks,)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     in_specs = [
-            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ccoef
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # cpcoef
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bacoef
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b0s
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1s
+        blocked,  # p0
+        blocked,  # z0
+        vmem_full,  # ccoef
+        vmem_full,  # cpcoef
+        vmem_full,  # bacoef
+        vmem_full,  # b0s
+        vmem_full,  # b1s
+        pl.BlockSpec(memory_space=pltpu.ANY),  # st_tab (HBM, DMA'd per step)
+        vmem_full,  # ci
     ]
     out_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        blocked,
+        blocked,
+        blocked,
     ]
 
     ts, zs, ps, n_surf, n_bott, death = pl.pallas_call(
@@ -394,7 +456,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s)
+    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, st_tab, ci)
 
     def unblock(a):  # (num_save, nblocks, R, 128) -> (B, num_save)
         return a.reshape(num_save, Bpad).T[:B]

@@ -74,3 +74,11 @@ class TestPallasEquivalence:
     def test_nonmultiple_batch_padding(self):
         env = _env()
         _compare(env, np.linspace(-10, 10, 77))
+
+    def test_range_dependent_matches_xla(self):
+        z = np.linspace(0, 6000, 512)
+        r = np.linspace(0, 100e3, 16)
+        c = np.array([munk_ssp(z, sofar_depth=1300 + 0.002 * ri) for ri in r])
+        env = make_env_data(c, r, z, np.full(16, 4600.0), r, dtype=jnp.float32)
+        assert env.range_dependent and env.has_cheb
+        _compare(env, np.linspace(-18, 18, 128), ts_atol=2e-6)
