@@ -68,6 +68,7 @@ def _is_uniform(g: np.ndarray) -> bool:
         "bangle_const",
         "z_dom",
         "r_dom",
+        "bathy_r_dom",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +96,7 @@ class EnvData:
     bangle_const: float
     z_dom: tuple  # (z[0], z[-1]) as python floats
     r_dom: tuple  # (r[0], r[-1]) as python floats
+    bathy_r_dom: tuple  # (bathy_r[0], bathy_r[-1]) as python floats
 
     @property
     def nz(self):
@@ -238,6 +240,7 @@ def make_env_data(
         bangle_const=bangle_const,
         z_dom=(float(z[0]), float(z[-1])),
         r_dom=(float(r[0]), float(r[-1])),
+        bathy_r_dom=(float(bathy_r[0]), float(bathy_r[-1])),
     )
 
 

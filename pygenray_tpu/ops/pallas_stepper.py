@@ -301,18 +301,24 @@ _JIT_CACHE = {}
 
 
 def trace_pallas_cached(env, z0, p0, geom, settings):
-    """Memoized jit closure over (env, geom, settings): avoids re-flattening
-    the environment pytree and re-hashing statics on every call — measured
-    tens of ms of per-call dispatch overhead at 1e5-ray batches."""
+    """Memoized jitted kernel launcher keyed on the environment *structure*
+    (shapes/dtypes/static metadata), so traces over same-shaped environments
+    — eigenray iterations, Monte-Carlo realizations — reuse one executable."""
     z0a = jnp.asarray(z0, env.c.dtype)
-    key = (id(env), geom, settings, p0.shape, z0a.shape)
-    entry = _JIT_CACHE.get(key)
-    if entry is None:
+    treedef = jax.tree_util.tree_structure(env)
+    shapes = tuple(
+        (l.shape, str(l.dtype)) for l in jax.tree_util.tree_leaves(env)
+    )
+    key = (treedef, shapes, geom, settings, p0.shape, z0a.shape)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
         if len(_JIT_CACHE) > 128:
             _JIT_CACHE.clear()
-        fn = jax.jit(lambda p, z: trace_pallas(env, z, p, geom, settings))
-        _JIT_CACHE[key] = entry = (fn, env)  # keep env alive so id() is stable
-    return entry[0](p0, z0a)
+        fn = jax.jit(
+            lambda envarg, p, z: trace_pallas(envarg, z, p, geom, settings)
+        )
+        _JIT_CACHE[key] = fn
+    return fn(env, p0, z0a)
 
 
 def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
@@ -396,7 +402,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
     consts = (
         zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
         math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
-        float(np.asarray(env.bathy_r)[0]), float(np.asarray(env.bathy_r)[-1]),
+        env.bathy_r_dom[0], env.bathy_r_dom[1],
         settings.terminate_backwards, any_x_oob, rd,
     )
 
