@@ -25,7 +25,16 @@ from .eigenrays import find_eigenrays
 from .montecarlo import make_env_ensemble, mc_eigenray_times, trace_ensemble
 from .adjoint import perturbation_response, travel_time_jacobian
 from .ray_objects import EigenRays, Ray, RayFan
-from .ops.host import bilinear_np, derivs_np, linear_np, ray_angle_np
+from .ops.host import (
+    bilinear_np,
+    bottom_bounce,
+    derivs_np,
+    linear_np,
+    ray_angle_np,
+    ray_bounding_box_event,
+    surface_bounce,
+    vertical_ray,
+)
 from .ops.interp import bilinear_interp, linear_interp
 from .utils.xrlite import DataArray, LiteDataArray
 
@@ -66,6 +75,10 @@ __all__ = [
     "derivs_np",
     "derivsrd",
     "ray_angle",
+    "surface_bounce",
+    "bottom_bounce",
+    "vertical_ray",
+    "ray_bounding_box_event",
     "ray_angle_np",
     "DataArray",
     "LiteDataArray",

@@ -11,7 +11,16 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["bilinear_np", "linear_np", "derivs_np", "ray_angle_np"]
+__all__ = [
+    "bilinear_np",
+    "linear_np",
+    "derivs_np",
+    "ray_angle_np",
+    "surface_bounce",
+    "bottom_bounce",
+    "vertical_ray",
+    "ray_bounding_box_event",
+]
 
 
 def bilinear_np(x, y, x_grid, y_grid, values):
@@ -61,3 +70,46 @@ def ray_angle_np(x, y, cin, rin, zin):
     c = bilinear_np(x, y[1], rin, zin, cin)
     theta = np.degrees(np.arcsin(np.clip(y[2] * c, -1.0, 1.0)))
     return theta, c
+
+
+# ---------------------------------------------------------------------------
+# Event indicator functions (reference public API parity)
+# ---------------------------------------------------------------------------
+#
+# The reference exposes its scipy terminal-event indicators publicly
+# (`integration_processes.py:238-303`): ±1 step functions whose sign change
+# the adaptive solver localizes.  The TPU engine handles events as signed
+# boundary crossings inside the scan instead, but these host equivalents are
+# provided for API compatibility and for driving external scipy solvers.
+
+
+def surface_bounce(x, y, cin, cpin, rin, zin, depths=None, depth_ranges=None):
+    """+1 when the ray is above the surface and travelling upward."""
+    theta, _ = ray_angle_np(x, y, cin, rin, zin)
+    return 1.0 if (y[1] < 0 and theta < 0) else -1.0
+
+
+def bottom_bounce(x, y, cin, cpin, rin, zin, depths, depth_ranges):
+    """+1 when the ray is below the bathymetry and travelling downward."""
+    bottom_depth = linear_np(x, depth_ranges, depths)
+    theta, _ = ray_angle_np(x, y, cin, rin, zin)
+    return 1.0 if (y[1] > bottom_depth and theta > 0) else -1.0
+
+
+def vertical_ray(x, y, cin, cpin, rin, zin, depths=None, depth_ranges=None):
+    """+1 when the ray is within 1e-3 degrees of vertical."""
+    theta, _ = ray_angle_np(x, y, cin, rin, zin)
+    return 1.0 if abs(theta) > (90 - 1e-3) else -1.0
+
+
+def ray_bounding_box_event(x, y, cin, cpin, rin, zin, depths=None, depth_ranges=None):
+    """+1 when the ray state leaves the sound-speed grid (±1e-6 m tol)."""
+    tol = 1e-6
+    z = y[1]
+    out = (
+        (z > zin[-1] + tol)
+        or (z < zin[0] - tol)
+        or (x < rin[0] - tol)
+        or (x > rin[-1] + tol)
+    )
+    return 1.0 if out else -1.0
