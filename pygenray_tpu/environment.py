@@ -202,7 +202,10 @@ class OceanEnvironment2D:
         cin = np.atleast_2d(np.asarray(ss.values, float))
         zin = np.asarray(ss.depth.values, float)
         if ss.ndim == 1:
-            rin = np.array([0.0, 1.0])
+            # 1D profile: broadcast over the bathymetry's range span (the
+            # reference accepts 1D at construction but cannot shoot with it)
+            br = np.asarray(bathy.range.values, float)
+            rin = np.array([br[0], br[-1]])
             cin = np.broadcast_to(cin, (2, len(zin))).copy()
         else:
             rin = np.asarray(ss.range.values, float)

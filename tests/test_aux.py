@@ -1,0 +1,186 @@
+"""Coverage for auxiliary surfaces: flat-earth RD transform, 1D sound-speed
+shooting, event-indicator parity functions, xrlite shim, profiling utils,
+dropped-ray diagnostics, and solver-settings mapping."""
+
+import numpy as np
+import pytest
+
+import pygenray_tpu as pr
+from pygenray_tpu.models import const_env, munk_env
+from pygenray_tpu.utils.xrlite import LiteDataArray
+from pygenray_tpu.utils.profiling import Timer, timed
+
+
+class TestFlatEarthRD:
+    def test_flat_earth_c_range_dependent(self):
+        z = np.linspace(0, 4000, 120)
+        r = np.linspace(0, 80e3, 30)
+        lats = np.linspace(30.0, 31.0, 30)
+        c2d = np.outer(np.ones(30), pr.munk_ssp(z))
+        da = LiteDataArray(
+            c2d, dims=["range", "depth"],
+            coords={"range": r, "depth": z, "lat": lats},
+        )
+        out = pr.flat_earth_c(da)
+        assert out.values.shape == c2d.shape
+        # flattening scales c upward, more at depth
+        assert np.all(out.values[:, -1] >= c2d[:, -1])
+        np.testing.assert_allclose(out.values[:, 0], c2d[:, 0], rtol=1e-6)
+
+    def test_flat_earth_transform_rd_method(self):
+        z = np.linspace(0, 4000, 100)
+        r = np.linspace(0, 50e3, 20)
+        lats = np.linspace(34.0, 35.0, 20)
+        c2d = np.outer(np.ones(20), pr.munk_ssp(z))
+        ssp = LiteDataArray(
+            c2d, dims=["range", "depth"],
+            coords={"range": r, "depth": z, "lat": lats},
+        )
+        bathy = LiteDataArray(np.full(20, 3800.0), dims=["range"], coords={"range": r})
+        env = pr.OceanEnvironment2D(
+            sound_speed=ssp, bathymetry=bathy, flat_earth_transform=False
+        )
+        env.flat_earth_transform_rd()
+        assert hasattr(env, "sound_speed_fe")
+        assert hasattr(env, "bathymetry_fe")
+
+
+class TestOneDSoundSpeed:
+    def test_shoot_with_1d_profile(self):
+        """The reference accepts 1D sound speed at construction but cannot
+        shoot with it; here it broadcasts to a 2-station field."""
+        z = np.linspace(0.0, 5000.0, 300)
+        ssp = LiteDataArray(pr.munk_ssp(z), dims=["depth"], coords={"depth": z})
+        bathy = LiteDataArray(
+            np.full(10, 4500.0), dims=["range"],
+            coords={"range": np.linspace(0, 40e3, 10)},
+        )
+        env = pr.OceanEnvironment2D(
+            sound_speed=ssp, bathymetry=bathy, flat_earth_transform=False
+        )
+        ray = pr.shoot_ray(
+            1000.0, 0.0, -8.0, 30e3, 30, env, flatearth=False,
+            interp="table", dtype="float64",
+        )
+        assert ray is not None
+        assert np.isfinite(ray.t[-1])
+
+
+class TestEventIndicators:
+    """Reference-parity ±1 indicator functions (integration_processes.py)."""
+
+    def setup_method(self):
+        self.c = np.full((3, 5), 1500.0)
+        self.rin = np.linspace(0, 10e3, 3)
+        self.zin = np.linspace(0, 100, 5)
+        self.depths = np.full(3, 80.0)
+
+    def test_surface_bounce(self):
+        up_above = np.array([0.0, -1.0, -1e-4])
+        down_above = np.array([0.0, -1.0, 1e-4])
+        up_below = np.array([0.0, 10.0, -1e-4])
+        a = (5e3, up_above, self.c, None, self.rin, self.zin)
+        assert pr.surface_bounce(*a) == 1.0
+        assert pr.surface_bounce(5e3, down_above, self.c, None, self.rin, self.zin) == -1.0
+        assert pr.surface_bounce(5e3, up_below, self.c, None, self.rin, self.zin) == -1.0
+
+    def test_bottom_bounce(self):
+        down_below = np.array([0.0, 90.0, 1e-4])
+        up_below = np.array([0.0, 90.0, -1e-4])
+        assert pr.bottom_bounce(
+            5e3, down_below, self.c, None, self.rin, self.zin, self.depths, self.rin
+        ) == 1.0
+        assert pr.bottom_bounce(
+            5e3, up_below, self.c, None, self.rin, self.zin, self.depths, self.rin
+        ) == -1.0
+
+    def test_vertical_ray(self):
+        vert = np.array([0.0, 50.0, 1.0 / 1500.0])
+        flat = np.array([0.0, 50.0, 1e-5])
+        assert pr.vertical_ray(5e3, vert, self.c, None, self.rin, self.zin) == 1.0
+        assert pr.vertical_ray(5e3, flat, self.c, None, self.rin, self.zin) == -1.0
+
+    def test_bbox(self):
+        inside = np.array([0.0, 50.0, 0.0])
+        outside = np.array([0.0, 200.0, 0.0])
+        assert pr.ray_bounding_box_event(5e3, inside, self.c, None, self.rin, self.zin) == -1.0
+        assert pr.ray_bounding_box_event(5e3, outside, self.c, None, self.rin, self.zin) == 1.0
+        assert pr.ray_bounding_box_event(20e3, inside, self.c, None, self.rin, self.zin) == 1.0
+
+    def test_derivsrd_alias(self):
+        y = np.array([0.0, 50.0, 1e-4])
+        d = pr.derivsrd(5e3, y, self.c, np.zeros_like(self.c), self.rin, self.zin)
+        s_fac = np.sqrt(1.0 - (1500.0 * 1e-4) ** 2)
+        np.testing.assert_allclose(d[0], 1.0 / (1500.0 * s_fac), rtol=1e-7)
+
+
+class TestXrlite:
+    def test_differentiate_matches_gradient(self):
+        z = np.linspace(0, 100, 50)
+        vals = z**2
+        da = LiteDataArray(vals, dims=["depth"], coords={"depth": z})
+        dd = da.differentiate("depth")
+        np.testing.assert_allclose(dd.values, np.gradient(vals, z))
+
+    def test_isel(self):
+        da = LiteDataArray(
+            np.arange(12).reshape(3, 4), dims=["range", "depth"],
+            coords={"range": [0, 1, 2], "depth": [0, 10, 20, 30]},
+        )
+        sl = da.isel(range=1)
+        assert sl.values.tolist() == [4, 5, 6, 7]
+        assert sl.dims == ("depth",)
+
+    def test_coord_attr_access(self):
+        da = LiteDataArray(np.zeros(3), dims=["range"], coords={"range": [1, 2, 3]})
+        assert list(da.range.values) == [1, 2, 3]
+
+    def test_sizes(self):
+        da = LiteDataArray(np.zeros((2, 5)), dims=["range", "depth"])
+        assert da.sizes["range"] == 2 and da.sizes["depth"] == 5
+
+
+class TestProfilingUtils:
+    def test_timer_phases(self):
+        t = Timer()
+        with t.phase("a"):
+            _ = sum(range(1000))
+        with t.phase("b"):
+            _ = sum(range(1000))
+        rep = t.report()
+        assert "a" in rep and "b" in rep and "total" in rep
+
+    def test_timed(self):
+        holder = {}
+        with timed("x", holder):
+            pass
+        assert "x" in holder
+
+
+class TestDroppedRayDiagnostics:
+    def test_keep_dropped_exposes_death_codes(self):
+        env = const_env(c0=1500.0, r_max=40e3)
+        rf = pr.shoot_rays(
+            200.0, 0.0, [-90.0, -45.0, -5.0], 30e3, 10, env,
+            flatearth=False, keep_dropped=True, interp="table", dtype="float64",
+        )
+        assert len(rf) == 3
+        assert rf.death_code[2] == 0
+        assert rf.death_code[0] != 0  # vertical ray dies
+        # a steep-but-not-vertical ray legitimately survives by ping-ponging
+        assert rf.n_botts[1] + rf.n_surfs[1] > 0
+        # without keep_dropped the dead rays are filtered like the reference
+        rf2 = pr.shoot_rays(
+            200.0, 0.0, [-90.0, -45.0, -5.0], 30e3, 10, env,
+            flatearth=False, interp="table", dtype="float64",
+        )
+        assert len(rf2) == 2
+
+
+class TestSettingsFor:
+    def test_rtol_maps_to_dx(self):
+        s9 = pr.settings_for(rtol=1e-9)
+        s6 = pr.settings_for(rtol=1e-6)
+        assert s6.dx > s9.dx
+        s = pr.settings_for(dx=33.0)
+        assert s.dx == 33.0
