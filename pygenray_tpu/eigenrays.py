@@ -41,15 +41,23 @@ def find_eigenrays(
     ztol=1,
     max_iter=20,
     num_workers=None,  # accepted for API compatibility; unused
+    method: str = "newton",
     **kwargs,
 ):
-    """Find eigenrays for each receiver depth via batched regula falsi.
+    """Find eigenrays for each receiver depth via batched root finding.
 
     ``rays`` is the initial fan (``RayFan`` from ``shoot_rays``);
     ``receiver_depths`` are positive depths (the fan's ``zs`` use the
     negative-down user convention, so an eigenray hits when
     ``z_end + receiver_depth ≈ 0``).  Extra kwargs mirror ``shoot_ray``
     (rtol, flatearth, dx, interp, dtype, terminate_backwards).
+
+    ``method``: "newton" (default) uses exact dz/dθ derivatives obtained by
+    forward-mode AD through the trace — one extra tangent per iteration for
+    quadratic convergence, safeguarded by the bracket (falls back to a
+    false-position step whenever the Newton candidate leaves it).
+    "regula_falsi" reproduces the reference's pure false-position iteration
+    (`/root/reference/src/pygenray/eigenrays.py:206-268`).
     """
     rtol = kwargs.get("rtol", 1e-9)
     flatearth = kwargs.get("flatearth", True)
@@ -72,6 +80,41 @@ def find_eigenrays(
         theta_ode = -np.asarray(user_thetas, float)
         p0 = jnp.asarray(np.sin(np.radians(theta_ode)) / c_src, env.c.dtype)
         return trace(env, source_depth, p0, x0, x1, num_save, settings)
+
+    def shoot_batch_grad(user_thetas):
+        """(z_end, alive, dz_end/dθ_user) via one forward-mode tangent.
+
+        z_end_i depends only on p0_i, so a single jvp with a unit tangent
+        yields the whole diagonal Jacobian. AD needs the XLA scan (the
+        Pallas kernel has no derivative rule) and runs without Kahan
+        compensation (see adjoint.py).
+        """
+        import dataclasses
+
+        import jax
+
+        from .integrate import _plan, _trace_impl
+
+        th = np.asarray(user_thetas, float)
+        p0 = np.sin(np.radians(-th)) / c_src
+        dp0_dth = -np.cos(np.radians(th)) * (np.pi / 180.0) / c_src
+        h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
+        geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
+        s_ad = dataclasses.replace(
+            settings, backend="xla", partition=False, kahan=False
+        )
+
+        def zs_end(p):
+            res = _trace_impl(env, source_depth, p, geom, s_ad)
+            return res.zs[:, -1], res.alive
+
+        p0j = jnp.asarray(p0, env.c.dtype)
+        (z_ode, alive), (dz_ode, _) = jax.jvp(
+            zs_end, (p0j,), (jnp.ones_like(p0j),)
+        )
+        z_user = -np.asarray(z_ode, float)
+        dz_dth = -np.asarray(dz_ode, float) * dp0_dth
+        return z_user, np.asarray(alive), dz_dth
 
     # ---- collect brackets across all receiver depths ---------------------
     receiver_depths = np.atleast_1d(np.asarray(receiver_depths, float))
@@ -122,7 +165,8 @@ def find_eigenrays(
     iterations = np.zeros(NB, np.int32)
     resid = np.full(NB, np.nan)
 
-    # ---- batched false-position iterations -------------------------------
+    # ---- batched root-finding iterations ---------------------------------
+    use_newton = method == "newton"
     it_range = range(max_iter + 2)
     if kwargs.get("verbose", False):
         from tqdm import tqdm
@@ -132,9 +176,13 @@ def find_eigenrays(
         active = ~(converged | dead)
         if not active.any():
             break
-        res = shoot_batch(theta, num_save=2)
-        alive = np.asarray(res.alive)
-        z_end = -np.asarray(res.zs, float)[:, -1]  # user convention
+        if use_newton:
+            z_end, alive, dz_dth = shoot_batch_grad(theta)
+        else:
+            res = shoot_batch(theta, num_save=2)
+            alive = np.asarray(res.alive)
+            z_end = -np.asarray(res.zs, float)[:, -1]  # user convention
+            dz_dth = None
 
         newly_dead = active & ~alive
         dead |= newly_dead
@@ -146,13 +194,27 @@ def find_eigenrays(
         resid = np.where(act, np.abs(z_end + rd_arr), resid)
 
         upd = act & ~hit
+        # keep the bracket current regardless of method
         side1 = np.sign(z_end + rd_arr) == np.sign(z1 + rd_arr)
         z1 = np.where(upd & side1, z_end, z1)
         th1 = np.where(upd & side1, theta, th1)
         z2 = np.where(upd & ~side1, z_end, z2)
         th2 = np.where(upd & ~side1, theta, th2)
         denom = np.where(np.abs(z2 - z1) > 1e-300, z2 - z1, 1.0)
-        theta_new = th1 - (z1 + rd_arr) * (th2 - th1) / denom
+        theta_fp = th1 - (z1 + rd_arr) * (th2 - th1) / denom
+        if use_newton:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                theta_nw = theta - (z_end + rd_arr) / dz_dth
+            lo = np.minimum(th1, th2)
+            hi = np.maximum(th1, th2)
+            bad = (
+                ~np.isfinite(theta_nw)
+                | (theta_nw <= lo)
+                | (theta_nw >= hi)
+            )
+            theta_new = np.where(bad, theta_fp, theta_nw)
+        else:
+            theta_new = theta_fp
         theta = np.where(upd, theta_new, theta)
 
     # ---- final full-resolution trace of the converged angles -------------
