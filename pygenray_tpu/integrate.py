@@ -547,6 +547,9 @@ def _trace_ducted_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
     return ts, zs, ps, carry[8], carry[9]
 
 
+_DUCTED_HOST_CACHE = {}
+
+
 def ducted_mask(env: EnvData, z0, p0, x0: float, x1: float, margin: float = 2e-3):
     """Host-side classification: True for rays that provably never touch a
     boundary, so the event-free stepper is exact for them.
@@ -561,12 +564,28 @@ def ducted_mask(env: EnvData, z0, p0, x0: float, x1: float, margin: float = 2e-3
 
     if env.range_dependent:
         return None
-    c = np.asarray(env.c[0], np.float64)
-    zg = np.asarray(env.z, np.float64)
+    host = _DUCTED_HOST_CACHE.get(id(env))
+    if host is None:
+        # one-time device→host pull of the small profile tables (the axon
+        # tunnel makes repeated pulls expensive)
+        host = (
+            np.asarray(env.c[0], np.float64),
+            np.asarray(env.z, np.float64),
+            np.asarray(env.bathy_r, np.float64),
+            np.asarray(env.bathy, np.float64),
+            env,  # keep alive so id() stays valid
+        )
+        if len(_DUCTED_HOST_CACHE) > 64:
+            _DUCTED_HOST_CACHE.clear()
+        _DUCTED_HOST_CACHE[id(env)] = host
+    c, zg, br, bv, _ = host
     p0 = np.asarray(p0, np.float64)
     z0v = np.broadcast_to(np.asarray(z0, np.float64), p0.shape)
 
-    c_src = np.interp(z0v, zg, c)
+    if np.ndim(z0) == 0 or np.all(z0v == z0v[0]):
+        c_src = np.full(p0.shape, np.interp(z0v.flat[0], zg, c))
+    else:
+        c_src = np.interp(z0v, zg, c)
     sinth = c_src * p0
     steep = np.abs(sinth) >= 0.999
     cos2 = np.maximum(1.0 - sinth * sinth, 1e-12)
@@ -574,8 +593,6 @@ def ducted_mask(env: EnvData, z0, p0, x0: float, x1: float, margin: float = 2e-3
     thr = c_turn * (1.0 + margin)
 
     # shallowest bottom over the shot's range span (conservative)
-    br = np.asarray(env.bathy_r, np.float64)
-    bv = np.asarray(env.bathy, np.float64)
     lo, hi = min(x0, x1), max(x0, x1)
     sel = (br >= lo) & (br <= hi)
     cand = [np.interp(lo, br, bv), np.interp(hi, br, bv)]

@@ -74,7 +74,7 @@ def _clenshaw_ref(u, ref, pre, K):
     return ref[(*pre, 0)] + u * b1 - b2
 
 
-def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
+def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
      b_rlo, b_rhi, term_back, any_x_oob, rd) = consts
@@ -83,8 +83,9 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
         st_tab_ref, ci_ref,
         ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out,
+        zlo_out, zhi_out,
         T_s, Tc_s, z_s, zc_s, p_s, kT_s, kz_s, kp_s, al_s, ns_s, nb_s, de_s,
-        stage_s, st_s, sem, stsem,
+        zel_s, zeh_s, stage_s, st_s, sem, stsem,
     ):
         ib = pl.program_id(0)
 
@@ -133,6 +134,8 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
         ns_s[...] = jnp.zeros_like(z0, dtype=jnp.int32)
         nb_s[...] = jnp.zeros_like(z0, dtype=jnp.int32)
         de_s[...] = jnp.where(alive0, 0, 2).astype(jnp.int32)
+        zel_s[...] = z0
+        zeh_s[...] = z0
 
         def save(row, a, b, c):
             stage_s[0] = a
@@ -288,40 +291,201 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps):
             save(seg + 1, T_s[...] + Tc_s[...], z_s[...] + zc_s[...], p_s[...])
             return 0
 
-        lax.fori_loop(0, nseg, seg_body, 0)
+        # event-free variant for blocks of provably-ducted rays (no boundary
+        # contact, no deaths): pure RK4 + Kahan + z-excursion tracking for
+        # the host-side soundness audit
+        def step_body_ducted(k, _):
+            T = T_s[...]
+            Tc = Tc_s[...]
+            z = z_s[...]
+            zc = zc_s[...]
+            p = p_s[...]
+            kT1 = kT_s[...]
+            kz1 = kz_s[...]
+            kp1 = kp_s[...]
+
+            if rd:
+                slot = lax.rem(k, 2)
+                @pl.when(k + 1 < nseg * sps)
+                def _():
+                    st_dma(k + 1, 1 - slot).start()
+                st_dma(k, slot).wait()
+                st_m = ((st_s, (slot, 0)), (st_s, (slot, 1)))
+                st_1 = ((st_s, (slot, 2)), (st_s, (slot, 3)))
+            else:
+                st_m = st_1 = ((ccoef_ref, ()), (cpcoef_ref, ()))
+
+            kT2, kz2, kp2, _ = rhs(st_m, z + 0.5 * hs * kz1, p + 0.5 * hs * kp1)
+            kT3, kz3, kp3, _ = rhs(st_m, z + 0.5 * hs * kz2, p + 0.5 * hs * kp2)
+            kT4, kz4, kp4, _ = rhs(st_1, z + hs * kz3, p + hs * kp3)
+            dT = hs / 6.0 * (kT1 + 2 * kT2 + 2 * kT3 + kT4)
+            dz = hs / 6.0 * (kz1 + 2 * kz2 + 2 * kz3 + kz4)
+            dp = hs / 6.0 * (kp1 + 2 * kp2 + 2 * kp3 + kp4)
+            yk = dT - Tc
+            T_n = T + yk
+            Tc_s[...] = (T_n - T) - yk
+            T_s[...] = T_n
+            yz = dz - zc
+            z_n = z + yz
+            zc_s[...] = (z_n - z) - yz
+            z_s[...] = z_n
+            p_n = p + dp
+            p_s[...] = p_n
+            kTe, kze, kpe, _ = rhs(st_1, z_n, p_n)
+            kT_s[...] = kTe
+            kz_s[...] = kze
+            kp_s[...] = kpe
+            zel_s[...] = jnp.minimum(zel_s[...], z_n)
+            zeh_s[...] = jnp.maximum(zeh_s[...], z_n)
+            return 0
+
+        def seg_body_ducted(seg, _):
+            lax.fori_loop(seg * sps, (seg + 1) * sps, step_body_ducted, 0)
+            save(seg + 1, T_s[...] + Tc_s[...], z_s[...] + zc_s[...], p_s[...])
+            return 0
+
+        if ducted_blocks > 0:
+            @pl.when(ib < ducted_blocks)
+            def _():
+                lax.fori_loop(0, nseg, seg_body_ducted, 0)
+
+            @pl.when(ib >= ducted_blocks)
+            def _():
+                lax.fori_loop(0, nseg, seg_body, 0)
+        else:
+            lax.fori_loop(0, nseg, seg_body, 0)
 
         nsurf_out[0] = ns_s[...]
         nbott_out[0] = nb_s[...]
         death_out[0] = de_s[...]
+        zlo_out[0] = zel_s[...]
+        zhi_out[0] = zeh_s[...]
 
     return kernel
+
+
+def _layout(B: int):
+    """Ray-block layout: (nblocks, rows, block size, padded batch)."""
+    BB_MAX = 16384
+    nblocks = max(1, -(-B // BB_MAX))
+    R = -(-B // (nblocks * 128))
+    Bb = R * 128
+    return nblocks, R, Bb, nblocks * Bb
 
 
 _JIT_CACHE = {}
 
 
+def _get_fn(env, geom, settings, p_shape, z_shape, ducted_blocks, permuted):
+    treedef = jax.tree_util.tree_structure(env)
+    shapes = tuple((l.shape, str(l.dtype)) for l in jax.tree_util.tree_leaves(env))
+    key = (treedef, shapes, geom, settings, p_shape, z_shape, ducted_blocks, permuted)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        if len(_JIT_CACHE) > 256:
+            _JIT_CACHE.clear()
+        if permuted:
+
+            def fn(envarg, p, z, order, inv):
+                zp = z[order] if z.ndim else z
+                res, zlo, zhi = trace_pallas(
+                    envarg, zp, p[order], geom, settings,
+                    ducted_blocks=ducted_blocks,
+                )
+                from ..integrate import TraceResult
+
+                unp = TraceResult(
+                    rs=res.rs, ts=res.ts[inv], zs=res.zs[inv], ps=res.ps[inv],
+                    n_bott=res.n_bott[inv], n_surf=res.n_surf[inv],
+                    alive=res.alive[inv], alive_save=res.alive_save[inv],
+                    death_code=res.death_code[inv],
+                )
+                return unp, zlo, zhi
+
+            fn = jax.jit(fn)
+        else:
+            fn = jax.jit(
+                lambda envarg, p, z: trace_pallas(
+                    envarg, z, p, geom, settings, ducted_blocks=ducted_blocks
+                )
+            )
+        _JIT_CACHE[key] = fn
+    return fn
+
+
 def trace_pallas_cached(env, z0, p0, geom, settings):
     """Memoized jitted kernel launcher keyed on the environment *structure*
     (shapes/dtypes/static metadata), so traces over same-shaped environments
-    — eigenray iterations, Monte-Carlo realizations — reuse one executable."""
+    — eigenray iterations, Monte-Carlo realizations — reuse one executable.
+
+    With ``settings.partition`` (off by default), concrete
+    range-independent batches are reordered ducted-first so whole blocks run
+    the event-free kernel variant (provable Snell-invariant classification,
+    audited post-hoc via the tracked z excursions; misclassification
+    triggers a safe re-run).  Measured on v5e: the kernel is
+    dependency-latency-bound, so the event-free variant saves little, while
+    the host-side classification/audit pays tunnel transfer costs — hence
+    opt-in.
+    """
+    import numpy as np
+
     z0a = jnp.asarray(z0, env.c.dtype)
-    treedef = jax.tree_util.tree_structure(env)
-    shapes = tuple(
-        (l.shape, str(l.dtype)) for l in jax.tree_util.tree_leaves(env)
-    )
-    key = (treedef, shapes, geom, settings, p0.shape, z0a.shape)
-    fn = _JIT_CACHE.get(key)
-    if fn is None:
-        if len(_JIT_CACHE) > 128:
-            _JIT_CACHE.clear()
-        fn = jax.jit(
-            lambda envarg, p, z: trace_pallas(envarg, z, p, geom, settings)
-        )
-        _JIT_CACHE[key] = fn
-    return fn(env, p0, z0a)
+
+    concrete = not isinstance(p0, jax.core.Tracer)
+    order = None
+    db = 0
+    if (settings.partition and concrete and not env.range_dependent
+            and p0.shape[0] >= 4096):
+        from ..integrate import ducted_mask
+
+        p0_host = np.asarray(p0)
+        z0_host = np.asarray(z0a) if z0a.ndim else float(z0a)
+        mask = ducted_mask(env, z0_host, p0_host, geom[0], geom[1])
+        if mask is not None and mask.any():
+            B = p0.shape[0]
+            nblocks, R, Bb, _ = _layout(B)
+            nd = int(mask.sum())
+            db = nblocks if nd == B else nd // Bb
+            if db > 0:
+                order = np.argsort(~mask, kind="stable").astype(np.int32)
+
+    if order is None:
+        fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, 0, False)
+        res, _, _ = fn(env, p0, z0a)
+        return res
+
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.shape[0], dtype=np.int32)
+    fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, db, True)
+    res, zlo, zhi = fn(env, p0, z0a, jnp.asarray(order), jnp.asarray(inv))
+
+    # soundness audit on the ducted blocks' z excursions (still in sorted
+    # order: first db blocks of the padded batch)
+    _, _, Bb, _ = _layout(p0.shape[0])
+    nd_pad = db * Bb
+    zlo_d = np.asarray(zlo[:nd_pad])
+    zhi_d = np.asarray(zhi[:nd_pad])
+    b_min = _bathy_min_over_span(env, geom[0], geom[1])
+    if (zlo_d <= 0.0).any() or (zhi_d >= b_min).any():
+        fn0 = _get_fn(env, geom, settings, p0.shape, z0a.shape, 0, False)
+        res, _, _ = fn0(env, p0, z0a)
+    return res
 
 
-def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
+def _bathy_min_over_span(env, x0, x1):
+    import numpy as np
+
+    br = np.asarray(env.bathy_r, np.float64)
+    bv = np.asarray(env.bathy, np.float64)
+    lo, hi = min(x0, x1), max(x0, x1)
+    sel = (br >= lo) & (br <= hi)
+    cand = [np.interp(lo, br, bv), np.interp(hi, br, bv)]
+    if sel.any():
+        cand.append(bv[sel].min())
+    return float(min(cand))
+
+
+def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_blocks: int = 0):
     """Run the mega-kernel; returns a TraceResult (ODE convention).
 
     ``p0`` is (B,); B is padded internally to a multiple of the lane block.
@@ -337,11 +501,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
     z0v = jnp.broadcast_to(jnp.asarray(z0, dtype), (B,))
 
     # block layout: rows of 128 lanes
-    BB_MAX = 16384
-    nblocks = max(1, -(-B // BB_MAX))
-    R = -(-B // (nblocks * 128))
-    Bb = R * 128
-    Bpad = nblocks * Bb
+    nblocks, R, Bb, Bpad = _layout(B)
     p0p = jnp.pad(p0, (0, Bpad - B)).reshape(nblocks, R, 128)
     z0p = jnp.pad(z0v, (0, Bpad - B)).reshape(nblocks, R, 128)
 
@@ -406,7 +566,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
         settings.terminate_backwards, any_x_oob, rd,
     )
 
-    kernel = _make_kernel((x0, x1, h), consts, K, Kb, R, nseg, sps)
+    kernel = _make_kernel((x0, x1, h), consts, K, Kb, R, nseg, sps, ducted_blocks)
 
     num_save = nseg + 1
     out_shape = [
@@ -416,6 +576,8 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
         jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # n_surf
         jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # n_bott
         jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # death
+        jax.ShapeDtypeStruct((nblocks, R, 128), dtype),  # z excursion lo
+        jax.ShapeDtypeStruct((nblocks, R, 128), dtype),  # z excursion hi
     ]
     # T, Tc, z, zc, p, kT, kz, kp, alive(f32) | ns, nb, death
     # | save staging | RD station double-buffer | save sems | station sems
@@ -423,6 +585,8 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
         [pltpu.VMEM((R, 128), dtype) for _ in range(9)]
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
         + [
+            pltpu.VMEM((R, 128), dtype),  # z excursion lo
+            pltpu.VMEM((R, 128), dtype),  # z excursion hi
             pltpu.VMEM((3, R, 128), dtype),
             pltpu.VMEM((2, 4, K, 128), dtype),
             pltpu.SemaphoreType.DMA((3,)),
@@ -441,19 +605,21 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
         vmem_full,  # bacoef
         vmem_full,  # b0s
         vmem_full,  # b1s
-        pl.BlockSpec(memory_space=pltpu.ANY),  # st_tab (HBM, DMA'd per step)
+        pl.BlockSpec(memory_space=pltpu.HBM),  # st_tab (DMA'd per step)
         vmem_full,  # ci
     ]
     out_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.HBM),  # save grids stay off-chip
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        blocked,
+        blocked,
         blocked,
         blocked,
         blocked,
     ]
 
-    ts, zs, ps, n_surf, n_bott, death = pl.pallas_call(
+    ts, zs, ps, n_surf, n_bott, death, z_lo, z_hi = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=grid,
@@ -478,10 +644,11 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
     death = unblock1(death)
     alive = death == 0
     rs = x0 + (x1 - x0) * jnp.arange(num_save, dtype=dtype) / nseg
-    return TraceResult(
+    result = TraceResult(
         rs=rs, ts=ts, zs=zs, ps=ps,
         n_bott=n_bott, n_surf=n_surf,
         alive=alive,
         alive_save=jnp.broadcast_to(alive[:, None], ts.shape),
         death_code=death,
     )
+    return result, unblock1(z_lo), unblock1(z_hi)

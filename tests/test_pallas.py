@@ -31,7 +31,7 @@ def _compare(env, angles, x1=50e3, num_save=10, dx=200.0, z0=1300.0, ts_atol=0.0
     c_src = np.interp(z0, np.asarray(env.z), np.asarray(env.c[0]))
     p0 = jnp.asarray(np.sin(np.radians(-np.asarray(angles))) / c_src, jnp.float32)
     ref = _trace_impl(env, z0, p0, geom, s)
-    out = trace_pallas(env, z0, p0, geom, s, interpret=True)
+    out, _, _ = trace_pallas(env, z0, p0, geom, s, interpret=True)
     if ts_atol == 0.0:
         np.testing.assert_array_equal(np.asarray(ref.ts), np.asarray(out.ts))
     else:
@@ -74,6 +74,26 @@ class TestPallasEquivalence:
     def test_nonmultiple_batch_padding(self):
         env = _env()
         _compare(env, np.linspace(-10, 10, 77))
+
+    def test_ducted_blocks_match_full(self):
+        """The event-free block variant must agree with the full variant
+        for rays that never touch a boundary."""
+        env = _env()
+        s = SolverSettings(dx=200.0)
+        h, sps, nseg = _plan(0.0, 50e3, 10, s.dx)
+        geom = (0.0, 50e3, h, sps, nseg)
+        angles = np.linspace(-10, 10, 256)  # all ducted at z0=1300
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, jnp.float32)
+        full, _, _ = trace_pallas(env, 1300.0, p0, geom, s, interpret=True,
+                                  ducted_blocks=0)
+        duct, zlo, zhi = trace_pallas(env, 1300.0, p0, geom, s, interpret=True,
+                                      ducted_blocks=10**6)  # all blocks ducted
+        # 1-ulp level compiler-reassociation differences only
+        np.testing.assert_allclose(np.asarray(full.ts), np.asarray(duct.ts), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(full.zs), np.asarray(duct.zs), atol=1e-2)
+        assert np.all(np.asarray(zlo) > 0.0)
+        assert np.all(np.asarray(zhi) < 4600.0)
 
     def test_range_dependent_matches_xla(self):
         z = np.linspace(0, 6000, 512)
