@@ -23,7 +23,11 @@ from .integrate import DEATH_CODES, SolverSettings, TraceResult, trace
 from .shoot import shoot_ray, shoot_rays, settings_for
 from .eigenrays import find_eigenrays
 from .montecarlo import make_env_ensemble, mc_eigenray_times, trace_ensemble
-from .adjoint import perturbation_response, travel_time_jacobian
+from .adjoint import (
+    perturbation_response,
+    travel_time_jacobian,
+    travel_time_jacobian_2d,
+)
 from .ray_objects import EigenRays, Ray, RayFan
 from .ops.host import (
     bilinear_np,
@@ -64,6 +68,7 @@ __all__ = [
     "trace_ensemble",
     "mc_eigenray_times",
     "travel_time_jacobian",
+    "travel_time_jacobian_2d",
     "perturbation_response",
     "Ray",
     "RayFan",

@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from .envdata import EnvData
 from .integrate import SolverSettings, _plan, _trace_impl, _use_cheb
 
-__all__ = ["cheb_derivative_matrix", "travel_time_jacobian", "perturbation_response"]
+__all__ = [
+    "cheb_derivative_matrix",
+    "travel_time_jacobian",
+    "travel_time_jacobian_2d",
+    "perturbation_response",
+]
 
 
 def cheb_derivative_matrix(K: int, zlo: float, zhi: float) -> np.ndarray:
@@ -100,6 +105,48 @@ def travel_time_jacobian(
     # 20-50x faster compiles than jacrev at identical Jacobians)
     jac_fn = jax.jacfwd(T_of) if mode == "fwd" else jax.jacrev(T_of)
     jac = jax.jit(jac_fn)(ccoef0)  # (B, K)
+    return T_end, jac
+
+
+def travel_time_jacobian_2d(
+    env: EnvData,
+    z0,
+    p0,
+    x0: float,
+    x1: float,
+    settings: SolverSettings = SolverSettings(),
+):
+    """∂T_end/∂(c coefficients) for a *range-dependent* field: (B, nr, K).
+
+    Differentiates through the per-range-station spectral coefficients —
+    the full 2D tomography forward operator.  Cost: nr·K forward tangents;
+    use small eigenray batches and modest grids.  The dc/dz coefficients
+    are chained consistently per station.
+    """
+    if not _use_cheb(env, settings):
+        raise ValueError("travel_time_jacobian_2d requires a spectral environment")
+
+    h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
+    geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
+    settings = dataclasses.replace(
+        settings, backend="xla", partition=False, kahan=False
+    )
+
+    nr, K = env.c_cheb.shape
+    zlo, zhi = env.z_dom
+    D = jnp.asarray(cheb_derivative_matrix(K, zlo, zhi), env.c_cheb.dtype)
+    p0 = jnp.atleast_1d(jnp.asarray(p0, env.c.dtype))
+
+    cc0 = env.c_cheb
+    cp_offset = env.dcdz_cheb - cc0 @ D.T
+
+    def T_of(cc):
+        env2 = dataclasses.replace(env, c_cheb=cc, dcdz_cheb=cp_offset + cc @ D.T)
+        res = _trace_impl(env2, z0, p0, geom, settings)
+        return res.ts[:, -1]
+
+    T_end = T_of(cc0)
+    jac = jax.jit(jax.jacfwd(T_of))(cc0)  # (B, nr, K)
     return T_end, jac
 
 

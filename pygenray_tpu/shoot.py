@@ -73,11 +73,17 @@ def _trace_fan(
     else:
         x0, x1 = source_range, receiver_range
 
+    source_depth = np.asarray(source_depth, float)
     c_src = bilinear_np(
-        x0, source_depth, np.asarray(env.r), np.asarray(env.z), np.asarray(env.c)
+        np.broadcast_to(x0, source_depth.shape), source_depth,
+        np.asarray(env.r), np.asarray(env.z), np.asarray(env.c),
     )
     p0 = np.sin(np.radians(np.asarray(theta_ode, float))) / c_src
     p0 = jnp.asarray(p0, env.c.dtype)
+    if source_depth.ndim:
+        source_depth = jnp.asarray(source_depth, env.c.dtype)
+    else:
+        source_depth = float(source_depth)
 
     if mesh is not None:
         from .parallel.sharding import shard_rays
@@ -120,6 +126,11 @@ def shoot_rays(
     launch_angles = np.atleast_1d(np.asarray(launch_angles, float))
     theta_ode = -launch_angles
     settings = settings_for(rtol, dx, interp, terminate_backwards)
+    # source_depth may be per-ray (a vertical source array) or scalar
+    src_arr = np.asarray(source_depth, float)
+    if src_arr.ndim:
+        src_arr = np.broadcast_to(src_arr, launch_angles.shape)
+        source_depth = src_arr
 
     res, env, backwards = _trace_fan(
         source_depth, source_range, theta_ode, receiver_range, num_range_save,
@@ -142,7 +153,9 @@ def shoot_rays(
         ps=-np.asarray(res.ps, float)[keep],
         n_botts=np.asarray(res.n_bott)[keep],
         n_surfs=np.asarray(res.n_surf)[keep],
-        source_depths=np.full(M, source_depth, float),
+        source_depths=(
+            src_arr[keep].copy() if src_arr.ndim else np.full(M, source_depth, float)
+        ),
     )
     if keep_dropped:
         fan.alive = alive

@@ -100,3 +100,71 @@ class TestTravelTimeJacobian:
         assert dT.shape == (2,)
         assert np.all(dT < 0)  # faster medium -> earlier arrivals
         assert np.all(np.abs(dT) < 0.03)
+
+
+class TestTravelTimeJacobian2D:
+    def test_matches_finite_differences_rd(self):
+        """Range-dependent 2D sensitivity vs central differences."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from pygenray_tpu.adjoint import travel_time_jacobian_2d
+
+        z = np.linspace(0, 6000, 500)
+        r = np.linspace(0, 20e3, 4)
+        c = np.array([munk_ssp(z, sofar_depth=1300 + 0.01 * ri) for ri in r])
+        env = make_env_data(c, r, z, np.full(4, 5500.0), r, dtype=jnp.float64)
+        assert env.range_dependent
+        settings = SolverSettings(dx=200.0, interp="cheb")
+
+        c_src = np.interp(1300.0, z, c[0])
+        p0 = np.sin(np.radians(-np.array([-8.0, 6.0]))) / c_src
+        T0, jac = travel_time_jacobian_2d(env, 1300.0, p0, 0.0, 20e3, settings)
+        nr, K = env.c_cheb.shape
+        assert jac.shape == (2, nr, K)
+
+        rng = np.random.default_rng(2)
+        V = rng.normal(size=(nr, K))
+        V /= np.linalg.norm(V)
+        eps = 1e-3
+        D = cheb_derivative_matrix(K, *env.z_dom)
+
+        def T_at(shift):
+            cc = np.asarray(env.c_cheb) + shift
+            cp = np.asarray(env.dcdz_cheb) + shift @ D.T
+            env2 = dataclasses.replace(
+                env, c_cheb=jnp.asarray(cc), dcdz_cheb=jnp.asarray(cp)
+            )
+            from pygenray_tpu.integrate import _plan, _trace_impl
+
+            h, sps, nseg = _plan(0.0, 20e3, 2, settings.dx)
+            geom = (0.0, 20e3, h, sps, nseg)
+            s2 = dataclasses.replace(settings, kahan=False, backend="xla")
+            res = _trace_impl(env2, 1300.0, jnp.asarray(p0), geom, s2)
+            return np.asarray(res.ts)[:, -1]
+
+        fd = (T_at(eps * V) - T_at(-eps * V)) / (2 * eps)
+        ad = np.einsum("brk,rk->b", np.asarray(jac), V)
+        np.testing.assert_allclose(ad, fd, rtol=1e-5, atol=1e-12)
+
+    def test_sensitivity_localizes_in_range(self):
+        """Perturbing stations beyond the receiver must not affect T."""
+        import jax.numpy as jnp
+
+        from pygenray_tpu.adjoint import travel_time_jacobian_2d
+
+        z = np.linspace(0, 6000, 400)
+        r = np.linspace(0, 40e3, 8)
+        c = np.outer(np.ones(8), munk_ssp(z))
+        env = make_env_data(
+            c, r, z, np.full(8, 5500.0), r, dtype=jnp.float64,
+            force_range_dependent=True,
+        )
+        settings = SolverSettings(dx=200.0, interp="cheb")
+        p0 = np.sin(np.radians(-np.array([-6.0]))) / 1500.0
+        # trace only to 20 km: stations at >= 25 km are never touched
+        T0, jac = travel_time_jacobian_2d(env, 1300.0, p0, 0.0, 20e3, settings)
+        j = np.abs(np.asarray(jac)[0]).sum(axis=1)  # (nr,)
+        assert j[:4].sum() > 0
+        np.testing.assert_allclose(j[5:], 0.0, atol=1e-12)

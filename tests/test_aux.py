@@ -184,3 +184,24 @@ class TestSettingsFor:
         assert s6.dx > s9.dx
         s = pr.settings_for(dx=33.0)
         assert s.dx == 33.0
+
+
+class TestVerticalSourceArray:
+    def test_per_ray_source_depths(self):
+        """TPU extension: one trace for a vertical source array (per-ray
+        source depth), matching individual scalar-source shots."""
+        env = munk_env(r_max=30e3, nr=20, nz=300)
+        angles = np.array([-6.0, -6.0, -6.0])
+        depths = np.array([800.0, 1300.0, 1800.0])
+        rf = pr.shoot_rays(
+            depths, 0.0, angles, 30e3, 20, env, flatearth=False,
+            interp="table", dtype="float64",
+        )
+        np.testing.assert_array_equal(rf.source_depths, depths)
+        for i, d in enumerate(depths):
+            single = pr.shoot_ray(
+                float(d), 0.0, -6.0, 30e3, 20, env, flatearth=False,
+                interp="table", dtype="float64",
+            )
+            np.testing.assert_allclose(rf.zs[i], single.z, atol=1e-9)
+            np.testing.assert_allclose(rf.ts[i], single.t, atol=1e-12)
