@@ -24,6 +24,7 @@ from .shoot import shoot_ray, shoot_rays, settings_for
 from .eigenrays import find_eigenrays
 from .montecarlo import make_env_ensemble, mc_eigenray_times, trace_ensemble
 from .adjoint import (
+    fermat_jacobian,
     perturbation_response,
     travel_time_jacobian,
     travel_time_jacobian_2d,
@@ -69,6 +70,7 @@ __all__ = [
     "mc_eigenray_times",
     "travel_time_jacobian",
     "travel_time_jacobian_2d",
+    "fermat_jacobian",
     "perturbation_response",
     "Ray",
     "RayFan",

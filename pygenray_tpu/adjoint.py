@@ -32,6 +32,7 @@ __all__ = [
     "cheb_derivative_matrix",
     "travel_time_jacobian",
     "travel_time_jacobian_2d",
+    "fermat_jacobian",
     "perturbation_response",
 ]
 
@@ -148,6 +149,90 @@ def travel_time_jacobian_2d(
     T_end = T_of(cc0)
     jac = jax.jit(jax.jacfwd(T_of))(cc0)  # (B, nr, K)
     return T_end, jac
+
+
+def fermat_jacobian(
+    env: EnvData,
+    z0,
+    p0,
+    x0: float,
+    x1: float,
+    settings: SolverSettings = SolverSettings(),
+    num_save: int = 512,
+    range_dependent: bool = None,
+):
+    """First-order travel-time Jacobian from the Fermat path integral.
+
+    By ray-path stationarity, the first-order travel-time response to a
+    sound-speed perturbation is an integral along the *unperturbed* path:
+
+        δT = -∫ δc / (c² cos θ) dx
+
+    so the Jacobian with respect to the spectral coefficients is just a
+    quadrature of basis functions over the saved trajectory — one fast
+    (Pallas-eligible) trace for any basis size, no autodiff.  Agrees with
+    ``travel_time_jacobian`` (the exact discrete derivative) to first order;
+    use the AD version when exact discrete gradients matter (optimization),
+    this one for assembling large inversion operators.
+
+    Returns ``(T_end (B,), G)`` with ``G`` of shape (B, K) for
+    range-independent environments or (B, nr, K) when ``range_dependent``
+    (default: follows the environment).
+    """
+    import numpy.polynomial.chebyshev as ncheb
+
+    from .integrate import trace
+
+    res = trace(env, z0, p0, float(x0), float(x1), num_save, settings)
+    zs = np.asarray(res.zs, np.float64)  # (B, S) ODE convention
+    ps = np.asarray(res.ps, np.float64)
+    xs = np.asarray(res.rs, np.float64)  # (S,)
+    T_end = np.asarray(res.ts, np.float64)[:, -1]
+
+    K = env.c_cheb.shape[1]
+    zlo, zhi = env.z_dom
+    u = np.clip((2.0 * zs - (zlo + zhi)) / (zhi - zlo), -1.0, 1.0)
+
+    # local sound speed along the path from the spectral representation
+    if env.range_dependent:
+        rg = np.asarray(env.r, np.float64)
+        cc = np.asarray(env.c_cheb, np.float64)  # (nr, K)
+        i = np.clip(np.searchsorted(rg, xs, side="right") - 1, 0, len(rg) - 2)
+        w = (xs - rg[i]) / (rg[i + 1] - rg[i])
+        coef_x = (1 - w)[:, None] * cc[i] + w[:, None] * cc[i + 1]  # (S, K)
+        Tb = ncheb.chebvander(u, K - 1)  # (B, S, K)
+        c_path = np.einsum("bsk,sk->bs", Tb, coef_x)
+    else:
+        coef = np.asarray(env.c_cheb[0], np.float64)
+        Tb = ncheb.chebvander(u, K - 1)
+        c_path = Tb @ coef
+
+    s2 = np.maximum(1.0 - (c_path * ps) ** 2, 1e-12)
+    kern = -1.0 / (c_path**2 * np.sqrt(s2))  # dδT/dδc per unit range
+
+    # trapezoid weights on the save grid
+    wq = np.empty_like(xs)
+    wq[1:-1] = 0.5 * (xs[2:] - xs[:-2])
+    wq[0] = 0.5 * (xs[1] - xs[0])
+    wq[-1] = 0.5 * (xs[-1] - xs[-2])
+
+    if range_dependent is None:
+        range_dependent = env.range_dependent
+
+    if not range_dependent:
+        G = np.einsum("bs,bsk->bk", kern * wq[None, :], Tb)
+        return T_end, G
+
+    # range-dependent: coefficients live on linear hats over the r grid
+    rg = np.asarray(env.r, np.float64)
+    nr = rg.shape[0]
+    i = np.clip(np.searchsorted(rg, xs, side="right") - 1, 0, nr - 2)
+    w = (xs - rg[i]) / (rg[i + 1] - rg[i])
+    hats = np.zeros((xs.shape[0], nr))
+    hats[np.arange(xs.shape[0]), i] = 1 - w
+    hats[np.arange(xs.shape[0]), i + 1] = w
+    G = np.einsum("bs,sj,bsk->bjk", kern * wq[None, :], hats, Tb)
+    return T_end, G
 
 
 def perturbation_response(jac, env: EnvData, delta_c, z_samples=None):

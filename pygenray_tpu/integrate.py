@@ -749,7 +749,9 @@ def trace(
         if settings.backend == "pallas" and not supported:
             raise ValueError("Pallas backend unsupported for this configuration")
         if supported and (on_tpu or settings.backend == "pallas"):
-            return trace_pallas_cached(env, z0, p0, geom, settings)
+            # on non-TPU backends an explicit backend="pallas" runs the
+            # kernel in interpreter mode (testing/debugging)
+            return trace_pallas_cached(env, z0, p0, geom, settings, interpret=not on_tpu)
     return _trace_impl_cached(env, z0, p0, geom, settings)
 
 

@@ -36,7 +36,11 @@ _TINY = 1e-30
 
 
 def pallas_supported(env, settings, use_cheb: bool) -> bool:
-    return use_cheb and env.bangle_mode in ("const", "cheb")
+    return (
+        use_cheb
+        and env.bangle_mode in ("const", "cheb")
+        and env.c.dtype == jnp.float32  # Mosaic has no f64 path
+    )
 
 
 def _hermite(s, y0, y1, m0, m1):
@@ -376,10 +380,10 @@ def _layout(B: int):
 _JIT_CACHE = {}
 
 
-def _get_fn(env, geom, settings, p_shape, z_shape, ducted_blocks, permuted):
+def _get_fn(env, geom, settings, p_shape, z_shape, ducted_blocks, permuted, interpret=False):
     treedef = jax.tree_util.tree_structure(env)
     shapes = tuple((l.shape, str(l.dtype)) for l in jax.tree_util.tree_leaves(env))
-    key = (treedef, shapes, geom, settings, p_shape, z_shape, ducted_blocks, permuted)
+    key = (treedef, shapes, geom, settings, p_shape, z_shape, ducted_blocks, permuted, interpret)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         if len(_JIT_CACHE) > 256:
@@ -390,7 +394,7 @@ def _get_fn(env, geom, settings, p_shape, z_shape, ducted_blocks, permuted):
                 zp = z[order] if z.ndim else z
                 res, zlo, zhi = trace_pallas(
                     envarg, zp, p[order], geom, settings,
-                    ducted_blocks=ducted_blocks,
+                    ducted_blocks=ducted_blocks, interpret=interpret,
                 )
                 from ..integrate import TraceResult
 
@@ -406,14 +410,15 @@ def _get_fn(env, geom, settings, p_shape, z_shape, ducted_blocks, permuted):
         else:
             fn = jax.jit(
                 lambda envarg, p, z: trace_pallas(
-                    envarg, z, p, geom, settings, ducted_blocks=ducted_blocks
+                    envarg, z, p, geom, settings,
+                    ducted_blocks=ducted_blocks, interpret=interpret,
                 )
             )
         _JIT_CACHE[key] = fn
     return fn
 
 
-def trace_pallas_cached(env, z0, p0, geom, settings):
+def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False):
     """Memoized jitted kernel launcher keyed on the environment *structure*
     (shapes/dtypes/static metadata), so traces over same-shaped environments
     — eigenray iterations, Monte-Carlo realizations — reuse one executable.
@@ -450,13 +455,13 @@ def trace_pallas_cached(env, z0, p0, geom, settings):
                 order = np.argsort(~mask, kind="stable").astype(np.int32)
 
     if order is None:
-        fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, 0, False)
+        fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, 0, False, interpret)
         res, _, _ = fn(env, p0, z0a)
         return res
 
     inv = np.empty_like(order)
     inv[order] = np.arange(order.shape[0], dtype=np.int32)
-    fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, db, True)
+    fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, db, True, interpret)
     res, zlo, zhi = fn(env, p0, z0a, jnp.asarray(order), jnp.asarray(inv))
 
     # soundness audit on the ducted blocks' z excursions (still in sorted
@@ -467,7 +472,7 @@ def trace_pallas_cached(env, z0, p0, geom, settings):
     zhi_d = np.asarray(zhi[:nd_pad])
     b_min = _bathy_min_over_span(env, geom[0], geom[1])
     if (zlo_d <= 0.0).any() or (zhi_d >= b_min).any():
-        fn0 = _get_fn(env, geom, settings, p0.shape, z0a.shape, 0, False)
+        fn0 = _get_fn(env, geom, settings, p0.shape, z0a.shape, 0, False, interpret)
         res, _, _ = fn0(env, p0, z0a)
     return res
 

@@ -168,3 +168,72 @@ class TestTravelTimeJacobian2D:
         j = np.abs(np.asarray(jac)[0]).sum(axis=1)  # (nr,)
         assert j[:4].sum() > 0
         np.testing.assert_allclose(j[5:], 0.0, atol=1e-12)
+
+
+class TestFermatJacobian:
+    def test_fermat_ad_endpoint_identity(self):
+        """The fixed-angle AD Jacobian and the fixed-endpoint Fermat kernel
+        differ by exactly the endpoint-drift term (eikonal relation):
+
+            J_ad = J_fermat + p_end * dz_end/dcoef
+
+        Verifying the identity validates both operators at once."""
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from pygenray_tpu.adjoint import cheb_derivative_matrix, fermat_jacobian
+        from pygenray_tpu.integrate import _plan, _trace_impl
+
+        env = _env()
+        settings = SolverSettings(dx=200.0, interp="cheb")
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = np.sin(np.radians(-np.array([-10.0, -4.0, 6.0]))) / c_src
+
+        T_ad, J_ad = travel_time_jacobian(env, 1300.0, p0, 0.0, 20e3, settings)
+        T_f, J_f = fermat_jacobian(env, 1300.0, p0, 0.0, 20e3, settings, num_save=800)
+        np.testing.assert_allclose(np.asarray(T_f), np.asarray(T_ad), rtol=1e-9)
+
+        # endpoint-drift Jacobian dz_end/dcoef and final slowness p_end
+        K = env.c_cheb.shape[1]
+        D = jnp.asarray(cheb_derivative_matrix(K, *env.z_dom))
+        cp_off = env.dcdz_cheb[0] - D @ env.c_cheb[0]
+        h, sps, nseg = _plan(0.0, 20e3, 2, settings.dx)
+        geom = (0.0, 20e3, h, sps, nseg)
+        s_ad = dc.replace(settings, backend="xla", kahan=False)
+
+        def ends(ccoef):
+            cc = jnp.broadcast_to(ccoef, env.c_cheb.shape)
+            cp = jnp.broadcast_to(cp_off + D @ ccoef, env.dcdz_cheb.shape)
+            env2 = dc.replace(env, c_cheb=cc, dcdz_cheb=cp)
+            res = _trace_impl(env2, 1300.0, jnp.asarray(p0), geom, s_ad)
+            return res.zs[:, -1], res.ps[:, -1]
+
+        Jz = np.asarray(jax.jit(jax.jacfwd(lambda a: ends(a)[0]))(env.c_cheb[0]))
+        p_end = np.asarray(ends(env.c_cheb[0])[1])
+
+        lhs = np.asarray(J_ad)
+        rhs = np.asarray(J_f) + p_end[:, None] * Jz
+        scale = np.abs(lhs).max()
+        np.testing.assert_allclose(lhs, rhs, atol=2e-3 * scale)
+
+    def test_rd_shape_and_locality(self):
+        from pygenray_tpu.adjoint import fermat_jacobian
+        import jax.numpy as jnp
+
+        z = np.linspace(0, 6000, 500)
+        r = np.linspace(0, 40e3, 8)
+        c = np.outer(np.ones(8), munk_ssp(z))
+        env = make_env_data(
+            c, r, z, np.full(8, 5500.0), r, dtype=jnp.float64,
+            force_range_dependent=True,
+        )
+        settings = SolverSettings(dx=200.0, interp="cheb")
+        p0 = np.sin(np.radians(-np.array([-6.0]))) / 1500.0
+        T, G = fermat_jacobian(env, 1300.0, p0, 0.0, 20e3, settings)
+        nr, K = env.c_cheb.shape
+        assert G.shape == (1, nr, K)
+        j = np.abs(G[0]).sum(axis=1)
+        assert j[:4].sum() > 0
+        np.testing.assert_allclose(j[5:], 0.0, atol=1e-12)

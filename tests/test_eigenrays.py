@@ -160,3 +160,36 @@ class TestEigenraysEdgeCases:
             assert er.num_eigenrays_found[i] >= 1
             if er.num_eigenrays_found[i]:
                 assert np.all(np.abs(er.zs[i][:, -1] + rds[i]) < 1.0)
+
+
+class TestEigenraysVariants:
+    def test_flatearth_default_environment(self):
+        """End-to-end with the default (flat-earth transformed) environment."""
+        env = pr.OceanEnvironment2D()  # Munk to 100 km, fe transform applied
+        angles = np.linspace(-10, 10, 81)
+        rays = pr.shoot_rays(1300.0, 0.0, angles, 60e3, 50, env, **TABLE)
+        er = pr.find_eigenrays(
+            rays, [1300.0], 1300.0, 0.0, 60e3, 50, env, ztol=1.0, **TABLE
+        )
+        assert er.num_eigenrays_found[0] >= 1
+        assert np.all(np.abs(er.zs[0][:, -1] + 1300.0) < 1.0)
+        # received angles computed against the untransformed field are finite
+        assert np.all(np.isfinite(er.received_angles[0]))
+
+    def test_backwards_eigenrays(self):
+        """source_range > receiver_range: brackets and convergence through
+        the mirrored environment."""
+        env = munk_env(r_max=50e3, nr=30, nz=400)
+        angles = np.linspace(-12, 12, 97)
+        rays = pr.shoot_rays(
+            1300.0, 45e3, angles, 5e3, 50, env, flatearth=False, **TABLE
+        )
+        assert rays.rs[0, 0] == 45e3 and rays.rs[0, -1] == 5e3
+        er = pr.find_eigenrays(
+            rays, [1300.0], 1300.0, 45e3, 5e3, 50, env, ztol=1.0,
+            flatearth=False, **TABLE,
+        )
+        assert er.num_eigenrays_found[0] >= 1
+        assert np.all(np.abs(er.zs[0][:, -1] + 1300.0) < 1.0)
+        # eigenray ranges run backwards from source to receiver
+        assert er.rs[0][0, 0] == 45e3 and er.rs[0][0, -1] == 5e3

@@ -102,3 +102,27 @@ class TestPallasEquivalence:
         env = make_env_data(c, r, z, np.full(16, 4600.0), r, dtype=jnp.float32)
         assert env.range_dependent and env.has_cheb
         _compare(env, np.linspace(-18, 18, 128), ts_atol=2e-6)
+
+
+class TestSortedDispatch:
+    def test_partitioned_sorted_dispatch_cpu(self):
+        """backend='pallas' + partition=True on CPU exercises the full
+        sorted/audited launcher in interpreter mode."""
+        from pygenray_tpu.integrate import trace
+
+        env = _env()
+        s_part = SolverSettings(dx=500.0, backend="pallas", partition=True)
+        s_ref = SolverSettings(dx=500.0, backend="xla", partition=False)
+        angles = np.linspace(-18, 18, 4352)  # mixed ducted/boundary, >4096
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = np.sin(np.radians(-angles)) / c_src
+        rp = trace(env, 1300.0, p0, 0.0, 50e3, 5, s_part)
+        rf = trace(env, 1300.0, p0, 0.0, 50e3, 5, s_ref)
+        np.testing.assert_allclose(
+            np.asarray(rp.ts), np.asarray(rf.ts), rtol=2e-6, atol=1e-7
+        )
+        np.testing.assert_array_equal(np.asarray(rp.n_surf), np.asarray(rf.n_surf))
+        np.testing.assert_array_equal(np.asarray(rp.n_bott), np.asarray(rf.n_bott))
+        np.testing.assert_array_equal(
+            np.asarray(rp.death_code), np.asarray(rf.death_code)
+        )
