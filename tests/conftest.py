@@ -3,6 +3,10 @@
 Tests run on CPU in float64 with an 8-device virtual mesh: physics parity
 against the scipy oracle needs f64, and sharding tests need multiple
 devices.  TPU float32 behavior is covered by the benchmark harness.
+
+Object/plot/IO tests use synthetic rays built without the solver — a
+sinusoidal "fake trajectory" generator (`synthetic_ray`) keeps them fast
+and backend-independent.
 """
 
 import os
@@ -33,21 +37,23 @@ def pytest_addoption(parser):
     )
 
 
-def _make_ray(
-    launch_angle: float,
-    source_depth: float,
-    n_bottom: int = 0,
-    n_surface: int = 0,
-    N: int = 10,
-    R: float = 10000.0,
-) -> Ray:
-    """Synthetic Ray built without running the solver (straight-line
-    kinematics) — object/plot/IO tests never touch the integrator."""
-    r = np.linspace(0.0, R, N)
-    t = r / 1500.0
-    z_ode = np.linspace(source_depth, source_depth + R * 0.01, N)
-    p_ode = np.ones(N) * np.sin(np.radians(abs(launch_angle) + 1e-3)) / 1500.0
-    y = np.vstack([t, z_ode, p_ode])
+def synthetic_ray(
+    launch_angle=-10.0,
+    source_depth=100.0,
+    n_bottom=0,
+    n_surface=0,
+    n_points=10,
+    max_range=10_000.0,
+):
+    """A solver-free Ray: gently undulating kinematics in the positive-z
+    ODE convention that ``Ray.__init__`` expects (y = [t, z_down, p_down])."""
+    r = np.linspace(0.0, max_range, n_points)
+    travel = r / 1500.0
+    depth_down = source_depth + 0.01 * r + 5.0 * np.sin(r / max_range * np.pi)
+    slowness = np.full(
+        n_points, np.sin(np.radians(abs(launch_angle) + 1e-3)) / 1500.0
+    )
+    y = np.stack([travel, depth_down, slowness])
     return Ray(
         r=r,
         y=y,
@@ -58,16 +64,21 @@ def _make_ray(
     )
 
 
+# backwards-compat alias used by some test modules
+_make_ray = synthetic_ray
+
+
 @pytest.fixture
 def simple_ray():
-    return _make_ray(launch_angle=-10.0, source_depth=100.0)
+    return synthetic_ray(launch_angle=-10.0, source_depth=100.0)
 
 
 @pytest.fixture
 def simple_rayfan():
-    rays = [
-        _make_ray(launch_angle=-5.0, source_depth=100.0, n_bottom=0),
-        _make_ray(launch_angle=5.0, source_depth=150.0, n_bottom=1),
-        _make_ray(launch_angle=-10.0, source_depth=200.0, n_bottom=0),
-    ]
-    return RayFan(rays)
+    specs = [(-5.0, 100.0, 0), (5.0, 150.0, 1), (-10.0, 200.0, 0)]
+    return RayFan(
+        [
+            synthetic_ray(launch_angle=a, source_depth=d, n_bottom=nb)
+            for a, d, nb in specs
+        ]
+    )
