@@ -29,6 +29,8 @@ from .shoot import _resolve_env, settings_for
 
 __all__ = ["find_eigenrays"]
 
+_DEVICE_SOLVE_CACHE = {}
+
 
 def find_eigenrays(
     rays,
@@ -116,6 +118,108 @@ def find_eigenrays(
         dz_dth = -np.asarray(dz_ode, float) * dp0_dth
         return z_user, np.asarray(alive), dz_dth
 
+    def device_solve(rd_a, th1_a, th2_a, z1_a, z2_a, use_newton):
+        """All root-finding iterations in ONE device computation.
+
+        A ``lax.while_loop`` whose body is the batched final-state trace
+        plus the bracket/Newton update — eliminates the per-iteration
+        host↔device round trips of the host loop (identical update math).
+        """
+        import dataclasses
+
+        import jax
+
+        from .integrate import _plan, _trace_impl
+
+        h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
+        geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
+        s_it = dataclasses.replace(
+            settings, backend="xla", partition=False,
+            kahan=settings.kahan and not use_newton,
+        )
+        dt = jnp.float64 if env.c.dtype == jnp.float64 else jnp.float32
+        inv_csrc = 1.0 / float(c_src)
+        deg = np.pi / 180.0
+        NBj = th1_a.shape[0]
+
+        key = (id(env), geom, settings, NBj, bool(use_newton), float(ztol), int(max_iter))
+        entry = _DEVICE_SOLVE_CACHE.get(key)
+        if entry is None:
+
+            def solve(st0, rd):
+                def zfun(p):
+                    res = _trace_impl(env, source_depth, p, geom, s_it)
+                    return res.zs[:, -1], res.alive
+
+                def body(st):
+                    (theta, th1, th2, z1, z2, conv, dead, th_hit,
+                     iters, resid, it) = st
+                    p0 = jnp.sin(-theta * deg) * inv_csrc
+                    if use_newton:
+                        (z_ode, alive), (dz_ode, _) = jax.jvp(
+                            zfun, (p0,), (jnp.ones_like(p0),)
+                        )
+                        dz_dth = -dz_ode * (-jnp.cos(theta * deg) * deg * inv_csrc)
+                    else:
+                        z_ode, alive = zfun(p0)
+                        dz_dth = None
+                    z_end = -z_ode
+
+                    active = ~(conv | dead)
+                    dead2 = dead | (active & ~alive)
+                    act = active & alive
+                    hit = act & (jnp.abs(z_end + rd) < ztol)
+                    conv2 = conv | hit
+                    th_hit = jnp.where(hit, theta, th_hit)
+                    iters = iters + active.astype(jnp.int32)
+                    resid = jnp.where(act, jnp.abs(z_end + rd), resid)
+
+                    upd = act & ~hit
+                    side1 = jnp.sign(z_end + rd) == jnp.sign(z1 + rd)
+                    z1 = jnp.where(upd & side1, z_end, z1)
+                    th1 = jnp.where(upd & side1, theta, th1)
+                    z2 = jnp.where(upd & ~side1, z_end, z2)
+                    th2 = jnp.where(upd & ~side1, theta, th2)
+                    denom = jnp.where(jnp.abs(z2 - z1) > 0, z2 - z1, 1.0)
+                    th_fp = th1 - (z1 + rd) * (th2 - th1) / denom
+                    if use_newton:
+                        th_nw = theta - (z_end + rd) / dz_dth
+                        lo = jnp.minimum(th1, th2)
+                        hi = jnp.maximum(th1, th2)
+                        bad = ~jnp.isfinite(th_nw) | (th_nw <= lo) | (th_nw >= hi)
+                        th_new = jnp.where(bad, th_fp, th_nw)
+                    else:
+                        th_new = th_fp
+                    theta = jnp.where(upd, th_new, theta)
+                    return (theta, th1, th2, z1, z2, conv2, dead2, th_hit,
+                            iters, resid, it + 1)
+
+                def cond(st):
+                    return jnp.any(~(st[5] | st[6])) & (st[10] < max_iter + 2)
+
+                return jax.lax.while_loop(cond, body, st0)
+
+            entry = (jax.jit(solve), env)  # hold env so id() stays valid
+            if len(_DEVICE_SOLVE_CACHE) > 64:
+                _DEVICE_SOLVE_CACHE.clear()
+            _DEVICE_SOLVE_CACHE[key] = entry
+
+        denom0 = np.where(np.abs(z2_a - z1_a) > 0, z2_a - z1_a, 1.0)
+        theta0 = th1_a - (z1_a + rd_a) * (th2_a - th1_a) / denom0
+        st0 = (
+            jnp.asarray(theta0, dt), jnp.asarray(th1_a, dt), jnp.asarray(th2_a, dt),
+            jnp.asarray(z1_a, dt), jnp.asarray(z2_a, dt),
+            jnp.zeros(NBj, bool), jnp.zeros(NBj, bool),
+            jnp.full(NBj, jnp.nan, dt), jnp.zeros(NBj, jnp.int32),
+            jnp.full(NBj, jnp.nan, dt), jnp.asarray(0, jnp.int32),
+        )
+        out = entry[0](st0, jnp.asarray(rd_a, dt))
+        (_, _, _, _, _, conv, dead, th_hit, iters, resid, _) = out
+        return (
+            np.asarray(th_hit), np.asarray(conv), np.asarray(dead),
+            np.asarray(iters), np.asarray(resid),
+        )
+
     # ---- collect brackets across all receiver depths ---------------------
     receiver_depths = np.atleast_1d(np.asarray(receiver_depths, float))
     items = []  # (rd_idx, rd, theta1, theta2, z1, z2, theta1_orig, theta2_orig)
@@ -165,10 +269,63 @@ def find_eigenrays(
     iterations = np.zeros(NB, np.int32)
     resid = np.full(NB, np.nan)
 
+    def _assemble(theta_hit, converged, dead, iterations, resid):
+        # final full-resolution trace of the converged angles
+        conv_idx = np.where(converged)[0]
+        if conv_idx.size:
+            res = shoot_batch(theta_hit[conv_idx], num_save=num_range_save)
+            rs = np.asarray(res.rs, float)
+            if backwards:
+                rs = -rs
+            ts = np.asarray(res.ts, float)
+            zs = np.asarray(res.zs, float)
+            ps = np.asarray(res.ps, float)
+            nb = np.asarray(res.n_bott)
+            ns = np.asarray(res.n_surf)
+            for j, i in enumerate(conv_idx):
+                ray = Ray(
+                    rs,
+                    np.stack([ts[j], zs[j], ps[j]]),
+                    int(nb[j]),
+                    int(ns[j]),
+                    launch_angle=float(theta_hit[i]),
+                    source_depth=source_depth,
+                )
+                erays_dict[items[i]["rd_idx"]].append(ray)
+
+        for i in np.where(~converged)[0]:
+            failed[items[i]["rd_idx"]].append((th1_orig[i], th2_orig[i]))
+
+        for rd_idx in range(len(receiver_depths)):
+            num_found[rd_idx] = len(erays_dict[rd_idx])
+
+        er = EigenRays(
+            receiver_depths, erays_dict, environment, num_eigenrays, num_found, failed
+        )
+        # structured solver diagnostics (per bracket, flattened across depths)
+        er.diagnostics = {
+            "rd_idx": np.array([it["rd_idx"] for it in items]),
+            "iterations": np.asarray(iterations),
+            "converged": np.asarray(converged),
+            "dropped": np.asarray(dead),
+            "depth_residual": np.asarray(resid),
+        }
+        return er
+
     # ---- batched root-finding iterations ---------------------------------
     use_newton = method == "newton"
+    if not kwargs.get("verbose", False):
+        # all iterations in one device while_loop (no per-iteration
+        # host round trips); verbose mode keeps the host loop for tqdm
+        theta_hit, converged, dead, iterations, resid = device_solve(
+            rd_arr, th1, th2, z1, z2, use_newton
+        )
+        return _assemble(
+            theta_hit, converged, dead, iterations, resid
+        )
+
     it_range = range(max_iter + 2)
-    if kwargs.get("verbose", False):
+    if True:
         from tqdm import tqdm
 
         it_range = tqdm(it_range, desc="Finding eigenrays")
@@ -217,44 +374,4 @@ def find_eigenrays(
             theta_new = theta_fp
         theta = np.where(upd, theta_new, theta)
 
-    # ---- final full-resolution trace of the converged angles -------------
-    conv_idx = np.where(converged)[0]
-    if conv_idx.size:
-        res = shoot_batch(theta_hit[conv_idx], num_save=num_range_save)
-        rs = np.asarray(res.rs, float)
-        if backwards:
-            rs = -rs
-        ts = np.asarray(res.ts, float)
-        zs = np.asarray(res.zs, float)
-        ps = np.asarray(res.ps, float)
-        nb = np.asarray(res.n_bott)
-        ns = np.asarray(res.n_surf)
-        for j, i in enumerate(conv_idx):
-            ray = Ray(
-                rs,
-                np.stack([ts[j], zs[j], ps[j]]),
-                int(nb[j]),
-                int(ns[j]),
-                launch_angle=float(theta_hit[i]),
-                source_depth=source_depth,
-            )
-            erays_dict[items[i]["rd_idx"]].append(ray)
-
-    for i in np.where(~converged)[0]:
-        failed[items[i]["rd_idx"]].append((th1_orig[i], th2_orig[i]))
-
-    for rd_idx in range(len(receiver_depths)):
-        num_found[rd_idx] = len(erays_dict[rd_idx])
-
-    er = EigenRays(
-        receiver_depths, erays_dict, environment, num_eigenrays, num_found, failed
-    )
-    # structured solver diagnostics (per bracket, flattened across depths)
-    er.diagnostics = {
-        "rd_idx": np.array([it["rd_idx"] for it in items]),
-        "iterations": iterations,
-        "converged": converged,
-        "dropped": dead,
-        "depth_residual": resid,
-    }
-    return er
+    return _assemble(theta_hit, converged, dead, iterations, resid)
