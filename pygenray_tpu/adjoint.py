@@ -12,9 +12,11 @@ This has no counterpart in the CPU reference (scipy's integrator is not
 differentiable); ray-perturbation sensitivities there would require finite
 differences of full re-shoots.
 
-Scope: range-independent environments with a spectral fit (the standard
-tomography configuration).  Use modest ray batches (eigenrays of interest)
-— the Jacobian costs one backward pass per ray.
+Three operators, all spectral-basis:
+- ``travel_time_jacobian``: exact discrete dT/dcoef, range-independent
+- ``travel_time_jacobian_2d``: exact discrete dT/dcoef per range station
+- ``fermat_jacobian``: first-order path-integral kernel from one fast
+  trace (any basis size; the production inversion operator)
 """
 
 from __future__ import annotations
