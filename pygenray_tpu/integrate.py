@@ -737,21 +737,29 @@ def trace(
         and getattr(p0, "sharding", None) is not None
         and len(p0.sharding.device_set) > 1
     )
+
+    pallas_ok = False
+    on_tpu = jax.default_backend() == "tpu"
+    if settings.backend != "xla" and not sharded:
+        from .ops.pallas_stepper import pallas_supported
+
+        pallas_ok = pallas_supported(env, settings, _use_cheb(env, settings))
+        if settings.backend == "pallas" and not pallas_ok:
+            raise ValueError("Pallas backend unsupported for this configuration")
+        pallas_ok = pallas_ok and (on_tpu or settings.backend == "pallas")
+
+    if pallas_ok:
+        from .ops.pallas_stepper import trace_pallas_cached
+
+        # handles the opt-in ducted/boundary partitioning internally
+        # (sorted blocks + in-kernel event-free variant); interpreter mode
+        # off-TPU for testing
+        p0 = jnp.atleast_1d(jnp.asarray(p0))
+        return trace_pallas_cached(env, z0, p0, geom, settings, interpret=not on_tpu)
+
     if settings.partition and not sharded:
         return _trace_partitioned(env, z0, p0, geom, settings)
     p0 = jnp.atleast_1d(jnp.asarray(p0))
-
-    if settings.backend != "xla" and not sharded:
-        from .ops.pallas_stepper import pallas_supported, trace_pallas_cached
-
-        supported = pallas_supported(env, settings, _use_cheb(env, settings))
-        on_tpu = jax.default_backend() == "tpu"
-        if settings.backend == "pallas" and not supported:
-            raise ValueError("Pallas backend unsupported for this configuration")
-        if supported and (on_tpu or settings.backend == "pallas"):
-            # on non-TPU backends an explicit backend="pallas" runs the
-            # kernel in interpreter mode (testing/debugging)
-            return trace_pallas_cached(env, z0, p0, geom, settings, interpret=not on_tpu)
     return _trace_impl_cached(env, z0, p0, geom, settings)
 
 
