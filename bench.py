@@ -184,6 +184,31 @@ def bench_extra_configs():
         trace(env_rd, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE, s).ts
     )
     best = timeit(run)
+
+    # accuracy vs the scipy oracle on an angle subset (cached fixture)
+    rd_cache = pathlib.Path(__file__).parent / "tests" / "fixtures" / "bench_oracle_rd.npz"
+    sub_angles = np.linspace(-12.0, 12.0, 7)
+    if rd_cache.exists():
+        d = np.load(rd_cache)
+        o_ts = d["ts"]
+    else:
+        sys.path.insert(0, str(pathlib.Path(__file__).parent / "tests"))
+        import reference_impl as oracle
+
+        oenv = oracle.OracleEnv.from_tables(c_rd, r, z, bathy, r)
+        o_ts = np.array(
+            [
+                oracle.trace_ray_oracle(
+                    oenv, SRC_DEPTH, 0.0, -a, R_MAX, 2, rtol=1e-11, atol=1e-11
+                )[1][0, -1]
+                for a in sub_angles
+            ]
+        )
+        np.savez(rd_cache, angles=sub_angles, ts=o_ts)
+    p0a = jnp.asarray(np.sin(np.radians(-sub_angles)) / c_src, jnp.float32)
+    tsa = np.asarray(trace(env_rd, SRC_DEPTH, p0a, 0.0, R_MAX, 2, s).ts)[:, -1]
+    rd_err_ms = float(np.max(np.abs(tsa - o_ts)) * 1e3)
+
     out.append(
         {
             "metric": "rays_per_sec_chip_range_dependent",
@@ -192,6 +217,7 @@ def bench_extra_configs():
             "vs_baseline": round(NUM_RAYS / best / BASELINE_RAYS_PER_SEC, 3),
             "config": f"range-dependent Munk + sloped bottom, {NUM_RAYS} rays, 100 km, dx=100, f32",
             "wall_s": round(best, 4),
+            "max_travel_time_err_ms": round(rd_err_ms, 4),
         }
     )
 
