@@ -135,10 +135,15 @@ def make_env_data(
     """
     c = np.asarray(c, np.float64)
     if c.ndim == 1:
-        c = np.stack([c, c])
-        r = np.asarray([0.0, 1.0]) if r is None else None
         if r is None:
-            raise ValueError("1D c requires an explicit 2-point range grid")
+            raise ValueError(
+                "1D c requires an explicit range grid (e.g. two points "
+                "spanning the domain, r=[0.0, max_range])"
+            )
+        r = np.atleast_1d(np.asarray(r, np.float64))
+        if r.shape[0] < 2:
+            raise ValueError("1D c needs a range grid with at least 2 points")
+        c = np.broadcast_to(c, (r.shape[0], c.shape[0])).copy()
     z = np.asarray(z, np.float64)
     r = np.asarray(r, np.float64)
     bathy = np.asarray(bathy, np.float64)

@@ -400,3 +400,53 @@ class TestSpectralPath:
         assert not env.has_cheb
         with pytest.raises(ValueError):
             make_env_data(c, r, z, np.full(10, 4500.0), r, interp="cheb")
+
+
+# ---------------------------------------------------------------------------
+# H. 1D-profile construction (regression: the validation used to be inverted)
+# ---------------------------------------------------------------------------
+
+
+class Test1DProfileEnv:
+    def test_1d_profile_with_explicit_grid_traces(self):
+        """A 1D c profile + explicit range grid must build a usable env whose
+        trace matches the equivalent pre-broadcast 2D table bitwise."""
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+        from pygenray_tpu.integrate import SolverSettings, trace
+
+        z = np.linspace(0.0, 6000.0, 601)
+        r = np.asarray([0.0, 60e3])
+        c1d = munk_ssp(z)
+        env1 = make_env_data(c1d, r, z, np.full(2, 5000.0), r, dtype="float64")
+        env2 = make_env_data(
+            np.broadcast_to(c1d, (2, z.size)), r, z,
+            np.full(2, 5000.0), r, dtype="float64",
+        )
+        assert env1.r_dom == (0.0, 60e3)
+
+        settings = SolverSettings(dx=100.0)
+        p0 = np.sin(np.radians([5.0, 10.0])) / 1500.0
+        res1 = trace(env1, 1300.0, p0, 0.0, 50e3, 25, settings)
+        res2 = trace(env2, 1300.0, p0, 0.0, 50e3, 25, settings)
+        assert bool(res1.alive.all())
+        np.testing.assert_array_equal(np.asarray(res1.ts), np.asarray(res2.ts))
+        np.testing.assert_array_equal(np.asarray(res1.zs), np.asarray(res2.zs))
+
+    def test_1d_profile_without_grid_raises(self):
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+
+        z = np.linspace(0.0, 6000.0, 61)
+        with pytest.raises(ValueError, match="range grid"):
+            make_env_data(munk_ssp(z), None, z, np.full(2, 5000.0), [0.0, 1e3])
+
+    def test_1d_profile_longer_grid_broadcasts(self):
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+
+        z = np.linspace(0.0, 6000.0, 61)
+        r = np.linspace(0.0, 50e3, 5)
+        env = make_env_data(munk_ssp(z), r, z, np.full(5, 5000.0), r)
+        assert env.c.shape == (5, 61)
+        assert not env.range_dependent
