@@ -149,32 +149,40 @@ class OceanEnvironment2D:
         self.bathymetry_fe = self.bathymetry.copy(deep=True)
 
     # ------------------------------------------------------------------
-    def plot(self, **kwargs):
-        """Plot the sound-speed slice with the bathymetry filled in grey."""
+    def plot(self, ax=None, add_colorbar=True, **kwargs):
+        """Sound-speed section with the seafloor masked out in grey.
+
+        Depth increases downward (inverted y axis). Extra keywords style the
+        pcolormesh. Returns the axes.
+        """
         from matplotlib import pyplot as plt
 
-        add_colorbar = kwargs.pop("add_colorbar", True)
-        if add_colorbar:
-            ssp_kwargs = {"cmap": "viridis", "cbar_kwargs": {"label": "sound speed [m/s]"}}
-            ssp_kwargs.update(kwargs)
-            self.sound_speed.plot(x="range", y="depth", **ssp_kwargs)
+        ax = plt.gca() if ax is None else ax
+        zv = np.asarray(self.sound_speed.depth.values, float)
+        if self.sound_speed.ndim == 1:
+            # depth-only profile: draw it over the bathymetry's range span
+            br = np.asarray(self.bathymetry.range.values, float)
+            rv = np.array([br[0], br[-1]])
+            field = np.tile(np.asarray(self.sound_speed.values, float), (2, 1)).T
         else:
-            self.sound_speed.plot(x="range", y="depth", add_colorbar=False, **kwargs)
+            rv = np.asarray(self.sound_speed.range.values, float)
+            field = np.asarray(self.sound_speed.values, float)
+            if self.sound_speed.dims[0] == "range":
+                field = field.T  # pcolormesh wants (depth, range)
+        mesh = ax.pcolormesh(rv, zv, field, **{"cmap": "viridis", **kwargs})
+        if add_colorbar:
+            ax.figure.colorbar(mesh, ax=ax, label="sound speed [m/s]")
 
-        plt.fill_between(
-            self.bathymetry.range.values,
-            self.bathymetry.values,
-            50000,
-            color="#aaaaaa",
-            alpha=1,
-            lw=0,
-        )
-        plt.xlabel("range [m]")
-        plt.ylabel("depth [m]")
-        plt.ylim(
-            float(np.max(self.sound_speed.depth.values)),
-            float(np.min(self.sound_speed.depth.values)),
-        )
+        # opaque grey from the seafloor down to below the deepest grid point
+        seafloor_r = np.asarray(self.bathymetry.range.values, float)
+        seafloor_z = np.asarray(self.bathymetry.values, float)
+        ax.fill_between(seafloor_r, seafloor_z, zv.max() * 1.1 + 1.0,
+                        color="0.65", lw=0)
+
+        ax.set_xlabel("range [m]")
+        ax.set_ylabel("depth [m]")
+        ax.set_ylim(zv.max(), zv.min())
+        return ax
 
     # ------------------------------------------------------------------
     # device-side data

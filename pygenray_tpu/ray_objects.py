@@ -16,6 +16,45 @@ import numpy as np
 
 __all__ = ["Ray", "RayFan", "EigenRays"]
 
+# muted grey used for guide lines and connective overlays
+_GUIDE_GREY = "0.65"
+
+# matplotlib spells several line/scatter properties two ways; passing both the
+# alias and the long name raises, so default-merging has to canonicalize
+_MPL_ALIASES = {"color": "c", "linewidth": "lw", "linestyle": "ls"}
+
+
+def _target_axes(ax=None):
+    """Axes to draw on: the caller's, else matplotlib's current axes."""
+    from matplotlib import pyplot as plt
+
+    return plt.gca() if ax is None else ax
+
+
+def _styled(user_kwargs, **defaults):
+    """Overlay user kwargs on defaults, collapsing matplotlib aliases so a
+    user ``color=`` cleanly overrides a default ``c=`` (and so on)."""
+    merged = dict(defaults)
+    for key, value in user_kwargs.items():
+        merged.pop(_MPL_ALIASES.get(key, key), None)
+        merged[key] = value
+    return merged
+
+
+def _categorical_scatter(ax, x, y, labels, **common):
+    """Scatter (x, y) colored by the distinct values of ``labels``, one
+    legend entry per value. Used for ray-ID colored time fronts."""
+    from matplotlib import pyplot as plt
+
+    labels = np.asarray(labels)
+    distinct = np.unique(labels)
+    palette = plt.get_cmap("tab20")(np.linspace(0.0, 1.0, len(distinct)))
+    for shade, value in zip(palette, distinct):
+        sel = labels == value
+        ax.scatter(np.asarray(x)[sel], np.asarray(y)[sel], color=shade,
+                   label=str(value), **common)
+    ax.legend(ncols=3, loc="lower left")
+
 
 class Ray:
     """A single ray trajectory with bounce counts and metadata."""
@@ -36,15 +75,19 @@ class Ray:
         if source_depth is not None:
             self.source_depth = source_depth
 
-    def plot(self, **kwargs):
-        from matplotlib import pyplot as plt
+    def plot(self, ax=None, **kwargs):
+        """Draw the trajectory in range-depth space; returns the axes.
 
-        plot_kwargs = {"c": "k", "lw": 1, "alpha": 0.5}
-        plot_kwargs.update(kwargs)
-        plt.plot(self.r, self.z, **kwargs)
-        plt.xlabel("time [s]")
-        plt.ylabel("depth [m]")
-        plt.ylim([self.z.min(), self.z.max()])
+        Output parity with the reference's ``Ray.plot`` minus two of its
+        defects (style defaults that were built but never applied, and a
+        "time [s]" label on what is a range axis).
+        """
+        ax = _target_axes(ax)
+        ax.plot(self.r, self.z, **_styled(kwargs, c="k", lw=1.0, alpha=0.5))
+        ax.set_xlabel("range [m]")
+        ax.set_ylabel("depth [m]")
+        ax.set_ylim(self.z.min(), self.z.max())
+        return ax
 
 
 class RayFan:
@@ -103,56 +146,61 @@ class RayFan:
 
     # -- plotting -------------------------------------------------------
     def plot_time_front(
-        self, include_lines=False, range_idx=-1, add_colorbar=True, ray_id=False, **kwargs
+        self, include_lines=False, range_idx=-1, add_colorbar=True,
+        ray_id=False, ax=None, **kwargs,
     ):
-        from matplotlib import pyplot as plt
+        """Arrival pattern at one save range: depth vs travel time, colored
+        by launch angle (default) or by ray ID when ``ray_id=True``.
 
+        ``include_lines`` threads a faint line through the arrivals in fan
+        order; extra keywords style the scatter. Returns the axes.
+        """
+        ax = _target_axes(ax)
+        t_arr = self.ts[:, range_idx]
+        z_arr = self.zs[:, range_idx]
         if include_lines:
-            plt.plot(
-                self.ts[:, range_idx], self.zs[:, range_idx],
-                c="#aaaaaa", lw=0.5, zorder=5,
-            )
-        scatter_kwargs = {"c": self.thetas, "cmap": "viridis", "s": 2, "lw": 0, "zorder": 6}
-        scatter_kwargs.update(kwargs)
+            ax.plot(t_arr, z_arr, c=_GUIDE_GREY, lw=0.5, zorder=5)
+        common = _styled(kwargs, s=2, lw=0, zorder=6)
         if ray_id:
-            unique_categories = np.unique(self.ray_ids)
-            colors = plt.cm.tab20(np.linspace(0, 1, len(unique_categories)))
-            category_to_color = dict(zip(unique_categories, colors))
-            scatter_kwargs.update(
-                {"c": [category_to_color[cat] for cat in self.ray_ids]}
+            _categorical_scatter(ax, t_arr, z_arr, self.ray_ids, **common)
+        else:
+            points = ax.scatter(
+                t_arr, z_arr, **_styled(common, c=self.thetas, cmap="viridis")
             )
-            add_colorbar = False
-            for i, cat in enumerate(unique_categories):
-                plt.scatter([], [], c=[colors[i]], label=cat)
-            plt.legend(ncols=3, loc="lower left")
-        plt.scatter(x=self.ts[:, range_idx], y=self.zs[:, range_idx], **scatter_kwargs)
-        plt.ylim([self.zs.min(), self.zs.max()])
-        if add_colorbar:
-            plt.colorbar(label="launch angle [degrees]")
-            plt.xlabel("time [s]")
-            plt.ylabel("depth [m]")
-            plt.title("Time Front")
+            if add_colorbar:
+                ax.figure.colorbar(points, ax=ax, label="launch angle [degrees]")
+        ax.set_ylim(self.zs.min(), self.zs.max())
+        ax.set_xlabel("time [s]")
+        ax.set_ylabel("depth [m]")
+        ax.set_title("Time Front")
+        return ax
 
-    def plot_ray_fan(self, **kwargs):
-        from matplotlib import pyplot as plt
+    def plot_ray_fan(self, ax=None, **kwargs):
+        """All trajectories in range-depth space, faded so a dense fan reads
+        as a density. Returns the axes."""
+        ax = _target_axes(ax)
+        fade = min(1.0, 10.0 / max(len(self), 1))
+        ax.plot(self.rs.T, self.zs.T, **_styled(kwargs, c="k", lw=1.0, alpha=fade))
+        ax.set_xlabel("range [m]")
+        ax.set_ylabel("depth [m]")
+        ax.set_ylim(self.zs.min(), self.zs.max())
+        ax.set_title("Ray Fan")
+        return ax
 
-        alpha_val = 10.0 / len(self.thetas)
-        if alpha_val > 1 or alpha_val < 0:
-            alpha_val = 1
-        plot_kwargs = {"c": "k", "lw": 1, "alpha": alpha_val}
-        plot_kwargs.update(kwargs)
-        plt.plot(self.rs.T, self.zs.T, **plot_kwargs)
-        plt.xlabel("range [m]")
-        plt.ylabel("depth [m]")
-        plt.ylim([self.zs.min(), self.zs.max()])
-        plt.title("Ray Fan")
+    def plot_depth_v_angle(self, include_line=False, ax=None, **kwargs):
+        """Final depth of each ray against its launch angle. Returns the axes.
 
-    def plot_depth_v_angle(self, include_line=False, **kwargs):
-        from matplotlib import pyplot as plt
-
+        (The reference's version dropped its own style defaults and left the
+        axes unlabeled; both fixed here.)
+        """
+        ax = _target_axes(ax)
+        z_end = self.zs[:, -1]
         if include_line:
-            plt.plot(self.thetas, self.zs[:, -1], c="#aaaaaa", lw=0.5, zorder=5)
-        plt.scatter(x=self.thetas, y=self.zs[:, -1], **kwargs)
+            ax.plot(self.thetas, z_end, c=_GUIDE_GREY, lw=0.5, zorder=5)
+        ax.scatter(self.thetas, z_end, **_styled(kwargs, s=2, lw=0, zorder=6))
+        ax.set_xlabel("launch angle [degrees]")
+        ax.set_ylabel("final depth [m]")
+        return ax
 
     # -- persistence ----------------------------------------------------
     def save_mat(self, filename):
@@ -321,42 +369,59 @@ class EigenRays:
             self.ray_id_int[ridx] = np.array(rids_int)
 
     # -- plotting -------------------------------------------------------
-    def plot_angle_time(self, ridxs=None, **kwargs):
-        from matplotlib import pyplot as plt
-
+    def _depth_indices(self, ridxs):
         if ridxs is None:
-            ridxs = list(self.received_angles.keys())
-        for ridx in ridxs:
-            plt.scatter(self.ts[ridx][:, -1], self.received_angles[ridx], **kwargs)
-        plt.xlabel("time [s]")
-        plt.ylabel("received angle [deg]")
-        plt.title("Received Angle vs Time")
+            return sorted(self.rs.keys())
+        if isinstance(ridxs, (int, np.integer)):
+            return [int(ridxs)]
+        return list(ridxs)
 
-    def plot(self, ridxs=[0], **kwargs):
-        from matplotlib import pyplot as plt
+    def plot_angle_time(self, ridxs=None, ax=None, **kwargs):
+        """Received angle vs arrival time for the selected receiver depths
+        (all depths by default). Returns the axes."""
+        ax = _target_axes(ax)
+        for ridx in self._depth_indices(ridxs):
+            ax.scatter(self.ts[ridx][:, -1], self.received_angles[ridx], **kwargs)
+        ax.set_xlabel("time [s]")
+        ax.set_ylabel("received angle [deg]")
+        ax.set_title("Received Angle vs Time")
+        return ax
 
-        if isinstance(ridxs, int):
-            ridxs = [ridxs]
-        ray_kwargs = {"c": "k"}
-        ray_kwargs.update(kwargs)
-        for ridx in ridxs:
-            plt.plot(self.rs[ridx].T, self.zs[ridx].T, **ray_kwargs)
-        plt.xlabel("range [m]")
-        plt.ylabel("depth [m]")
-        plt.title("Eigen Rays")
-        plt.ylim([self.zs[ridx].min(), self.zs[ridx].max()])
+    def plot(self, ridxs=0, ax=None, **kwargs):
+        """Eigenray trajectories for the selected receiver depths (the first
+        depth by default). Returns the axes."""
+        ax = _target_axes(ax)
+        indices = self._depth_indices(ridxs)
+        style = _styled(kwargs, c="k")
+        for ridx in indices:
+            ax.plot(self.rs[ridx].T, self.zs[ridx].T, **style)
+        ax.set_xlabel("range [m]")
+        ax.set_ylabel("depth [m]")
+        ax.set_title("Eigen Rays")
+        zs_shown = [self.zs[i] for i in indices if self.zs[i].size]
+        if zs_shown:
+            ax.set_ylim(min(z.min() for z in zs_shown),
+                        max(z.max() for z in zs_shown))
+        return ax
 
-    def plot_ducted(self, **kwargs):
-        from matplotlib import pyplot as plt
+    def plot_ducted(self, ax=None, **kwargs):
+        """Trajectories of eigenrays that never touch a boundary, across all
+        receiver depths. Returns the axes.
 
-        ray_kwargs = {"c": "k"}
-        ray_kwargs.update(kwargs)
-        for ridx in self.ray_id.keys():
-            mask = (self.n_botts[ridx] == 0) & (self.n_surfs[ridx] == 0)
-            plt.plot(self.rs[ridx][mask].T, -self.zs[ridx][mask].T, **ray_kwargs)
-        plt.xlabel("range [m]")
-        plt.ylabel("depth [m]")
-        plt.title("Ducted Eigen Rays")
+        Depths are drawn in the same (user, negative-down) convention as
+        ``plot`` — the reference flipped the sign here, inconsistently with
+        its other trajectory plots.
+        """
+        ax = _target_axes(ax)
+        style = _styled(kwargs, c="k")
+        for ridx in self._depth_indices(None):
+            ducted = (self.n_botts[ridx] == 0) & (self.n_surfs[ridx] == 0)
+            if np.any(ducted):
+                ax.plot(self.rs[ridx][ducted].T, self.zs[ridx][ducted].T, **style)
+        ax.set_xlabel("range [m]")
+        ax.set_ylabel("depth [m]")
+        ax.set_title("Ducted Eigen Rays")
+        return ax
 
     def save_mat(self, filename):
         from scipy import io
