@@ -26,10 +26,11 @@ from .integrate import trace
 from .ops.host import bilinear_np
 from .ray_objects import EigenRays, Ray
 from .shoot import _resolve_env, settings_for
+from .utils.cache import LRUCache, env_struct_key
 
 __all__ = ["find_eigenrays"]
 
-_DEVICE_SOLVE_CACHE = {}
+_DEVICE_SOLVE_CACHE = LRUCache(64)
 
 
 def find_eigenrays(
@@ -44,6 +45,7 @@ def find_eigenrays(
     max_iter=20,
     num_workers=None,  # accepted for API compatibility; unused
     method: str = "newton",
+    verbose: bool = False,
     **kwargs,
 ):
     """Find eigenrays for each receiver depth via batched root finding.
@@ -60,6 +62,10 @@ def find_eigenrays(
     false-position step whenever the Newton candidate leaves it).
     "regula_falsi" reproduces the reference's pure false-position iteration
     (`/root/reference/src/pygenray/eigenrays.py:206-268`).
+
+    ``verbose`` shows per-iteration progress (a tqdm bar when tqdm is
+    installed); it keeps the iterations on the host, so the default
+    (``False``) single-device-computation path is also the fast one.
     """
     rtol = kwargs.get("rtol", 1e-9)
     flatearth = kwargs.get("flatearth", True)
@@ -142,13 +148,16 @@ def find_eigenrays(
         deg = np.pi / 180.0
         NBj = th1_a.shape[0]
 
-        key = (id(env), geom, settings, NBj, bool(use_newton), float(ztol), int(max_iter))
-        entry = _DEVICE_SOLVE_CACHE.get(key)
-        if entry is None:
+        key = (
+            env_struct_key(env), geom, settings, NBj,
+            bool(use_newton), float(ztol), int(max_iter), float(source_depth),
+        )
+        solve_fn = _DEVICE_SOLVE_CACHE.get(key)
+        if solve_fn is None:
 
-            def solve(st0, rd):
+            def solve(envarg, st0, rd):
                 def zfun(p):
-                    res = _trace_impl(env, source_depth, p, geom, s_it)
+                    res = _trace_impl(envarg, source_depth, p, geom, s_it)
                     return res.zs[:, -1], res.alive
 
                 def body(st):
@@ -199,10 +208,8 @@ def find_eigenrays(
 
                 return jax.lax.while_loop(cond, body, st0)
 
-            entry = (jax.jit(solve), env)  # hold env so id() stays valid
-            if len(_DEVICE_SOLVE_CACHE) > 64:
-                _DEVICE_SOLVE_CACHE.clear()
-            _DEVICE_SOLVE_CACHE[key] = entry
+            solve_fn = jax.jit(solve)
+            _DEVICE_SOLVE_CACHE.put(key, solve_fn)
 
         denom0 = np.where(np.abs(z2_a - z1_a) > 0, z2_a - z1_a, 1.0)
         theta0 = th1_a - (z1_a + rd_a) * (th2_a - th1_a) / denom0
@@ -213,7 +220,7 @@ def find_eigenrays(
             jnp.full(NBj, jnp.nan, dt), jnp.zeros(NBj, jnp.int32),
             jnp.full(NBj, jnp.nan, dt), jnp.asarray(0, jnp.int32),
         )
-        out = entry[0](st0, jnp.asarray(rd_a, dt))
+        out = solve_fn(env, st0, jnp.asarray(rd_a, dt))
         (_, _, _, _, _, conv, dead, th_hit, iters, resid, _) = out
         return (
             np.asarray(th_hit), np.asarray(conv), np.asarray(dead),
@@ -314,9 +321,9 @@ def find_eigenrays(
 
     # ---- batched root-finding iterations ---------------------------------
     use_newton = method == "newton"
-    if not kwargs.get("verbose", False):
+    if not verbose:
         # all iterations in one device while_loop (no per-iteration
-        # host round trips); verbose mode keeps the host loop for tqdm
+        # host round trips); verbose mode keeps the host loop for progress
         theta_hit, converged, dead, iterations, resid = device_solve(
             rd_arr, th1, th2, z1, z2, use_newton
         )
@@ -325,10 +332,12 @@ def find_eigenrays(
         )
 
     it_range = range(max_iter + 2)
-    if True:
+    try:
         from tqdm import tqdm
 
         it_range = tqdm(it_range, desc="Finding eigenrays")
+    except ImportError:  # tqdm is optional; fall back to plain iteration
+        pass
     for _ in it_range:
         active = ~(converged | dead)
         if not active.any():

@@ -36,6 +36,7 @@ from jax import lax
 from .envdata import EnvData
 from .ops.cheb import clenshaw
 from .ops.interp import cubic_spline_eval, interval_index, linear_interp
+from .utils.cache import LRUCache, env_struct_key
 
 __all__ = ["SolverSettings", "TraceResult", "trace", "DEATH_CODES"]
 
@@ -547,7 +548,7 @@ def _trace_ducted_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
     return ts, zs, ps, carry[8], carry[9]
 
 
-_DUCTED_HOST_CACHE = {}
+_DUCTED_HOST_CACHE = LRUCache(64)  # id-keyed: caches host *values* of one env
 
 
 def ducted_mask(env: EnvData, z0, p0, x0: float, x1: float, margin: float = 2e-3):
@@ -575,9 +576,7 @@ def ducted_mask(env: EnvData, z0, p0, x0: float, x1: float, margin: float = 2e-3
             np.asarray(env.bathy, np.float64),
             env,  # keep alive so id() stays valid
         )
-        if len(_DUCTED_HOST_CACHE) > 64:
-            _DUCTED_HOST_CACHE.clear()
-        _DUCTED_HOST_CACHE[id(env)] = host
+        _DUCTED_HOST_CACHE.put(id(env), host)
     c, zg, br, bv, _ = host
     p0 = np.asarray(p0, np.float64)
     z0v = np.broadcast_to(np.asarray(z0, np.float64), p0.shape)
@@ -763,18 +762,18 @@ def trace(
     return _trace_impl_cached(env, z0, p0, geom, settings)
 
 
-_XLA_JIT_CACHE = {}
+_XLA_JIT_CACHE = LRUCache(128)
 
 
 def _trace_impl_cached(env, z0, p0, geom, settings):
-    """Jit closure over (env, geom, settings) — skips per-call environment
-    pytree flattening and static hashing (tens of ms at 1e5-ray batches)."""
+    """Memoized jitted launcher keyed on the environment *structure*
+    (treedef + leaf shapes/dtypes), so same-shaped environments — eigenray
+    iterations, Monte-Carlo realizations — share one executable.  The
+    environment is a runtime argument, never baked into the closure."""
     z0a = jnp.asarray(z0, env.c.dtype)
-    key = (id(env), geom, settings, p0.shape, z0a.shape)
-    entry = _XLA_JIT_CACHE.get(key)
-    if entry is None:
-        if len(_XLA_JIT_CACHE) > 128:
-            _XLA_JIT_CACHE.clear()
-        fn = jax.jit(lambda p, z: _trace_impl(env, z, p, geom, settings))
-        _XLA_JIT_CACHE[key] = entry = (fn, env)
-    return entry[0](p0, z0a)
+    key = (env_struct_key(env), geom, settings, p0.shape, z0a.shape)
+    fn = _XLA_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda e, p, z: _trace_impl(e, z, p, geom, settings))
+        _XLA_JIT_CACHE.put(key, fn)
+    return fn(env, p0, z0a)

@@ -32,6 +32,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.cache import LRUCache, env_struct_key
+
 _TINY = 1e-30
 
 
@@ -377,17 +379,13 @@ def _layout(B: int):
     return nblocks, R, Bb, nblocks * Bb
 
 
-_JIT_CACHE = {}
+_JIT_CACHE = LRUCache(256)
 
 
 def _get_fn(env, geom, settings, p_shape, z_shape, ducted_blocks, permuted, interpret=False):
-    treedef = jax.tree_util.tree_structure(env)
-    shapes = tuple((l.shape, str(l.dtype)) for l in jax.tree_util.tree_leaves(env))
-    key = (treedef, shapes, geom, settings, p_shape, z_shape, ducted_blocks, permuted, interpret)
+    key = (env_struct_key(env), geom, settings, p_shape, z_shape, ducted_blocks, permuted, interpret)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        if len(_JIT_CACHE) > 256:
-            _JIT_CACHE.clear()
         if permuted:
 
             def fn(envarg, p, z, order, inv):
@@ -414,7 +412,7 @@ def _get_fn(env, geom, settings, p_shape, z_shape, ducted_blocks, permuted, inte
                     ducted_blocks=ducted_blocks, interpret=interpret,
                 )
             )
-        _JIT_CACHE[key] = fn
+        _JIT_CACHE.put(key, fn)
     return fn
 
 

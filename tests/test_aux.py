@@ -205,3 +205,33 @@ class TestVerticalSourceArray:
             )
             np.testing.assert_allclose(rf.zs[i], single.z, atol=1e-9)
             np.testing.assert_allclose(rf.ts[i], single.t, atol=1e-12)
+
+
+class TestStructuralJitCache:
+    def test_same_structure_envs_share_executable(self):
+        """Two environments with identical structure but different values
+        must reuse one compiled trace — and still produce their own results."""
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+        from pygenray_tpu.integrate import SolverSettings, _XLA_JIT_CACHE, trace
+
+        z = np.linspace(0.0, 5000.0, 301)
+        r = np.asarray([0.0, 50e3])
+        kw = dict(interp="table", dtype="float64")
+        env_a = make_env_data(np.tile(munk_ssp(z), (2, 1)), r, z,
+                              np.full(2, 4500.0), r, **kw)
+        env_b = make_env_data(np.tile(munk_ssp(z) + 5.0, (2, 1)), r, z,
+                              np.full(2, 4500.0), r, **kw)
+
+        settings = SolverSettings(dx=200.0, interp="table")
+        p0 = np.sin(np.radians([6.0, 9.0])) / 1500.0
+        n_before = len(_XLA_JIT_CACHE)
+        res_a = trace(env_a, 1000.0, p0, 0.0, 30e3, 5, settings)
+        n_after_a = len(_XLA_JIT_CACHE)
+        res_b = trace(env_b, 1000.0, p0, 0.0, 30e3, 5, settings)
+        n_after_b = len(_XLA_JIT_CACHE)
+
+        assert n_after_a == n_before + 1
+        assert n_after_b == n_after_a  # second env reused the executable
+        # ...but the faster medium must yield shorter travel times
+        assert np.all(np.asarray(res_b.ts[:, -1]) < np.asarray(res_a.ts[:, -1]))
