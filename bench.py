@@ -121,6 +121,26 @@ def main():
     max_dt_ms = float(np.max(np.abs(ts - o_ts)) * 1e3)
     max_dz_m = float(np.max(np.abs(zs - o_zs)))
 
+    # on-hardware Pallas <-> XLA-scan equivalence: values are FETCHED (not
+    # just block_until_ready'd), so a faulting/regressed kernel cannot hide
+    import dataclasses
+
+    eq_angles = np.linspace(-18.0, 18.0, 512)  # includes bouncing rays
+    p0e = jnp.asarray(np.sin(np.radians(-eq_angles)) / c_src, dtype)
+    r_pal = trace(env, SRC_DEPTH, p0e, 0.0, R_MAX, 10,
+                  dataclasses.replace(settings, backend="pallas"))
+    r_xla = trace(env, SRC_DEPTH, p0e, 0.0, R_MAX, 10,
+                  dataclasses.replace(settings, backend="xla"))
+    equiv_dt_ms = float(
+        np.max(np.abs(np.asarray(r_pal.ts, float) - np.asarray(r_xla.ts, float))) * 1e3
+    )
+    counters_equal = bool(
+        np.array_equal(np.asarray(r_pal.n_surf), np.asarray(r_xla.n_surf))
+        and np.array_equal(np.asarray(r_pal.n_bott), np.asarray(r_xla.n_bott))
+        and np.array_equal(np.asarray(r_pal.death_code), np.asarray(r_xla.death_code))
+    )
+    equiv_pass = counters_equal and equiv_dt_ms < 0.01
+
     print(
         json.dumps(
             {
@@ -133,6 +153,8 @@ def main():
                 "max_travel_time_err_ms": round(max_dt_ms, 4),
                 "max_final_depth_err_m": round(max_dz_m, 3),
                 "accuracy_target_ms": 0.1,
+                "pallas_xla_equiv": "pass" if equiv_pass else "FAIL",
+                "pallas_xla_max_dt_ms": round(equiv_dt_ms, 6),
             }
         )
     )
@@ -276,7 +298,10 @@ def bench_extra_configs():
     c_ens, r_mc, z_mc = perturbed_munk_tables(E, r_max=R_MAX, nr=32, nz=1024, seed=0)
     env_ens = make_env_ensemble(c_ens, r_mc, z_mc, np.full(32, 5000.0), r_mc)
     mc_angles = np.linspace(-ANGLE_SPAN, ANGLE_SPAN, BMC)
-    p0_mc = jnp.asarray(np.sin(np.radians(-mc_angles)) / c_src, jnp.float32)
+    # launch-angle conversion uses the ensemble's own nominal (unperturbed
+    # Munk) source sound speed, not config 1's range-dependent field
+    c_src_mc = float(munk_ssp(np.asarray([SRC_DEPTH]))[0])
+    p0_mc = jnp.asarray(np.sin(np.radians(-mc_angles)) / c_src_mc, jnp.float32)
     from pygenray_tpu.montecarlo import trace_ensemble
 
     s_mc = SolverSettings(dx=200.0)

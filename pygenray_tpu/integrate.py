@@ -739,13 +739,27 @@ def trace(
 
     pallas_ok = False
     on_tpu = jax.default_backend() == "tpu"
-    if settings.backend != "xla" and not sharded:
+    if settings.backend != "xla":
         from .ops.pallas_stepper import pallas_supported
 
         pallas_ok = pallas_supported(env, settings, _use_cheb(env, settings))
         if settings.backend == "pallas" and not pallas_ok:
             raise ValueError("Pallas backend unsupported for this configuration")
         pallas_ok = pallas_ok and (on_tpu or settings.backend == "pallas")
+
+    if sharded:
+        if pallas_ok:
+            from .ops.pallas_stepper import shardable_pallas, trace_pallas_sharded
+
+            z0a = jnp.asarray(z0, env.c.dtype)
+            if shardable_pallas(p0, z0a):
+                # per-device mega-kernel launches under shard_map: sharded
+                # fans keep the kernel's throughput instead of falling back
+                # to the XLA scan
+                return trace_pallas_sharded(
+                    env, z0, p0, geom, settings, interpret=not on_tpu
+                )
+        return _trace_impl_cached(env, z0, p0, geom, settings)
 
     if pallas_ok:
         from .ops.pallas_stepper import trace_pallas_cached
@@ -756,7 +770,7 @@ def trace(
         p0 = jnp.atleast_1d(jnp.asarray(p0))
         return trace_pallas_cached(env, z0, p0, geom, settings, interpret=not on_tpu)
 
-    if settings.partition and not sharded:
+    if settings.partition:
         return _trace_partitioned(env, z0, p0, geom, settings)
     p0 = jnp.atleast_1d(jnp.asarray(p0))
     return _trace_impl_cached(env, z0, p0, geom, settings)

@@ -88,10 +88,10 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
     def kernel(
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
         st_tab_ref, ci_ref,
-        ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out,
+        ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out, dseg_out,
         zlo_out, zhi_out,
         T_s, Tc_s, z_s, zc_s, p_s, kT_s, kz_s, kp_s, al_s, ns_s, nb_s, de_s,
-        zel_s, zeh_s, stage_s, st_s, sem, stsem,
+        ds_s, zel_s, zeh_s, stage_s, st_s, sem, stsem,
     ):
         ib = pl.program_id(0)
 
@@ -147,6 +147,13 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
             stage_s[0] = a
             stage_s[1] = b
             stage_s[2] = c
+            # per-save aliveness as the first save index at which the ray is
+            # dead (monotone: dead rays stay dead) — one int per ray, DMA'd
+            # once at the end instead of a per-segment copy
+            ds_s[...] = jnp.minimum(
+                ds_s[...],
+                jnp.where(al_s[...] > 0.5, nseg + 1, row).astype(jnp.int32),
+            )
             cps = [
                 pltpu.make_async_copy(stage_s.at[i], out.at[row, ib], sem.at[i])
                 for i, out in enumerate((ts_out, zs_out, ps_out))
@@ -156,6 +163,7 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
             for cp_ in cps:
                 cp_.wait()
 
+        ds_s[...] = jnp.full_like(ns_s[...], nseg + 1)
         save(0, T_s[...], z_s[...], p_s[...])
 
         hs = jnp.float32(h)
@@ -364,6 +372,7 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
         nsurf_out[0] = ns_s[...]
         nbott_out[0] = nb_s[...]
         death_out[0] = de_s[...]
+        dseg_out[0] = ds_s[...]
         zlo_out[0] = zel_s[...]
         zhi_out[0] = zeh_s[...]
 
@@ -463,9 +472,11 @@ def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False):
     res, zlo, zhi = fn(env, p0, z0a, jnp.asarray(order), jnp.asarray(inv))
 
     # soundness audit on the ducted blocks' z excursions (still in sorted
-    # order: first db blocks of the padded batch)
+    # order: first db blocks of the padded batch). Clamp to the real batch
+    # size: when every ray is ducted the last block carries zero-padded
+    # lanes whose excursions must not trip the audit.
     _, _, Bb, _ = _layout(p0.shape[0])
-    nd_pad = db * Bb
+    nd_pad = min(db * Bb, p0.shape[0])
     zlo_d = np.asarray(zlo[:nd_pad])
     zhi_d = np.asarray(zhi[:nd_pad])
     b_min = _bathy_min_over_span(env, geom[0], geom[1])
@@ -473,6 +484,85 @@ def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False):
         fn0 = _get_fn(env, geom, settings, p0.shape, z0a.shape, 0, False, interpret)
         res, _, _ = fn0(env, p0, z0a)
     return res
+
+
+_SHARD_CACHE = LRUCache(64)
+
+
+def shardable_pallas(p0, z0a) -> bool:
+    """True when a sharded ray batch can be dispatched through the per-device
+    mega-kernel: a 1D NamedSharding over a single mesh axis, the batch evenly
+    divisible across shards, and a per-ray z0 (if any) sharded identically."""
+    from jax.sharding import NamedSharding
+
+    sh = getattr(p0, "sharding", None)
+    if not isinstance(sh, NamedSharding) or len(sh.device_set) < 2:
+        return False
+    spec = sh.spec
+    if len(spec) != 1 or not isinstance(spec[0], str):
+        return False
+    n_shards = sh.mesh.shape[spec[0]]
+    if p0.shape[0] % n_shards != 0:
+        return False
+    if z0a.ndim == 1 and getattr(z0a, "sharding", None) != sh:
+        return False
+    return True
+
+
+def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False):
+    """Mega-kernel fan trace over a device mesh: one kernel launch per device
+    via ``jax.shard_map`` on the ray axis, environment replicated.
+
+    This is the multi-chip fast path — without it a sharded fan forfeits the
+    kernel's throughput by falling back to the XLA scan.  Rays never
+    communicate (the reference's process fan,
+    `/root/reference/src/pygenray/launch_rays.py:119-164`), so there are no
+    collectives inside the trace at all.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..integrate import TraceResult
+
+    x0, x1, h, sps, nseg = geom
+    dtype = env.c.dtype
+    z0a = jnp.asarray(z0, dtype)
+    sh = p0.sharding
+    mesh, axis = sh.mesh, sh.spec[0]
+    z_per_ray = z0a.ndim == 1
+
+    key = (env_struct_key(env), geom, settings, p0.shape, z0a.shape,
+           mesh, axis, interpret)
+    fn = _SHARD_CACHE.get(key)
+    if fn is None:
+
+        def local(envarg, zz, pp):
+            res, _, _ = trace_pallas(envarg, zz, pp, geom, settings,
+                                     interpret=interpret)
+            return (res.ts, res.zs, res.ps, res.alive_save,
+                    res.n_bott, res.n_surf, res.alive, res.death_code)
+
+        ray2 = P(axis, None)
+        ray1 = P(axis)
+        fn = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), ray1 if z_per_ray else P(), ray1),
+                out_specs=(ray2, ray2, ray2, ray2, ray1, ray1, ray1, ray1),
+                # pallas_call out_shapes carry no varying-mesh-axes metadata
+                check_vma=False,
+            )
+        )
+        _SHARD_CACHE.put(key, fn)
+
+    ts, zs, ps, alive_save, n_bott, n_surf, alive, death = fn(env, z0a, p0)
+    num_save = nseg + 1
+    rs = x0 + (x1 - x0) * jnp.arange(num_save, dtype=dtype) / nseg
+    return TraceResult(
+        rs=rs, ts=ts, zs=zs, ps=ps,
+        n_bott=n_bott, n_surf=n_surf,
+        alive=alive, alive_save=alive_save, death_code=death,
+    )
 
 
 def _bathy_min_over_span(env, x0, x1):
@@ -579,14 +669,15 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # n_surf
         jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # n_bott
         jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # death
+        jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # first-dead save idx
         jax.ShapeDtypeStruct((nblocks, R, 128), dtype),  # z excursion lo
         jax.ShapeDtypeStruct((nblocks, R, 128), dtype),  # z excursion hi
     ]
-    # T, Tc, z, zc, p, kT, kz, kp, alive(f32) | ns, nb, death
+    # T, Tc, z, zc, p, kT, kz, kp, alive(f32) | ns, nb, death, first-dead idx
     # | save staging | RD station double-buffer | save sems | station sems
     scratch = (
         [pltpu.VMEM((R, 128), dtype) for _ in range(9)]
-        + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
+        + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(4)]
         + [
             pltpu.VMEM((R, 128), dtype),  # z excursion lo
             pltpu.VMEM((R, 128), dtype),  # z excursion hi
@@ -620,9 +711,10 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         blocked,
         blocked,
         blocked,
+        blocked,
     ]
 
-    ts, zs, ps, n_surf, n_bott, death, z_lo, z_hi = pl.pallas_call(
+    ts, zs, ps, n_surf, n_bott, death, dseg, z_lo, z_hi = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=grid,
@@ -642,6 +734,8 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
     ts = unblock(ts)
     zs = unblock(zs)
     ps = unblock(ps)
+    # alive at save point k  <=>  k precedes the ray's first-dead save index
+    alive_save = jnp.arange(num_save, dtype=jnp.int32)[None, :] < unblock1(dseg)[:, None]
     n_surf = unblock1(n_surf)
     n_bott = unblock1(n_bott)
     death = unblock1(death)
@@ -651,7 +745,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         rs=rs, ts=ts, zs=zs, ps=ps,
         n_bott=n_bott, n_surf=n_surf,
         alive=alive,
-        alive_save=jnp.broadcast_to(alive[:, None], ts.shape),
+        alive_save=alive_save,
         death_code=death,
     )
     return result, unblock1(z_lo), unblock1(z_hi)

@@ -40,6 +40,9 @@ def _compare(env, angles, x1=50e3, num_save=10, dx=200.0, z0=1300.0, ts_atol=0.0
     np.testing.assert_array_equal(np.asarray(ref.n_surf), np.asarray(out.n_surf))
     np.testing.assert_array_equal(np.asarray(ref.n_bott), np.asarray(out.n_bott))
     np.testing.assert_array_equal(np.asarray(ref.death_code), np.asarray(out.death_code))
+    np.testing.assert_array_equal(
+        np.asarray(ref.alive_save), np.asarray(out.alive_save)
+    )
     return ref, out
 
 
@@ -126,3 +129,32 @@ class TestSortedDispatch:
         np.testing.assert_array_equal(
             np.asarray(rp.death_code), np.asarray(rf.death_code)
         )
+
+    def test_all_ducted_nonmultiple_batch_no_audit_false_positive(self):
+        """When every ray is ducted and B doesn't fill the last block, the
+        zero-padded lanes must not trip the soundness audit (which would
+        silently re-run the whole batch through the event kernel)."""
+        import pygenray_tpu.ops.pallas_stepper as ps
+        from pygenray_tpu.integrate import trace
+
+        env = _env()
+        s = SolverSettings(dx=500.0, backend="pallas", partition=True)
+        angles = np.linspace(-8, 8, 4500)  # all ducted at z0=1300; pads to 4608
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = np.sin(np.radians(-angles)) / c_src
+
+        calls = []
+        orig = ps._get_fn
+
+        def counting_get_fn(*args, **kw):
+            calls.append(args[5:7])  # (ducted_blocks, permuted)
+            return orig(*args, **kw)
+
+        ps._get_fn = counting_get_fn
+        try:
+            res = trace(env, 1300.0, p0, 0.0, 50e3, 5, s)
+        finally:
+            ps._get_fn = orig
+        assert len(calls) == 1, f"audit re-ran the batch: {calls}"
+        assert calls[0][0] > 0  # dispatched with ducted blocks
+        assert bool(np.asarray(res.alive).all())

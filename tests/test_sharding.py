@@ -61,3 +61,55 @@ def test_pad_to_multiple():
     padded, n = pad_to_multiple(arr, 8)
     assert padded.shape[0] == 16
     assert n == 13
+
+
+def test_sharded_pallas_dispatch_matches_unsharded_kernel():
+    """A sharded fan on a supported (spectral f32) environment must go
+    through the per-device mega-kernel (shard_map) and agree with the
+    single-device kernel."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    import pygenray_tpu.ops.pallas_stepper as ps
+    from pygenray_tpu.envdata import make_env_data
+    from pygenray_tpu.environment import munk_ssp
+    from pygenray_tpu.integrate import SolverSettings, trace
+
+    z = np.linspace(0, 6000, 512)
+    r = np.linspace(0, 50e3, 8)
+    c = np.outer(np.ones(8), munk_ssp(z))
+    envd = make_env_data(c, r, z, np.full(8, 4600.0), r, dtype=jnp.float32)
+    s = SolverSettings(dx=500.0, backend="pallas")  # force kernel off-TPU
+
+    mesh = make_mesh()
+    angles = np.linspace(-16, 16, 128)
+    p0_host = (np.sin(np.radians(-angles)) / 1500.0).astype(np.float32)
+
+    called = []
+    orig = ps.trace_pallas_sharded
+
+    def spy(*args, **kw):
+        called.append(True)
+        return orig(*args, **kw)
+
+    ps.trace_pallas_sharded = spy
+    try:
+        res_sh = trace(envd, 1300.0, shard_rays(jnp.asarray(p0_host), mesh),
+                       0.0, 50e3, 10, s)
+    finally:
+        ps.trace_pallas_sharded = orig
+    assert called, "sharded trace did not dispatch the Pallas shard_map path"
+    assert len(res_sh.ts.sharding.device_set) == 8
+
+    res_1 = trace(envd, 1300.0, jnp.asarray(p0_host), 0.0, 50e3, 10, s)
+    np.testing.assert_array_equal(np.asarray(res_sh.ts), np.asarray(res_1.ts))
+    np.testing.assert_array_equal(np.asarray(res_sh.zs), np.asarray(res_1.zs))
+    np.testing.assert_array_equal(np.asarray(res_sh.n_bott), np.asarray(res_1.n_bott))
+    np.testing.assert_array_equal(np.asarray(res_sh.n_surf), np.asarray(res_1.n_surf))
+    np.testing.assert_array_equal(
+        np.asarray(res_sh.death_code), np.asarray(res_1.death_code)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_sh.alive_save), np.asarray(res_1.alive_save)
+    )
