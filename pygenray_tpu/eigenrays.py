@@ -73,7 +73,8 @@ def find_eigenrays(
     interp = kwargs.get("interp", "auto")
     dtype = kwargs.get("dtype", None)
     terminate_backwards = kwargs.get("terminate_backwards", True)
-    settings = settings_for(rtol, dx, interp, terminate_backwards)
+    backend = kwargs.get("backend", "auto")
+    settings = settings_for(rtol, dx, interp, terminate_backwards, backend)
 
     backwards = receiver_range < source_range
     env = _resolve_env(environment, flatearth, backwards, settings.interp, dtype)
@@ -130,18 +131,35 @@ def find_eigenrays(
         A ``lax.while_loop`` whose body is the batched final-state trace
         plus the bracket/Newton update — eliminates the per-iteration
         host↔device round trips of the host loop (identical update math).
+
+        On supported configurations (range-independent spectral f32) the
+        per-iteration trace runs through the Pallas kernels — the tangent
+        kernel for Newton (primal + dz_end/dθ in one launch), the
+        mega-kernel for regula falsi — which is ~an order of magnitude
+        faster than the XLA scan at eigenray batch sizes.
         """
         import dataclasses
 
         import jax
 
-        from .integrate import _plan, _trace_impl
+        from .integrate import _plan, _trace_impl, _use_cheb
 
         h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
         geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
         s_it = dataclasses.replace(
             settings, backend="xla", partition=False,
             kahan=settings.kahan and not use_newton,
+        )
+
+        from .ops.pallas_stepper import (
+            tangent_supported, trace_pallas, trace_pallas_tangent,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        use_kernel = (
+            settings.backend != "xla"
+            and tangent_supported(env, s_it, _use_cheb(env, s_it))
+            and (on_tpu or settings.backend == "pallas")
         )
         dt = jnp.float64 if env.c.dtype == jnp.float64 else jnp.float32
         inv_csrc = 1.0 / float(c_src)
@@ -150,12 +168,24 @@ def find_eigenrays(
 
         key = (
             env_struct_key(env), geom, settings, NBj,
-            bool(use_newton), float(ztol), int(max_iter), float(source_depth),
+            bool(use_newton), bool(use_kernel), float(ztol), int(max_iter),
+            float(source_depth),
         )
         solve_fn = _DEVICE_SOLVE_CACHE.get(key)
         if solve_fn is None:
 
-            def solve(envarg, st0, rd):
+            def solve(envarg, packed):
+                # packed: (6, NB) = [theta0, th1, th2, z1, z2, rd] — a single
+                # H2D transfer; the axon tunnel charges ~10-20 ms per array
+                # transfer, so the whole solver does exactly one in, one out
+                rd = packed[5]
+                st0 = (
+                    packed[0], packed[1], packed[2], packed[3], packed[4],
+                    jnp.zeros(NBj, bool), jnp.zeros(NBj, bool),
+                    jnp.full(NBj, jnp.nan, dt), jnp.zeros(NBj, jnp.int32),
+                    jnp.full(NBj, jnp.nan, dt), jnp.asarray(0, jnp.int32),
+                )
+
                 def zfun(p):
                     res = _trace_impl(envarg, source_depth, p, geom, s_it)
                     return res.zs[:, -1], res.alive
@@ -165,10 +195,27 @@ def find_eigenrays(
                      iters, resid, it) = st
                     p0 = jnp.sin(-theta * deg) * inv_csrc
                     if use_newton:
-                        (z_ode, alive), (dz_ode, _) = jax.jvp(
-                            zfun, (p0,), (jnp.ones_like(p0),)
-                        )
+                        if use_kernel:
+                            (_, z_ode, _, _, dz_ode, _, _, _, dcode) = (
+                                trace_pallas_tangent(
+                                    envarg, source_depth, p0,
+                                    jnp.ones_like(p0), geom, s_it,
+                                    interpret=not on_tpu,
+                                )
+                            )
+                            alive = dcode == 0
+                        else:
+                            (z_ode, alive), (dz_ode, _) = jax.jvp(
+                                zfun, (p0,), (jnp.ones_like(p0),)
+                            )
                         dz_dth = -dz_ode * (-jnp.cos(theta * deg) * deg * inv_csrc)
+                    elif use_kernel:
+                        res, _, _ = trace_pallas(
+                            envarg, source_depth, p0, geom, s_it,
+                            interpret=not on_tpu,
+                        )
+                        z_ode, alive = res.zs[:, -1], res.alive
+                        dz_dth = None
                     else:
                         z_ode, alive = zfun(p0)
                         dz_dth = None
@@ -206,25 +253,26 @@ def find_eigenrays(
                 def cond(st):
                     return jnp.any(~(st[5] | st[6])) & (st[10] < max_iter + 2)
 
-                return jax.lax.while_loop(cond, body, st0)
+                st = jax.lax.while_loop(cond, body, st0)
+                (_, _, _, _, _, conv, dead, th_hit, iters, resid, _) = st
+                # single packed D2H result
+                return jnp.stack([
+                    th_hit, conv.astype(dt), dead.astype(dt),
+                    iters.astype(dt), resid,
+                ])
 
             solve_fn = jax.jit(solve)
             _DEVICE_SOLVE_CACHE.put(key, solve_fn)
 
         denom0 = np.where(np.abs(z2_a - z1_a) > 0, z2_a - z1_a, 1.0)
         theta0 = th1_a - (z1_a + rd_a) * (th2_a - th1_a) / denom0
-        st0 = (
-            jnp.asarray(theta0, dt), jnp.asarray(th1_a, dt), jnp.asarray(th2_a, dt),
-            jnp.asarray(z1_a, dt), jnp.asarray(z2_a, dt),
-            jnp.zeros(NBj, bool), jnp.zeros(NBj, bool),
-            jnp.full(NBj, jnp.nan, dt), jnp.zeros(NBj, jnp.int32),
-            jnp.full(NBj, jnp.nan, dt), jnp.asarray(0, jnp.int32),
+        packed = jnp.asarray(
+            np.stack([theta0, th1_a, th2_a, z1_a, z2_a, rd_a]), dt
         )
-        out = solve_fn(env, st0, jnp.asarray(rd_a, dt))
-        (_, _, _, _, _, conv, dead, th_hit, iters, resid, _) = out
+        out = np.asarray(solve_fn(env, packed))
         return (
-            np.asarray(th_hit), np.asarray(conv), np.asarray(dead),
-            np.asarray(iters), np.asarray(resid),
+            out[0], out[1] > 0.5, out[2] > 0.5,
+            out[3].astype(np.int32), out[4],
         )
 
     # ---- collect brackets across all receiver depths ---------------------
@@ -280,15 +328,19 @@ def find_eigenrays(
         # final full-resolution trace of the converged angles
         conv_idx = np.where(converged)[0]
         if conv_idx.size:
+            import jax
+
             res = shoot_batch(theta_hit[conv_idx], num_save=num_range_save)
-            rs = np.asarray(res.rs, float)
+            # one overlapped D2H gather instead of six sequential fetches
+            rs, ts, zs, ps, nb, ns = jax.device_get(
+                (res.rs, res.ts, res.zs, res.ps, res.n_bott, res.n_surf)
+            )
+            rs = np.asarray(rs, float)
             if backwards:
                 rs = -rs
-            ts = np.asarray(res.ts, float)
-            zs = np.asarray(res.zs, float)
-            ps = np.asarray(res.ps, float)
-            nb = np.asarray(res.n_bott)
-            ns = np.asarray(res.n_surf)
+            ts = np.asarray(ts, float)
+            zs = np.asarray(zs, float)
+            ps = np.asarray(ps, float)
             for j, i in enumerate(conv_idx):
                 ray = Ray(
                     rs,

@@ -32,12 +32,15 @@ from .ray_objects import Ray, RayFan
 __all__ = ["shoot_rays", "shoot_ray", "settings_for"]
 
 
-def settings_for(rtol=1e-9, dx=None, interp="auto", terminate_backwards=True):
+def settings_for(rtol=1e-9, dx=None, interp="auto", terminate_backwards=True,
+                 backend="auto"):
     """Solver settings; ``rtol`` is accepted for reference-API compatibility
     and mapped onto a nominal fixed step when ``dx`` is not given."""
     if dx is None:
         dx = float(np.clip(50.0 * (rtol / 1e-9) ** 0.25, 5.0, 500.0))
-    return SolverSettings(dx=dx, interp=interp, terminate_backwards=terminate_backwards)
+    return SolverSettings(dx=dx, interp=interp,
+                          terminate_backwards=terminate_backwards,
+                          backend=backend)
 
 
 def _resolve_env(environment, flatearth, mirrored, interp, dtype):

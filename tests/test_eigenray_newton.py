@@ -63,3 +63,53 @@ class TestNewtonEigenrays:
         if cls._cache is None:
             cls._cache = _setup()
         return cls._cache
+
+
+class TestKernelEigenrays:
+    """Eigenray iterations through the Pallas kernels (interpret mode on
+    CPU, forced with backend='pallas'): arrivals must match the XLA path."""
+
+    def _setup_f32(self):
+        import jax.numpy as jnp
+
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+
+        z = np.linspace(0, 6000, 512)
+        r = np.linspace(0, 50e3, 8)
+        c = np.outer(np.ones(8), munk_ssp(z))
+        env = make_env_data(c, r, z, np.full(8, 4600.0), r, dtype=jnp.float32)
+        angles = np.linspace(-14, 14, 141)
+        rays = pr.shoot_rays(1300.0, 0.0, angles, 50e3, 2, env,
+                             flatearth=False, dx=200.0)
+        return env, rays
+
+    def _run(self, method, backend):
+        env, rays = self._setup_f32()
+        return pr.find_eigenrays(
+            rays, [800.0, 1300.0], 1300.0, 0.0, 50e3, 10, env, ztol=0.5,
+            flatearth=False, dx=200.0, method=method, backend=backend,
+        )
+
+    def test_newton_kernel_matches_xla(self):
+        er_k = self._run("newton", "pallas")
+        er_x = self._run("newton", "xla")
+        for i in range(2):
+            assert er_k.num_eigenrays_found[i] == er_x.num_eigenrays_found[i]
+            np.testing.assert_allclose(
+                np.sort(er_k.launch_angles[i]),
+                np.sort(er_x.launch_angles[i]), atol=5e-3,
+            )
+            np.testing.assert_allclose(
+                np.sort(er_k.ts[i][:, -1]), np.sort(er_x.ts[i][:, -1]), atol=1e-5
+            )
+
+    def test_regula_falsi_kernel_matches_xla(self):
+        er_k = self._run("regula_falsi", "pallas")
+        er_x = self._run("regula_falsi", "xla")
+        for i in range(2):
+            assert er_k.num_eigenrays_found[i] == er_x.num_eigenrays_found[i]
+            np.testing.assert_allclose(
+                np.sort(er_k.launch_angles[i]),
+                np.sort(er_x.launch_angles[i]), atol=5e-3,
+            )

@@ -158,3 +158,48 @@ class TestSortedDispatch:
         assert len(calls) == 1, f"audit re-ran the batch: {calls}"
         assert calls[0][0] > 0  # dispatched with ducted blocks
         assert bool(np.asarray(res.alive).all())
+
+
+class TestTangentKernel:
+    """Forward-tangent final-state kernel vs the XLA scan and its jvp."""
+
+    def test_primal_and_tangent_match_xla_jvp(self):
+        import dataclasses
+
+        from pygenray_tpu.ops.pallas_stepper import (
+            tangent_supported, trace_pallas_tangent,
+        )
+
+        env = _env()
+        s = SolverSettings(dx=200.0, kahan=False)
+        assert tangent_supported(env, s, True)
+        h, sps, nseg = _plan(0.0, 100e3, 2, s.dx)
+        geom = (0.0, 100e3, h, sps, nseg)
+        angles = np.linspace(-18, 18, 128)  # ducted + bouncing + dying
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, jnp.float32)
+
+        def zfun(p):
+            res = _trace_impl(env, 1300.0, p, geom, s)
+            return (res.ts[:, -1], res.zs[:, -1], res.n_surf, res.n_bott,
+                    res.death_code)
+
+        (Tx, zx, nsx, nbx, dcx), (dTx, dzx, *_n) = jax.jvp(
+            zfun, (p0,), (jnp.ones_like(p0),)
+        )
+        T, zk, pk, dT, dz, dp, ns, nb, dc = trace_pallas_tangent(
+            env, 1300.0, p0, 1.0, geom, s, interpret=True
+        )
+        # discrete event structure must agree exactly
+        np.testing.assert_array_equal(np.asarray(ns), np.asarray(nsx))
+        np.testing.assert_array_equal(np.asarray(nb), np.asarray(nbx))
+        np.testing.assert_array_equal(np.asarray(dc), np.asarray(dcx))
+        # primal within f32 compiler-contraction noise (~1 ulp/step)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(Tx), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(zk), np.asarray(zx), atol=0.1)
+        # tangent (the Newton derivative) within f32 accumulation noise
+        alive = np.asarray(dc) == 0
+        rel = np.abs(np.asarray(dz) - np.asarray(dzx)) / (
+            np.abs(np.asarray(dzx)) + 1e3
+        )
+        assert rel[alive].max() < 2e-3
