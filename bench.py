@@ -321,6 +321,27 @@ def bench_extra_configs():
         }
     )
 
+    # config 4b: ensemble eigenray phase — all (realization x bracket)
+    # regula-falsi candidates in one device computation
+    def mc_eig():
+        return mc_eigenray_times(
+            env_ens, np.linspace(-14.0, 14.0, 512), 1300.0, SRC_DEPTH,
+            0.0, R_MAX, ztol=1.0, settings=s_mc,
+        )
+
+    best = timeit(mc_eig, n=2)
+    arr = mc_eig()
+    out.append(
+        {
+            "metric": "mc_eigenray_latency",
+            "value": round(best, 4),
+            "unit": "s",
+            "vs_baseline": None,
+            "config": f"{E} realizations, 512-angle fans, batched regula falsi at 1300 m",
+            "arrivals_found": int(arr["valid"].sum()),
+        }
+    )
+
 
 
 if __name__ == "__main__":

@@ -22,8 +22,11 @@ import jax.numpy as jnp
 from .envdata import EnvData, make_env_data
 from .integrate import SolverSettings, TraceResult, _plan, _trace_impl
 from .ops.host import bilinear_np
+from .utils.cache import LRUCache, env_struct_key
 
 __all__ = ["make_env_ensemble", "trace_ensemble", "mc_eigenray_times"]
+
+_MC_SOLVE_CACHE = LRUCache(32)
 
 
 def make_env_ensemble(
@@ -187,49 +190,105 @@ def mc_eigenray_times(
 
     rd = receiver_depth
     denom = np.where(np.abs(z2 - z1) > 1e-300, z2 - z1, 1.0)
-    theta = th1 - (z1 + rd) * (th2 - th1) / denom
-    converged = np.zeros((E, M), bool)
-    dead = ~valid
-    theta_hit = np.full((E, M), np.nan)
+    theta0 = th1 - (z1 + rd) * (th2 - th1) / denom
 
-    # 3. batched false-position iterations across the whole ensemble
-    for _ in range(max_iter + 2):
-        active = ~(converged | dead)
-        if not active.any():
-            break
-        res = trace_ensemble(
-            env_ens, source_depth, angles_to_p0(theta),
-            source_range, receiver_range, 2, settings,
-        )
-        alive = np.asarray(res.alive)
-        ze = -np.asarray(res.zs, float)[..., -1]
-        dead |= active & ~alive
-        act = active & alive
-        hit = act & (np.abs(ze + rd) < ztol)
-        converged |= hit
-        theta_hit = np.where(hit, theta, theta_hit)
-        upd = act & ~hit
-        side1 = np.sign(ze + rd) == np.sign(z1 + rd)
-        z1 = np.where(upd & side1, ze, z1)
-        th1 = np.where(upd & side1, theta, th1)
-        z2 = np.where(upd & ~side1, ze, z2)
-        th2 = np.where(upd & ~side1, theta, th2)
-        denom = np.where(np.abs(z2 - z1) > 1e-300, z2 - z1, 1.0)
-        theta = np.where(upd, th1 - (z1 + rd) * (th2 - th1) / denom, theta)
-
-    # 4. final batched evaluation of the converged angles
-    theta_eval = np.where(converged, theta_hit, 0.0)
-    res = trace_ensemble(
-        env_ens, source_depth, angles_to_p0(theta_eval),
-        source_range, receiver_range, 2, settings,
+    # 3+4. ALL false-position iterations + the final evaluation of the
+    # converged angles as ONE device computation (lax.while_loop over the
+    # (E, M) candidate matrix) — the former host loop paid one device round
+    # trip per iteration
+    out = _solve_ensemble_device(
+        env_ens, theta0, th1, th2, z1, z2, ~valid, c_src,
+        float(source_depth), float(source_range), float(receiver_range),
+        float(rd), float(ztol), int(max_iter), settings,
     )
-    t_end = np.asarray(res.ts, float)[..., -1]
-    z_res = np.abs(-np.asarray(res.zs, float)[..., -1] + rd)
+    converged = out[1] > 0.5
+    theta_hit = out[0]
     return {
         "theta": np.where(converged, theta_hit, np.nan),
-        "t": np.where(converged, t_end, np.nan),
-        "z_resid": np.where(converged, z_res, np.nan),
-        "n_surf": np.where(converged, np.asarray(res.n_surf), -1),
-        "n_bott": np.where(converged, np.asarray(res.n_bott), -1),
+        "t": np.where(converged, out[2], np.nan),
+        "z_resid": np.where(converged, out[3], np.nan),
+        "n_surf": np.where(converged, out[4].astype(np.int64), -1),
+        "n_bott": np.where(converged, out[5].astype(np.int64), -1),
         "valid": converged,
     }
+
+
+def _solve_ensemble_device(
+    env_ens, theta0, th1, th2, z1, z2, dead0, c_src,
+    source_depth, source_range, receiver_range, rd, ztol, max_iter, settings,
+):
+    """Regula-falsi over all (realization × bracket) candidates plus the
+    final converged-angle evaluation in a single jitted device call: one
+    packed H2D transfer in, one packed D2H out (same transfer-latency
+    discipline as ``eigenrays.device_solve``)."""
+    h, sps, nseg = _plan(source_range, receiver_range, 2, settings.dx)
+    geom = (source_range, receiver_range, float(h), int(sps), int(nseg))
+    s_it = dataclasses.replace(settings, backend="xla", partition=False)
+    dt = env_ens.c.dtype
+    deg = np.pi / 180.0
+
+    key = (
+        env_struct_key(env_ens), geom, s_it, theta0.shape,
+        rd, ztol, max_iter, source_depth,
+    )
+    fn = _MC_SOLVE_CACHE.get(key)
+    if fn is None:
+
+        def solve(envs, packed, c_src_d):
+            th0, t1, t2, za, zb, dd0 = (packed[i] for i in range(6))
+
+            def zfun(theta):
+                p0 = jnp.sin(-theta * deg) / c_src_d[:, None]
+                res = jax.vmap(
+                    lambda e, p: _trace_impl(e, source_depth, p, geom, s_it)
+                )(envs, p0)
+                return -res.zs[..., -1], res.alive, res
+
+            def body(st):
+                theta, t1, t2, za, zb, conv, dead, th_hit, it = st
+                ze, alive, _ = zfun(theta)
+                active = ~(conv | dead)
+                dead2 = dead | (active & ~alive)
+                act = active & alive
+                hit = act & (jnp.abs(ze + rd) < ztol)
+                conv2 = conv | hit
+                th_hit = jnp.where(hit, theta, th_hit)
+                upd = act & ~hit
+                side1 = jnp.sign(ze + rd) == jnp.sign(za + rd)
+                za = jnp.where(upd & side1, ze, za)
+                t1 = jnp.where(upd & side1, theta, t1)
+                zb = jnp.where(upd & ~side1, ze, zb)
+                t2 = jnp.where(upd & ~side1, theta, t2)
+                den = jnp.where(jnp.abs(zb - za) > 0, zb - za, 1.0)
+                th_new = t1 - (za + rd) * (t2 - t1) / den
+                theta = jnp.where(upd, th_new, theta)
+                return (theta, t1, t2, za, zb, conv2, dead2, th_hit, it + 1)
+
+            def cond(st):
+                return jnp.any(~(st[5] | st[6])) & (st[8] < max_iter + 2)
+
+            st0 = (
+                th0, t1, t2, za, zb,
+                jnp.zeros_like(dd0, bool), dd0 > 0.5,
+                jnp.full_like(th0, jnp.nan), jnp.asarray(0, jnp.int32),
+            )
+            st = jax.lax.while_loop(cond, body, st0)
+            conv, th_hit = st[5], st[7]
+
+            # final evaluation of the converged angles (travel times,
+            # residuals, bounce counts), still on device
+            _, _, res = zfun(jnp.where(conv, th_hit, 0.0))
+            t_end = res.ts[..., -1]
+            z_res = jnp.abs(-res.zs[..., -1] + rd)
+            return jnp.stack([
+                th_hit, conv.astype(dt), t_end, z_res,
+                res.n_surf.astype(dt), res.n_bott.astype(dt),
+            ])
+
+        fn = jax.jit(solve)
+        _MC_SOLVE_CACHE.put(key, fn)
+
+    packed = jnp.asarray(
+        np.stack([theta0, th1, th2, z1, z2, dead0.astype(float)]), dt
+    )
+    return np.asarray(fn(env_ens, packed, jnp.asarray(c_src, dt)), float)

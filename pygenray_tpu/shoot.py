@@ -115,6 +115,8 @@ def shoot_rays(
     dtype=None,
     mesh=None,
     keep_dropped: bool = False,
+    backend: str = "auto",
+    verbose: bool = False,
 ) -> RayFan:
     """Integrate a fan of rays; returns a ``RayFan``.
 
@@ -125,15 +127,29 @@ def shoot_rays(
     Rays that turn vertical, leave the domain, or bounce backwards are
     dropped from the fan exactly like the reference drops ``None`` rays
     (`launch_rays.py:169-184`).
+
+    ``verbose`` reports phase progress (the reference shows a per-ray tqdm
+    bar, `launch_rays.py:96,159`; the whole batch advances together here,
+    so progress is per phase: trace, then fetch/assemble).
     """
+    import sys
+    import time as _time
+
     launch_angles = np.atleast_1d(np.asarray(launch_angles, float))
     theta_ode = -launch_angles
-    settings = settings_for(rtol, dx, interp, terminate_backwards)
+    settings = settings_for(rtol, dx, interp, terminate_backwards, backend)
     # source_depth may be per-ray (a vertical source array) or scalar
     src_arr = np.asarray(source_depth, float)
     if src_arr.ndim:
         src_arr = np.broadcast_to(src_arr, launch_angles.shape)
         source_depth = src_arr
+
+    if verbose:
+        print(
+            f"shoot_rays: tracing {launch_angles.size} rays to "
+            f"{receiver_range / 1e3:.1f} km ...", file=sys.stderr, flush=True,
+        )
+        t0 = _time.perf_counter()
 
     res, env, backwards = _trace_fan(
         source_depth, source_range, theta_ode, receiver_range, num_range_save,
@@ -141,6 +157,12 @@ def shoot_rays(
     )
 
     alive = np.asarray(res.alive)
+    if verbose:
+        print(
+            f"shoot_rays: done in {_time.perf_counter() - t0:.3f} s "
+            f"({int(alive.sum())}/{alive.size} rays alive)",
+            file=sys.stderr, flush=True,
+        )
     keep = np.ones_like(alive) if keep_dropped else alive
     rs = np.asarray(res.rs, float)
     if backwards:
