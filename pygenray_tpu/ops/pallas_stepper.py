@@ -91,7 +91,7 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
         ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out, dseg_out,
         zlo_out, zhi_out,
         T_s, Tc_s, z_s, zc_s, p_s, kT_s, kz_s, kp_s, al_s, ns_s, nb_s, de_s,
-        ds_s, zel_s, zeh_s, stage_s, st_s, sem, stsem,
+        ds_s, bd_s, zel_s, zeh_s, stage_s, st_s, sem, stsem,
     ):
         ib = pl.program_id(0)
 
@@ -210,66 +210,100 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
             surf = (z1 < 0.0) & (z >= 0.0)
             bott = (z1 > b1) & (z <= b0)
             cross = alive & (surf | bott)
-
-            bnd0 = jnp.where(surf, 0.0, b0)
-            bnd1 = jnp.where(surf, 0.0, b1)
-            db = bnd1 - bnd0
-            mz0 = hs * kz1
-            mz1 = hs * kz4
-            g0 = z - bnd0
-            g1 = z1 - bnd1
-            f = g0 / jnp.where(jnp.abs(g0 - g1) > _TINY, g0 - g1, 1.0)
-            f = jnp.clip(f, 0.0, 1.0)
-            for _i in range(2):
-                G = _hermite(f, z, z1, mz0, mz1) - (bnd0 + f * db)
-                Gp = _hermite_d(f, z, z1, mz0, mz1) - db
-                f = jnp.clip(f - G / jnp.where(jnp.abs(Gp) > _TINY, Gp, 1.0), 0.0, 1.0)
-
-            t_off = _hermite(f, jnp.zeros_like(dT), dT, hs * kT1, hs * kT4)
-            z_c = _hermite(f, z, z1, mz0, mz1)
-            p_c = _hermite(f, p, p1, hs * kp1, hs * kp4)
-            x_c = x0 + f * hs
-
-            c_c = ev_c(st_m, z_c)
-            sin_th = jnp.clip(p_c * c_c, -1.0, 1.0)
-            cos_th = jnp.sqrt(jnp.maximum(1.0 - sin_th * sin_th, 0.0))
-            if bangle_mode == "const":
-                s2b = s2b_c
-                c2b = c2b_c
-            else:
-                ub = jnp.clip((2.0 * x_c - (b_rlo + b_rhi)) / (b_rhi - b_rlo), -1.0, 1.0)
-                b2 = 2.0 * jnp.radians(_clenshaw_ref(ub, bacoef_ref, (), Kb))
-                s2b = jnp.sin(b2)
-                c2b = jnp.cos(b2)
-            p_ref = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
-            if term_back:
-                back_dead = cross & bott & (c2b * cos_th + s2b * sin_th < -1e-9)
-            else:
-                back_dead = jnp.zeros_like(cross)
-
-            hr = (1.0 - f) * hs
-            rT1, rz1, rp1, _ = rhs(st_m, z_c, p_ref)
-            rT2, rz2, rp2, _ = rhs(st_1, z_c + hr * rz1, p_ref + hr * rp1)
-            dT_fix = t_off + hr * 0.5 * (rT1 + rT2)
-            z_fix = z_c + hr * 0.5 * (rz1 + rz2)
-            p_fix = p_ref + hr * 0.5 * (rp1 + rp2)
-
-            use_fix = cross & (~back_dead)
-            dT_tot = jnp.where(use_fix, dT_fix, dT)
-            dz_tot = jnp.where(use_fix, z_fix - z, dz)
-            p_new = jnp.where(use_fix, p_fix, p1)
-
             upd = alive
-            dT_m = jnp.where(upd, dT_tot, 0.0)
-            yk = dT_m - Tc
-            T_n = T + yk
-            Tc_n = (T_n - T) - yk
-            dz_m = jnp.where(upd, dz_tot, 0.0)
-            yz = dz_m - zc
-            z_n = z + yz
-            zc_n = (z_n - z) - yz
-            p_n = jnp.where(upd, p_new, p)
 
+            # -- plain update first: valid whenever no lane in the block
+            # crosses a boundary this step (the common case, so the crossing
+            # machinery below runs only when jnp.any(cross))
+            dT_m = jnp.where(upd, dT, 0.0)
+            yk = dT_m - Tc
+            T_n0 = T + yk
+            Tc_s[...] = (T_n0 - T) - yk
+            T_s[...] = T_n0
+            dz_m = jnp.where(upd, dz, 0.0)
+            yz = dz_m - zc
+            z_n0 = z + yz
+            zc_s[...] = (z_n0 - z) - yz
+            z_s[...] = z_n0
+            p_s[...] = jnp.where(upd, p1, p)
+            bd_s[...] = jnp.zeros_like(T)
+
+            @pl.when(jnp.any(cross))
+            def _():
+                # crossing localization, reflection and the Heun remainder,
+                # merged into the carried state; identical expressions to the
+                # unconditional form (where() merges reduce to the plain
+                # update on non-crossing lanes, so results are bitwise equal)
+                bnd0 = jnp.where(surf, 0.0, b0)
+                bnd1 = jnp.where(surf, 0.0, b1)
+                db = bnd1 - bnd0
+                mz0 = hs * kz1
+                mz1 = hs * kz4
+                g0 = z - bnd0
+                g1 = z1 - bnd1
+                f = g0 / jnp.where(jnp.abs(g0 - g1) > _TINY, g0 - g1, 1.0)
+                f = jnp.clip(f, 0.0, 1.0)
+                for _i in range(2):
+                    G = _hermite(f, z, z1, mz0, mz1) - (bnd0 + f * db)
+                    Gp = _hermite_d(f, z, z1, mz0, mz1) - db
+                    f = jnp.clip(
+                        f - G / jnp.where(jnp.abs(Gp) > _TINY, Gp, 1.0), 0.0, 1.0
+                    )
+
+                t_off = _hermite(f, jnp.zeros_like(dT), dT, hs * kT1, hs * kT4)
+                z_c = _hermite(f, z, z1, mz0, mz1)
+                p_c = _hermite(f, p, p1, hs * kp1, hs * kp4)
+                x_c = x0 + f * hs
+
+                c_c = ev_c(st_m, z_c)
+                sin_th = jnp.clip(p_c * c_c, -1.0, 1.0)
+                cos_th = jnp.sqrt(jnp.maximum(1.0 - sin_th * sin_th, 0.0))
+                if bangle_mode == "const":
+                    s2b = s2b_c
+                    c2b = c2b_c
+                else:
+                    ub = jnp.clip(
+                        (2.0 * x_c - (b_rlo + b_rhi)) / (b_rhi - b_rlo), -1.0, 1.0
+                    )
+                    b2 = 2.0 * jnp.radians(_clenshaw_ref(ub, bacoef_ref, (), Kb))
+                    s2b = jnp.sin(b2)
+                    c2b = jnp.cos(b2)
+                p_ref = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
+                if term_back:
+                    back_dead = cross & bott & (c2b * cos_th + s2b * sin_th < -1e-9)
+                else:
+                    back_dead = jnp.zeros_like(cross)
+
+                hr = (1.0 - f) * hs
+                rT1, rz1, rp1, _ = rhs(st_m, z_c, p_ref)
+                rT2, rz2, rp2, _ = rhs(st_1, z_c + hr * rz1, p_ref + hr * rp1)
+                dT_fix = t_off + hr * 0.5 * (rT1 + rT2)
+                z_fix = z_c + hr * 0.5 * (rz1 + rz2)
+                p_fix = p_ref + hr * 0.5 * (rp1 + rp2)
+
+                use_fix = cross & (~back_dead)
+                dT_tot = jnp.where(use_fix, dT_fix, dT)
+                dz_tot = jnp.where(use_fix, z_fix - z, dz)
+                p_new = jnp.where(use_fix, p_fix, p1)
+
+                dT_m = jnp.where(upd, dT_tot, 0.0)
+                yk = dT_m - Tc
+                T_n = T + yk
+                Tc_s[...] = (T_n - T) - yk
+                T_s[...] = T_n
+                dz_m = jnp.where(upd, dz_tot, 0.0)
+                yz = dz_m - zc
+                z_n = z + yz
+                zc_s[...] = (z_n - z) - yz
+                z_s[...] = z_n
+                p_s[...] = jnp.where(upd, p_new, p)
+                bd_s[...] = back_dead.astype(jnp.float32)
+                ns_s[...] = ns_s[...] + (cross & surf & upd).astype(jnp.int32)
+                nb_s[...] = nb_s[...] + (cross & bott & upd).astype(jnp.int32)
+
+            z_n = z_s[...]
+            p_n = p_s[...]
+            back_dead = bd_s[...] > 0.5
             kTe, kze, kpe, c_e = rhs(st_1, z_n, p_n)
             vert = jnp.abs(c_e * p_n) > sin_lim
             oob = (z_n > zhi + btol) | (z_n < zlo - btol)
@@ -286,17 +320,10 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
                 jnp.where(alive & vert, 1, jnp.where(alive & oob, 2, death)),
             ).astype(jnp.int32)
 
-            T_s[...] = T_n
-            Tc_s[...] = Tc_n
-            z_s[...] = z_n
-            zc_s[...] = zc_n
-            p_s[...] = p_n
             kT_s[...] = jnp.where(upd, kTe, kT1)
             kz_s[...] = jnp.where(upd, kze, kz1)
             kp_s[...] = jnp.where(upd, kpe, kp1)
             al_s[...] = alive_n.astype(jnp.float32)
-            ns_s[...] = ns_s[...] + (cross & surf & upd).astype(jnp.int32)
-            nb_s[...] = nb_s[...] + (cross & bott & upd).astype(jnp.int32)
             de_s[...] = death
             return 0
 
@@ -987,11 +1014,13 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         jax.ShapeDtypeStruct((nblocks, R, 128), dtype),  # z excursion hi
     ]
     # T, Tc, z, zc, p, kT, kz, kp, alive(f32) | ns, nb, death, first-dead idx
-    # | save staging | RD station double-buffer | save sems | station sems
+    # | backwards-dead mask | z excursions | save staging
+    # | RD station double-buffer | save sems | station sems
     scratch = (
         [pltpu.VMEM((R, 128), dtype) for _ in range(9)]
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(4)]
         + [
+            pltpu.VMEM((R, 128), dtype),  # backwards-dead mask (f32 0/1)
             pltpu.VMEM((R, 128), dtype),  # z excursion lo
             pltpu.VMEM((R, 128), dtype),  # z excursion hi
             pltpu.VMEM((3, R, 128), dtype),
