@@ -80,6 +80,13 @@ def make_env_ensemble(
     return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *envs)
 
 
+# empirical TPU v5e envelope for the vmapped table-gather path: a
+# 16-realization x 65,536-ray call crashes the TPU worker (fault surfaces
+# on value fetch), while 16 x 8,192 completes.  Calls above the cap are
+# chunked along the ray axis — slow-but-correct instead of faulting.
+TABLE_GATHER_RAY_CAP = 131_072
+
+
 def trace_ensemble(
     env_ens: EnvData,
     z0,
@@ -91,11 +98,50 @@ def trace_ensemble(
 ) -> TraceResult:
     """Trace a (possibly per-realization) angle batch through every
     realization: ``p0`` is (B,) shared or (E, B) per-realization; returns a
-    TraceResult with leading ensemble axis (E, B, ...)."""
+    TraceResult with leading ensemble axis (E, B, ...).
+
+    On TPU, table-interpolation ensembles above ``TABLE_GATHER_RAY_CAP``
+    total rays are traced in sequential ray-axis chunks: the vmapped gather
+    path crashes the chip above that envelope (reference parity backend,
+    `/root/reference/src/pygenray/integration_processes.py:101-174`, is
+    exact but gather-heavy; prefer the spectral path wherever it fits).
+    """
     h, sps, nseg = _plan(float(x0), float(x1), int(num_save), settings.dx)
     geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
     p0 = jnp.asarray(p0)
     p_axis = 0 if p0.ndim == 2 else None
+
+    from .integrate import _use_cheb
+
+    E = env_ens.c.shape[0]
+    B = p0.shape[-1]
+    if not _use_cheb(env_ens, settings) and E * B > TABLE_GATHER_RAY_CAP:
+        import warnings
+
+        nchunks = -(-(E * B) // TABLE_GATHER_RAY_CAP)
+        bc = -(-B // nchunks)
+        warnings.warn(
+            f"table-path ensemble of {E}x{B} rays exceeds the TPU gather "
+            f"envelope; tracing in {nchunks} chunks of {bc} rays "
+            "(slow-but-correct — use the spectral path for speed)",
+            stacklevel=2,
+        )
+        outs = []
+        for lo in range(0, B, bc):
+            pc = p0[..., lo:lo + bc]
+            outs.append(
+                trace_ensemble(env_ens, z0, pc, x0, x1, num_save, settings)
+            )
+        cat = lambda get: jnp.concatenate([get(o) for o in outs], axis=1)
+        return TraceResult(
+            rs=outs[0].rs,  # save grid is chunk-independent
+            ts=cat(lambda o: o.ts), zs=cat(lambda o: o.zs),
+            ps=cat(lambda o: o.ps),
+            n_bott=cat(lambda o: o.n_bott), n_surf=cat(lambda o: o.n_surf),
+            alive=cat(lambda o: o.alive),
+            alive_save=cat(lambda o: o.alive_save),
+            death_code=cat(lambda o: o.death_code),
+        )
 
     # Pallas mega-kernel path: the kernel cannot be vmapped, but a loop of
     # per-realization launches still wins (~3x) over the vmapped XLA scan;

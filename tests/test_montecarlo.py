@@ -114,3 +114,50 @@ class TestMCEigenrays:
         # travel times cluster near the unperturbed value
         t = out["t"][out["valid"]]
         assert np.all((t > 33.0) & (t < 34.0))
+
+
+class TestGatherChunking:
+    def test_table_ensemble_chunks_above_cap(self, monkeypatch):
+        """Above the gather envelope the table-path ensemble is traced in
+        ray-axis chunks; results must equal the unchunked trace exactly."""
+        import warnings
+
+        import jax.numpy as jnp
+
+        import pygenray_tpu.montecarlo as mc
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+        from pygenray_tpu.integrate import SolverSettings
+
+        E, B = 3, 40
+        z = np.linspace(0, 5000, 200)
+        r = np.linspace(0, 30e3, 4)
+        rng = np.random.default_rng(1)
+        c_ens = np.stack([
+            np.outer(np.ones(4), munk_ssp(z) + rng.normal(0, 0.5, z.size))
+            for _ in range(E)
+        ])
+        envs = [
+            make_env_data(c_ens[e], r, z, np.full(4, 4500.0), r,
+                          interp="table", dtype="float64",
+                          force_range_dependent=True)
+            for e in range(E)
+        ]
+        import jax
+        env = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *envs)
+        assert not env.has_cheb
+        p0 = np.sin(np.radians(np.linspace(-10, 10, B))) / 1500.0
+        s = SolverSettings(dx=300.0, interp="table")
+
+        full = mc.trace_ensemble(env, 1300.0, p0, 0.0, 30e3, 5, s)
+        monkeypatch.setattr(mc, "TABLE_GATHER_RAY_CAP", 33)  # forces 4 chunks
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            chunked = mc.trace_ensemble(env, 1300.0, p0, 0.0, 30e3, 5, s)
+        assert any("chunk" in str(x.message) for x in w)
+        np.testing.assert_array_equal(np.asarray(full.ts), np.asarray(chunked.ts))
+        np.testing.assert_array_equal(np.asarray(full.zs), np.asarray(chunked.zs))
+        np.testing.assert_array_equal(
+            np.asarray(full.n_bott), np.asarray(chunked.n_bott)
+        )
+        np.testing.assert_array_equal(np.asarray(full.rs), np.asarray(chunked.rs))
