@@ -23,6 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .integrate import trace
+from .envdata import host_profile_tables
 from .ops.host import bilinear_np
 from .ray_objects import EigenRays, Ray
 from .shoot import _resolve_env, settings_for
@@ -80,9 +81,8 @@ def find_eigenrays(
     env = _resolve_env(environment, flatearth, backwards, settings.interp, dtype)
     x0 = -source_range if backwards else source_range
     x1 = -receiver_range if backwards else receiver_range
-    c_src = bilinear_np(
-        x0, source_depth, np.asarray(env.r), np.asarray(env.z), np.asarray(env.c)
-    )
+    r_h, z_h, c_h = host_profile_tables(env)
+    c_src = bilinear_np(x0, source_depth, r_h, z_h, c_h)
 
     def shoot_batch(user_thetas, num_save):
         """Batched trace in user angle convention; returns TraceResult."""
@@ -132,11 +132,11 @@ def find_eigenrays(
         plus the bracket/Newton update — eliminates the per-iteration
         host↔device round trips of the host loop (identical update math).
 
-        On supported configurations (range-independent spectral f32) the
-        per-iteration trace runs through the Pallas kernels — the tangent
-        kernel for Newton (primal + dz_end/dθ in one launch), the
-        mega-kernel for regula falsi — which is ~an order of magnitude
-        faster than the XLA scan at eigenray batch sizes.
+        On supported configurations (spectral f32 fits, range-independent
+        or range-dependent) the per-iteration trace runs through the Pallas
+        kernels — the tangent kernel for Newton (primal + dz_end/dθ in one
+        launch), the mega-kernel for regula falsi — which is ~an order of
+        magnitude faster than the XLA scan at eigenray batch sizes.
         """
         import dataclasses
 

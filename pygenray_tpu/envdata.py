@@ -26,8 +26,9 @@ import jax.numpy as jnp
 
 from .ops.cheb import fit_profile_cheb, fit_series_cheb
 from .ops.interp import cubic_spline_coeffs
+from .utils.cache import LRUCache
 
-__all__ = ["EnvData", "make_env_data", "mirror_env_arrays"]
+__all__ = ["EnvData", "make_env_data", "mirror_env_arrays", "host_profile_tables"]
 
 # fit-acceptance tolerances for the spectral fast path; exceeded → the engine
 # silently falls back to exact table interpolation
@@ -265,3 +266,26 @@ def mirror_env_arrays(c, dcdz, r, bathy, bathy_r, bottom_angle):
         -bathy_r[::-1],
         -bottom_angle[::-1],
     )
+
+
+_HOST_TABLE_CACHE = LRUCache(64)  # id-keyed host VALUES of one env (kept alive)
+
+
+def host_profile_tables(env) -> tuple:
+    """Host numpy copies of ``(r, z, c)`` for launch-angle conversions and
+    received-angle bookkeeping.
+
+    Every ``shoot_rays``/``find_eigenrays`` call needs the source sound
+    speed, and on the axon TPU tunnel each device->host array pull costs
+    ~10-20 ms — three pulls per call used to dominate eigenray latency.
+    This fetches all three arrays in ONE overlapped ``jax.device_get`` and
+    memoizes them per environment object (the env is kept alive inside the
+    cache entry so the id() key stays valid).
+    """
+    got = _HOST_TABLE_CACHE.get(id(env))
+    if got is None:
+        r, z, c = jax.device_get((env.r, env.z, env.c))
+        got = (np.asarray(r, float), np.asarray(z, float),
+               np.asarray(c, float), env)
+        _HOST_TABLE_CACHE.put(id(env), got)
+    return got[:3]

@@ -187,13 +187,14 @@ def mc_eigenray_times(
     fan_angles = np.asarray(fan_angles, float)
     E = env_ens.c.shape[0]
 
+    # one overlapped device->host pull for all realizations (the axon
+    # tunnel charges ~10-20 ms per transfer; E x 3 pulls used to dominate)
+    from .envdata import host_profile_tables
+
+    r_h, z_h, c_h = host_profile_tables(env_ens)
     c_src = np.array(
         [
-            bilinear_np(
-                source_range, source_depth,
-                np.asarray(env_ens.r[e]), np.asarray(env_ens.z[e]),
-                np.asarray(env_ens.c[e]),
-            )
+            bilinear_np(source_range, source_depth, r_h[e], z_h[e], c_h[e])
             for e in range(E)
         ]
     )
@@ -204,13 +205,22 @@ def mc_eigenray_times(
             env_ens.c.dtype,
         )
 
-    # 1. fan through every realization
+    # 1. fan through every realization.  Bracketing only needs the final
+    # depth and aliveness, so on kernel-supported configurations the whole
+    # fan is ONE ensemble-kernel launch (block e = realization e) and one
+    # packed fetch, instead of E sequential mega-kernel launches.
     p0 = angles_to_p0(np.broadcast_to(fan_angles, (E, fan_angles.size)))
-    fan = trace_ensemble(
-        env_ens, source_depth, p0, source_range, receiver_range, 2, settings
-    )
-    z_end = -np.asarray(fan.zs, float)[..., -1]  # (E, B) user convention
-    z_end = np.where(np.asarray(fan.alive), z_end, np.nan)
+    if _ensemble_kernel_ok(env_ens, settings):
+        z_ode, alive_f = _fan_final_state(env_ens, source_depth, p0,
+                                          source_range, receiver_range,
+                                          settings)
+        z_end = np.where(alive_f, -z_ode, np.nan)
+    else:
+        fan = trace_ensemble(
+            env_ens, source_depth, p0, source_range, receiver_range, 2, settings
+        )
+        z_end = -np.asarray(fan.zs, float)[..., -1]  # (E, B) user convention
+        z_end = np.where(np.asarray(fan.alive), z_end, np.nan)
 
     # 2. bracket per realization, pad to common M
     g = z_end + receiver_depth
@@ -259,23 +269,87 @@ def mc_eigenray_times(
     }
 
 
+def _ensemble_kernel_ok(env_ens, settings) -> bool:
+    """True when the per-block-station ensemble tangent kernel can run this
+    configuration (range-dependent spectral f32 fits on TPU, or forced)."""
+    from .integrate import _use_cheb
+    from .ops.pallas_stepper import tangent_supported
+
+    if settings.backend == "xla":
+        return False
+    env0 = jax.tree_util.tree_map(lambda a: a[0], env_ens)
+    try:
+        use_cheb = _use_cheb(env0, settings)
+    except ValueError:
+        return False
+    return (
+        env0.range_dependent
+        and tangent_supported(env0, settings, use_cheb)
+        and (jax.default_backend() == "tpu" or settings.backend == "pallas")
+    )
+
+
+_MC_FAN_CACHE = LRUCache(32)
+
+
+def _fan_final_state(env_ens, source_depth, p0, x0, x1, settings):
+    """(z_end_ode, alive) of an (E, B) fan — one ensemble-kernel launch and
+    one packed device->host fetch."""
+    h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
+    geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
+    s_it = dataclasses.replace(settings, backend="xla", partition=False,
+                               kahan=False)
+    on_tpu = jax.default_backend() == "tpu"
+    key = (env_struct_key(env_ens), geom, s_it, p0.shape, float(source_depth))
+    fn = _MC_FAN_CACHE.get(key)
+    if fn is None:
+        from .ops.pallas_stepper import trace_pallas_tangent_ensemble
+
+        def run(envs, p):
+            (_, z_ode, _, _, _, _, _, _, dcode) = trace_pallas_tangent_ensemble(
+                envs, source_depth, p, jnp.zeros_like(p), geom, s_it,
+                interpret=not on_tpu,
+            )
+            return jnp.stack([z_ode, (dcode == 0).astype(z_ode.dtype)])
+
+        fn = jax.jit(run)
+        _MC_FAN_CACHE.put(key, fn)
+    out = np.asarray(fn(env_ens, p0), float)
+    return out[0], out[1] > 0.5
+
+
 def _solve_ensemble_device(
     env_ens, theta0, th1, th2, z1, z2, dead0, c_src,
     source_depth, source_range, receiver_range, rd, ztol, max_iter, settings,
 ):
-    """Regula-falsi over all (realization × bracket) candidates plus the
+    """Root-finding over all (realization × bracket) candidates plus the
     final converged-angle evaluation in a single jitted device call: one
     packed H2D transfer in, one packed D2H out (same transfer-latency
-    discipline as ``eigenrays.device_solve``)."""
+    discipline as ``eigenrays.device_solve``).
+
+    On supported configurations (range-dependent spectral f32 fits on TPU)
+    each iteration is ONE launch of the ensemble tangent kernel — Newton
+    with exact dz/dθ, every realization's station table read by its own
+    grid block — instead of a vmapped XLA scan per iteration.  Otherwise a
+    bracket-safeguarded regula falsi on the vmapped scan.
+    """
     h, sps, nseg = _plan(source_range, receiver_range, 2, settings.dx)
     geom = (source_range, receiver_range, float(h), int(sps), int(nseg))
-    s_it = dataclasses.replace(settings, backend="xla", partition=False)
     dt = env_ens.c.dtype
     deg = np.pi / 180.0
 
+    from .ops.pallas_stepper import trace_pallas_tangent_ensemble
+
+    on_tpu = jax.default_backend() == "tpu"
+    use_kernel = _ensemble_kernel_ok(env_ens, settings)
+    s_it = dataclasses.replace(
+        settings, backend="xla", partition=False,
+        kahan=settings.kahan and not use_kernel,
+    )
+
     key = (
         env_struct_key(env_ens), geom, s_it, theta0.shape,
-        rd, ztol, max_iter, source_depth,
+        rd, ztol, max_iter, source_depth, use_kernel,
     )
     fn = _MC_SOLVE_CACHE.get(key)
     if fn is None:
@@ -288,11 +362,25 @@ def _solve_ensemble_device(
                 res = jax.vmap(
                     lambda e, p: _trace_impl(e, source_depth, p, geom, s_it)
                 )(envs, p0)
-                return -res.zs[..., -1], res.alive, res
+                return (-res.zs[..., -1], res.alive, res.ts[..., -1],
+                        res.n_surf, res.n_bott, None)
+
+            def zfun_kernel(theta):
+                p0 = jnp.sin(-theta * deg) / c_src_d[:, None]
+                (T, z_ode, _, _, dz_ode, _, ns, nb, dcode) = (
+                    trace_pallas_tangent_ensemble(
+                        envs, source_depth, p0, jnp.ones_like(p0), geom,
+                        s_it, interpret=not on_tpu,
+                    )
+                )
+                dz_dth = -dz_ode * (-jnp.cos(theta * deg) * deg / c_src_d[:, None])
+                return -z_ode, dcode == 0, T, ns, nb, dz_dth
+
+            zeval = zfun_kernel if use_kernel else zfun
 
             def body(st):
                 theta, t1, t2, za, zb, conv, dead, th_hit, it = st
-                ze, alive, _ = zfun(theta)
+                ze, alive, _, _, _, dz_dth = zeval(theta)
                 active = ~(conv | dead)
                 dead2 = dead | (active & ~alive)
                 act = active & alive
@@ -306,7 +394,17 @@ def _solve_ensemble_device(
                 zb = jnp.where(upd & ~side1, ze, zb)
                 t2 = jnp.where(upd & ~side1, theta, t2)
                 den = jnp.where(jnp.abs(zb - za) > 0, zb - za, 1.0)
-                th_new = t1 - (za + rd) * (t2 - t1) / den
+                th_fp = t1 - (za + rd) * (t2 - t1) / den
+                if use_kernel:
+                    # Newton step with exact AD derivative, safeguarded by
+                    # the bracket (same policy as eigenrays.device_solve)
+                    th_nw = theta - (ze + rd) / dz_dth
+                    lo = jnp.minimum(t1, t2)
+                    hi = jnp.maximum(t1, t2)
+                    bad = ~jnp.isfinite(th_nw) | (th_nw <= lo) | (th_nw >= hi)
+                    th_new = jnp.where(bad, th_fp, th_nw)
+                else:
+                    th_new = th_fp
                 theta = jnp.where(upd, th_new, theta)
                 return (theta, t1, t2, za, zb, conv2, dead2, th_hit, it + 1)
 
@@ -323,12 +421,11 @@ def _solve_ensemble_device(
 
             # final evaluation of the converged angles (travel times,
             # residuals, bounce counts), still on device
-            _, _, res = zfun(jnp.where(conv, th_hit, 0.0))
-            t_end = res.ts[..., -1]
-            z_res = jnp.abs(-res.zs[..., -1] + rd)
+            ze, _, t_end, ns, nb, _ = zeval(jnp.where(conv, th_hit, 0.0))
+            z_res = jnp.abs(ze + rd)
             return jnp.stack([
                 th_hit, conv.astype(dt), t_end, z_res,
-                res.n_surf.astype(dt), res.n_bott.astype(dt),
+                ns.astype(dt), nb.astype(dt),
             ])
 
         fn = jax.jit(solve)

@@ -10,8 +10,10 @@ work is pure VPU arithmetic, and segment-boundary saves are DMA'd to HBM.
 Supported configurations (falls back to the XLA path otherwise):
 - spectral (Chebyshev) profiles, range-independent or range-dependent —
   for the latter the per-step blended station coefficients are precomputed
-  outside the kernel (same arrays as the XLA path's scan inputs) and read
-  per step as (K, 1) planes that broadcast across ray lanes,
+  outside the kernel (same values as the XLA path's scan inputs), packed
+  as scalar rows, DMA'd into SMEM per step (double-buffered) and consumed
+  as scalars that broadcast against the ray lanes for free — 128x less
+  DMA traffic than lane-replicated VMEM planes,
 - constant-slope or Chebyshev bottom-angle models (no spline gathers).
 
 The step math mirrors ``integrate._trace_impl`` exactly (RK4 + FSAL carry,
@@ -66,28 +68,35 @@ def _hermite_d(s, y0, y1, m0, m1):
     )
 
 
-def _clenshaw_ref(u, ref, pre, K):
-    """Clenshaw reading lane-replicated coefficient rows from a VMEM ref.
+def _clenshaw(u, read, K):
+    """Clenshaw recurrence with coefficients supplied by ``read(k)``.
 
-    ``ref[(*pre, k)]`` must be a (128,) lane-replicated row: each iteration
-    is a memory row load (Mosaic handles those at any sublane), never an
-    extract from a register vector (unsupported broadcast layouts).
+    ``read`` returns either a (128,) lane-replicated VMEM row (each
+    iteration a memory row load — Mosaic handles those at any sublane,
+    never an extract from a register vector, whose broadcast layouts are
+    unsupported) or an SMEM scalar (broadcast against the vector operand
+    for free).  Both give bitwise-identical results; SMEM rows make
+    range-dependent station tables 128x smaller.
     """
     b1 = jnp.zeros_like(u)
     b2 = jnp.zeros_like(u)
     for k in range(K - 1, 0, -1):
-        b1, b2 = ref[(*pre, k)] + 2.0 * u * b1 - b2, b1
-    return ref[(*pre, 0)] + u * b1 - b2
+        b1, b2 = read(k) + 2.0 * u * b1 - b2, b1
+    return read(0) + u * b1 - b2
 
 
-def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
+def _vmem_reader(ref, pre=()):
+    return lambda k: ref[(*pre, k)]
+
+
+def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
      b_rlo, b_rhi, term_back, any_x_oob, rd) = consts
 
     def kernel(
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
-        st_tab_ref, ci_ref,
+        st_tab_ref,
         ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out, dseg_out,
         zlo_out, zhi_out,
         T_s, Tc_s, z_s, zc_s, p_s, kT_s, kz_s, kp_s, al_s, ns_s, nb_s, de_s,
@@ -95,16 +104,16 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
     ):
         ib = pl.program_id(0)
 
-        # station handle: ((c_ref, c_prefix), (cp_ref, cp_prefix))
+        # station handle: (read_c, read_cp) coefficient readers (see _clenshaw)
         def ev(st, zq):
-            (cr, pc), (cpr, pcp) = st
+            rc, rcp = st
             u = jnp.clip(sc * zq - off, -1.0, 1.0)
-            return _clenshaw_ref(u, cr, pc, K), _clenshaw_ref(u, cpr, pcp, K)
+            return _clenshaw(u, rc, K), _clenshaw(u, rcp, K)
 
         def ev_c(st, zq):
-            (cr, pc), _ = st
+            rc, _ = st
             u = jnp.clip(sc * zq - off, -1.0, 1.0)
-            return _clenshaw_ref(u, cr, pc, K)
+            return _clenshaw(u, rc, K)
 
         def rhs(st, zq, pq):
             c, cp = ev(st, zq)
@@ -113,17 +122,28 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
             invc = 1.0 / c
             return inv_s * invc, cp2 * inv_s, -cp * inv_s * invc * invc, c
 
-        def st_dma(kstep, slot):
+        def st_dma(row, slot):
+            # row j of st_tab: j=0 the init (x0) planes, j>=1 step j-1's
+            # blended planes [c_m | cp_m | c_1 | cp_1], each KP scalars
             return pltpu.make_async_copy(
-                st_tab_ref.at[kstep], st_s.at[slot], stsem.at[slot]
+                st_tab_ref.at[row], st_s.at[slot], stsem.at[slot]
+            )
+
+        def st_handle(slot, base):
+            return (
+                lambda j: st_s[slot, 0, base + j],
+                lambda j: st_s[slot, 0, base + KP + j],
             )
 
         # ---- init -------------------------------------------------------
         if rd:
-            st_init = ((ci_ref, (0,)), (ci_ref, (1,)))
-            st_dma(0, 0).start()
+            cp0 = st_dma(0, 1)
+            cp0.start()
+            cp0.wait()
+            st_init = st_handle(1, 0)
+            st_dma(1, 0).start()  # prefetch step 0's planes into slot 0
         else:
-            st_init = ((ccoef_ref, ()), (cpcoef_ref, ()))
+            st_init = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
         z0 = z0_ref[0]
         p0 = p0_ref[0]
         kT, kz, kp, _ = rhs(st_init, z0, p0)
@@ -180,17 +200,17 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
             alive = al_s[...] > 0.5
 
             if rd:
-                # double-buffered station planes: prefetch step k+1 while
-                # computing step k, then consume slot k%2
+                # double-buffered station rows: prefetch step k+1's row
+                # (table row k+2) while computing step k, consume slot k%2
                 slot = lax.rem(k, 2)
                 @pl.when(k + 1 < nseg * sps)
                 def _():
-                    st_dma(k + 1, 1 - slot).start()
-                st_dma(k, slot).wait()
-                st_m = ((st_s, (slot, 0)), (st_s, (slot, 1)))
-                st_1 = ((st_s, (slot, 2)), (st_s, (slot, 3)))
+                    st_dma(k + 2, 1 - slot).start()
+                st_dma(k + 1, slot).wait()
+                st_m = st_handle(slot, 0)
+                st_1 = st_handle(slot, 2 * KP)
             else:
-                st_m = st_1 = ((ccoef_ref, ()), (cpcoef_ref, ()))
+                st_m = st_1 = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
 
             kf = k.astype(jnp.float32)
             x0 = x0g + kf * hs
@@ -265,7 +285,7 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
                     ub = jnp.clip(
                         (2.0 * x_c - (b_rlo + b_rhi)) / (b_rhi - b_rlo), -1.0, 1.0
                     )
-                    b2 = 2.0 * jnp.radians(_clenshaw_ref(ub, bacoef_ref, (), Kb))
+                    b2 = 2.0 * jnp.radians(_clenshaw(ub, _vmem_reader(bacoef_ref), Kb))
                     s2b = jnp.sin(b2)
                     c2b = jnp.cos(b2)
                 p_ref = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
@@ -349,12 +369,12 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
                 slot = lax.rem(k, 2)
                 @pl.when(k + 1 < nseg * sps)
                 def _():
-                    st_dma(k + 1, 1 - slot).start()
-                st_dma(k, slot).wait()
-                st_m = ((st_s, (slot, 0)), (st_s, (slot, 1)))
-                st_1 = ((st_s, (slot, 2)), (st_s, (slot, 3)))
+                    st_dma(k + 2, 1 - slot).start()
+                st_dma(k + 1, slot).wait()
+                st_m = st_handle(slot, 0)
+                st_1 = st_handle(slot, 2 * KP)
             else:
-                st_m = st_1 = ((ccoef_ref, ()), (cpcoef_ref, ()))
+                st_m = st_1 = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
 
             kT2, kz2, kp2, _ = rhs(st_m, z + 0.5 * hs * kz1, p + 0.5 * hs * kp1)
             kT3, kz3, kp3, _ = rhs(st_m, z + 0.5 * hs * kz2, p + 0.5 * hs * kp2)
@@ -416,44 +436,56 @@ def _make_kernel(geom, consts, K, Kb, R, nseg, sps, ducted_blocks):
 # step math is the same event step as the mega-kernel above, written as a
 # *pure function* of register values — the tangent arithmetic is derived by
 # applying jax.jvp to it inside the kernel trace, never hand-written, so it
-# cannot drift from the primal.  Supported: range-independent spectral
-# profiles (the eigenray configurations), const/cheb bottom angle, f32,
-# no Kahan (forward AD convention, see adjoint.py).
+# cannot drift from the primal.  Supported: spectral profiles (range-
+# independent or range-dependent via DMA'd SMEM station rows; the latter
+# optionally with one station table per grid block for Monte-Carlo
+# ensembles), const/cheb bottom angle, f32, no Kahan (forward AD
+# convention, see adjoint.py).
 # ---------------------------------------------------------------------------
 
 
 def tangent_supported(env, settings, use_cheb: bool) -> bool:
     return (
         use_cheb
-        and not env.range_dependent
         and env.bangle_mode in ("const", "cheb")
         and env.c.dtype == jnp.float32
     )
 
 
-def _make_final_kernel(geom, consts, K, Kb, nsteps):
+def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd) = consts
 
     def kernel(
         p0_ref, dp0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
-        b0s_ref, b1s_ref,
+        b0s_ref, b1s_ref, st_tab_ref,
         T_out, z_out, p_out, dT_out, dz_out, dp_out,
         nsurf_out, nbott_out, death_out,
         T_s, z_s, p_s, kT_s, kz_s, kp_s,
         dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
-        al_s, ns_s, nb_s, de_s,
+        al_s, ns_s, nb_s, de_s, st_s, stsem,
     ):
-        def ev(zq):
-            u = jnp.clip(sc * zq - off, -1.0, 1.0)
+        ib = pl.program_id(0)
+
+        def st_dma(row, slot):
+            # row 0: init (x0) planes; row j>=1: step j-1's blended planes
+            src = st_tab_ref.at[ib, row] if ens else st_tab_ref.at[row]
+            return pltpu.make_async_copy(src, st_s.at[slot], stsem.at[slot])
+
+        def st_handle(slot, base):
             return (
-                _clenshaw_ref(u, ccoef_ref, (), K),
-                _clenshaw_ref(u, cpcoef_ref, (), K),
+                lambda j: st_s[slot, 0, base + j],
+                lambda j: st_s[slot, 0, base + KP + j],
             )
 
-        def rhs(zq, pq):
-            c, cp = ev(zq)
+        def ev(st, zq):
+            rc, rcp = st
+            u = jnp.clip(sc * zq - off, -1.0, 1.0)
+            return _clenshaw(u, rc, K), _clenshaw(u, rcp, K)
+
+        def rhs(st, zq, pq):
+            c, cp = ev(st, zq)
             q = c * pq
             inv_s = lax.rsqrt(jnp.maximum(1.0 - q * q, _TINY))
             invc = 1.0 / c
@@ -462,13 +494,21 @@ def _make_final_kernel(geom, consts, K, Kb, nsteps):
         hs = jnp.float32(h)
 
         # ---- init (primal + tangent via jvp) ------------------------------
+        if rd:
+            cp0 = st_dma(0, 1)
+            cp0.start()
+            cp0.wait()
+            st_init = st_handle(1, 0)
+            st_dma(1, 0).start()  # prefetch step 0's planes into slot 0
+        else:
+            st_init = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
         z0 = z0_ref[0]
         p0 = p0_ref[0]
         dp0 = dp0_ref[0]
         dz0 = jnp.zeros_like(z0)
 
         def rhs3(zq, pq):
-            fT, fz, fp, _ = rhs(zq, pq)
+            fT, fz, fp, _ = rhs(st_init, zq, pq)
             return fT, fz, fp
 
         (kT0, kz0, kp0), (dkT0, dkz0, dkp0) = jax.jvp(
@@ -493,6 +533,17 @@ def _make_final_kernel(geom, consts, K, Kb, nsteps):
         de_s[...] = jnp.where(alive0, 0, 2).astype(jnp.int32)
 
         def body(k, _):
+            if rd:
+                # double-buffered station rows (see the mega-kernel)
+                slot = lax.rem(k, 2)
+                @pl.when(k + 1 < nsteps)
+                def _():
+                    st_dma(k + 2, 1 - slot).start()
+                st_dma(k + 1, slot).wait()
+                st_m = st_handle(slot, 0)
+                st_1 = st_handle(slot, 2 * KP)
+            else:
+                st_m = st_1 = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
             b0 = b0s_ref[k]
             b1 = b1s_ref[k]
             kf = k.astype(jnp.float32)
@@ -502,11 +553,12 @@ def _make_final_kernel(geom, consts, K, Kb, nsteps):
 
             def smath(T, z, p, kT1, kz1, kp1):
                 """One event step (non-Kahan); identical math to the
-                mega-kernel's step_body.  Closes over b0/b1/x0f/upd, so the
-                only differentiated inputs are the carried ray state."""
-                kT2, kz2, kp2, _ = rhs(z + 0.5 * hs * kz1, p + 0.5 * hs * kp1)
-                kT3, kz3, kp3, _ = rhs(z + 0.5 * hs * kz2, p + 0.5 * hs * kp2)
-                kT4, kz4, kp4, _ = rhs(z + hs * kz3, p + hs * kp3)
+                mega-kernel's step_body.  Closes over b0/b1/x0f/upd and the
+                station handles, so the only differentiated inputs are the
+                carried ray state."""
+                kT2, kz2, kp2, _ = rhs(st_m, z + 0.5 * hs * kz1, p + 0.5 * hs * kp1)
+                kT3, kz3, kp3, _ = rhs(st_m, z + 0.5 * hs * kz2, p + 0.5 * hs * kp2)
+                kT4, kz4, kp4, _ = rhs(st_1, z + hs * kz3, p + hs * kp3)
                 dT = hs / 6.0 * (kT1 + 2 * kT2 + 2 * kT3 + kT4)
                 dz = hs / 6.0 * (kz1 + 2 * kz2 + 2 * kz3 + kz4)
                 dp = hs / 6.0 * (kp1 + 2 * kp2 + 2 * kp3 + kp4)
@@ -538,7 +590,7 @@ def _make_final_kernel(geom, consts, K, Kb, nsteps):
                 p_c = _hermite(f, p, p1, hs * kp1, hs * kp4)
                 x_c = x0f + f * hs
 
-                c_c, _ = ev(z_c)
+                c_c, _ = ev(st_m, z_c)
                 sin_th = jnp.clip(p_c * c_c, -1.0, 1.0)
                 cos_th = jnp.sqrt(jnp.maximum(1.0 - sin_th * sin_th, 0.0))
                 if bangle_mode == "const":
@@ -548,7 +600,7 @@ def _make_final_kernel(geom, consts, K, Kb, nsteps):
                     ub = jnp.clip(
                         (2.0 * x_c - (b_rlo + b_rhi)) / (b_rhi - b_rlo), -1.0, 1.0
                     )
-                    b2 = 2.0 * jnp.radians(_clenshaw_ref(ub, bacoef_ref, (), Kb))
+                    b2 = 2.0 * jnp.radians(_clenshaw(ub, _vmem_reader(bacoef_ref), Kb))
                     s2b = jnp.sin(b2)
                     c2b = jnp.cos(b2)
                 p_refl = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
@@ -558,8 +610,8 @@ def _make_final_kernel(geom, consts, K, Kb, nsteps):
                     back_dead = jnp.zeros_like(cross)
 
                 hr = (1.0 - f) * hs
-                rT1, rz1, rp1, _ = rhs(z_c, p_refl)
-                rT2, rz2, rp2, _ = rhs(z_c + hr * rz1, p_refl + hr * rp1)
+                rT1, rz1, rp1, _ = rhs(st_m, z_c, p_refl)
+                rT2, rz2, rp2, _ = rhs(st_1, z_c + hr * rz1, p_refl + hr * rp1)
                 dT_fix = t_off + hr * 0.5 * (rT1 + rT2)
                 z_fix = z_c + hr * 0.5 * (rz1 + rz2)
                 p_fix = p_refl + hr * 0.5 * (rp1 + rp2)
@@ -573,7 +625,7 @@ def _make_final_kernel(geom, consts, K, Kb, nsteps):
                 z_n = z + jnp.where(upd, dz_tot, 0.0)
                 p_n = jnp.where(upd, p_new, p)
 
-                kTe, kze, kpe, c_e = rhs(z_n, p_n)
+                kTe, kze, kpe, c_e = rhs(st_1, z_n, p_n)
                 return (
                     T_n, z_n, p_n,
                     jnp.where(upd, kTe, kT1),
@@ -661,6 +713,7 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
     p0p, dp0p, z0p = pad(p0), pad(dp0), pad(z0v)
 
     K = env.c_cheb.shape[1]
+    rd = bool(env.range_dependent)
     rep = lambda a: jnp.broadcast_to(a.astype(dtype)[:, None], (a.shape[0], 128))
     ccoef = rep(env.c_cheb[0])
     cpcoef = rep(env.dcdz_cheb[0])
@@ -669,11 +722,18 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
 
     ks = jnp.arange(nsteps, dtype=dtype)
     xs0 = x0 + ks * h
+    xsm = xs0 + 0.5 * h
     xs1 = x0 + (ks + 1.0) * h
     b0s = linear_interp(xs0, env.bathy_r, env.bathy, env.uniform_bathy_r).astype(dtype)
     b1s = linear_interp(xs1, env.bathy_r, env.bathy, env.uniform_bathy_r).astype(dtype)
     b0s = jnp.broadcast_to(b0s[:, None], (nsteps, 128))
     b1s = jnp.broadcast_to(b1s[:, None], (nsteps, 128))
+
+    KP = -(-K // 128) * 128
+    if rd:
+        st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1)
+    else:
+        st_tab = jnp.zeros((1, 1, 4 * KP), dtype)
 
     zlo, zhi = env.z_dom
     rlo, rhi = env.r_dom
@@ -690,10 +750,10 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
         zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
         math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
         env.bathy_r_dom[0], env.bathy_r_dom[1],
-        settings.terminate_backwards, any_x_oob,
+        settings.terminate_backwards, any_x_oob, rd,
     )
 
-    kernel = _make_final_kernel((x0, x1, h), consts, K, Kb, nsteps)
+    kernel = _make_final_kernel((x0, x1, h), consts, K, KP, Kb, nsteps)
 
     fvec = jax.ShapeDtypeStruct((nblocks, R, 128), dtype)
     ivec = jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32)
@@ -702,6 +762,7 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
         [pltpu.VMEM((R, 128), dtype) for _ in range(12)]
         + [pltpu.VMEM((R, 128), dtype)]  # alive (f32)
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
+        + [pltpu.SMEM((2, 1, 4 * KP), dtype), pltpu.SemaphoreType.DMA((2,))]
     )
     blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -709,13 +770,116 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
         kernel,
         out_shape=out_shape,
         grid=(nblocks,),
-        in_specs=[blocked, blocked, blocked] + [vmem_full] * 5,
+        in_specs=[blocked, blocked, blocked] + [vmem_full] * 5
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[blocked] * 9,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(p0p, dp0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s)
+    )(p0p, dp0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, st_tab)
 
     unb = lambda a: a.reshape(Bpad)[:B]
+    return tuple(unb(o) for o in outs)
+
+
+def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
+                                  interpret: bool = False):
+    """Final-state trace with one forward tangent across an ENSEMBLE of
+    environments: grid block e integrates realization e's (M,) candidate
+    angles against realization e's station table (per-block SMEM DMA rows).
+    This is the Monte-Carlo eigenray hot loop — one kernel launch advances
+    every (realization x bracket) Newton candidate instead of E sequential
+    launches or a vmapped XLA scan.
+
+    ``env_ens`` is a stacked EnvData (leading ensemble axis, as built by
+    ``make_env_ensemble``) with shared bathymetry and range-dependent
+    spectral fits; ``p0``/``dp0`` are (E, M).  Returns the same tuple as
+    ``trace_pallas_tangent`` with (E, M) fields.
+    """
+    from ..ops.interp import linear_interp
+
+    x0, x1, h, sps, nseg = geom
+    nsteps = sps * nseg
+    dtype = jnp.float32
+    p0 = jnp.asarray(p0, dtype)
+    E, M = p0.shape
+    dp0 = jnp.broadcast_to(jnp.asarray(dp0, dtype), (E, M))
+    R = max(1, -(-M // 128))
+    Mpad = R * 128
+    pad = lambda a: jnp.pad(a, ((0, 0), (0, Mpad - M))).reshape(E, R, 128)
+    p0p, dp0p = pad(p0), pad(dp0)
+    z0p = jnp.broadcast_to(jnp.asarray(z0, dtype), (E, R, 128))
+
+    K = env_ens.c_cheb.shape[2]
+    KP = -(-K // 128) * 128
+    env0 = jax.tree_util.tree_map(lambda a: a[0], env_ens)
+    if not env0.range_dependent:
+        raise ValueError("ensemble tangent kernel requires range-dependent fits")
+
+    rep = lambda a: jnp.broadcast_to(a.astype(dtype)[:, None], (a.shape[0], 128))
+    ccoef = rep(env0.c_cheb[0])  # unused on the rd path; placeholder
+    cpcoef = rep(env0.dcdz_cheb[0])
+    Kb = env0.bangle_cheb.shape[0]
+    bacoef = rep(env0.bangle_cheb)
+
+    ks = jnp.arange(nsteps, dtype=dtype)
+    xs0 = x0 + ks * h
+    xsm = xs0 + 0.5 * h
+    xs1 = x0 + (ks + 1.0) * h
+    # shared bathymetry (realization 0's): MC ensembles perturb c only
+    b0s = linear_interp(xs0, env0.bathy_r, env0.bathy, env0.uniform_bathy_r).astype(dtype)
+    b1s = linear_interp(xs1, env0.bathy_r, env0.bathy, env0.uniform_bathy_r).astype(dtype)
+    b0s = jnp.broadcast_to(b0s[:, None], (nsteps, 128))
+    b1s = jnp.broadcast_to(b1s[:, None], (nsteps, 128))
+
+    # (E, nsteps+1, 1, 4KP) per-realization station rows; loop-invariant in
+    # the eigenray while_loop, so XLA hoists the build out of the iteration
+    st_tab = jax.vmap(
+        lambda e: _station_rows(e, dtype, K, KP, x0, xsm, xs1)
+    )(env_ens)
+
+    zlo, zhi = env0.z_dom
+    rlo, rhi = env0.r_dom
+    sc = 2.0 / (zhi - zlo)
+    off = (zlo + zhi) / (zhi - zlo)
+    sin_lim = math.sin(math.radians(settings.vertical_limit_deg))
+    b = math.radians(env0.bangle_const)
+    ks64 = np.arange(nsteps, dtype=np.float64)
+    any_x_oob = bool(
+        np.any((x0 + ks64 * h < rlo - settings.bbox_tol)
+               | (x0 + (ks64 + 1.0) * h > rhi + settings.bbox_tol))
+    )
+    consts = (
+        zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
+        math.sin(2 * b), math.cos(2 * b), env0.bangle_mode,
+        env0.bathy_r_dom[0], env0.bathy_r_dom[1],
+        settings.terminate_backwards, any_x_oob, True,
+    )
+
+    kernel = _make_final_kernel((x0, x1, h), consts, K, KP, Kb, nsteps, ens=True)
+
+    fvec = jax.ShapeDtypeStruct((E, R, 128), dtype)
+    ivec = jax.ShapeDtypeStruct((E, R, 128), jnp.int32)
+    out_shape = [fvec] * 6 + [ivec] * 3
+    scratch = (
+        [pltpu.VMEM((R, 128), dtype) for _ in range(12)]
+        + [pltpu.VMEM((R, 128), dtype)]  # alive (f32)
+        + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
+        + [pltpu.SMEM((2, 1, 4 * KP), dtype), pltpu.SemaphoreType.DMA((2,))]
+    )
+    blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(E,),
+        in_specs=[blocked, blocked, blocked] + [vmem_full] * 5
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[blocked] * 9,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(p0p, dp0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, st_tab)
+
+    unb = lambda a: a.reshape(E, Mpad)[:, :M]
     return tuple(unb(o) for o in outs)
 
 
@@ -918,6 +1082,41 @@ def _bathy_min_over_span(env, x0, x1):
     return float(min(cand))
 
 
+def _station_rows(env, dtype, K, KP, x0, xsm, xs1):
+    """Per-step blended station coefficients packed as SMEM-DMA rows.
+
+    Returns (nsteps+1, 1, 4*KP): row 0 holds the init (x0) planes
+    [c | dcdz | 0 | 0]; row j+1 holds step j's [c_m | cp_m | c_1 | cp_1].
+    Each field is padded from K to KP (the 128-lane DMA tile).  These are
+    scalar rows — 128x smaller than lane-replicated VMEM planes — consumed
+    by the kernel via SMEM scalar reads that broadcast for free.
+    """
+    from ..ops.interp import interval_index
+
+    ctab, cptab = env.c_cheb.astype(dtype), env.dcdz_cheb.astype(dtype)
+
+    def blend_rows(x):
+        i = interval_index(x, env.r, env.uniform_r)
+        w = ((x - env.r[i]) / (env.r[i + 1] - env.r[i]))[:, None]
+        return (
+            (1.0 - w) * ctab[i] + w * ctab[i + 1],
+            (1.0 - w) * cptab[i] + w * cptab[i + 1],
+        )
+
+    padk = lambda a: jnp.pad(a, ((0, 0), (0, KP - K)))
+    cm, cpm = blend_rows(xsm)  # (nsteps, K)
+    c1, cp1 = blend_rows(xs1)
+    step_rows = jnp.concatenate([padk(cm), padk(cpm), padk(c1), padk(cp1)], axis=1)
+    ci0, cpi0 = blend_rows(jnp.asarray([x0], dtype))
+    init_row = jnp.concatenate(
+        [padk(ci0), padk(cpi0), jnp.zeros((1, 2 * KP), dtype)], axis=1
+    )
+    # rows are sliced one at a time for the SMEM DMA: keep the sliced axis
+    # leading and UNtiled (a (nsteps, 4KP) 2D array would tile the row axis
+    # by 8 and reject the single-row slice)
+    return jnp.concatenate([init_row, step_rows], axis=0)[:, None, :]
+
+
 def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_blocks: int = 0):
     """Run the mega-kernel; returns a TraceResult (ODE convention).
 
@@ -955,31 +1154,11 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
     b0s = jnp.broadcast_to(b0s[:, None], (nsteps, 128))
     b1s = jnp.broadcast_to(b1s[:, None], (nsteps, 128))
 
+    KP = -(-K // 128) * 128  # station rows padded to the lane tile for DMA
     if rd:
-        ctab, cptab = env.c_cheb.astype(dtype), env.dcdz_cheb.astype(dtype)
-
-        def blend_rows(x):
-            i = interval_index(x, env.r, env.uniform_r)
-            w = ((x - env.r[i]) / (env.r[i + 1] - env.r[i]))[:, None]
-            return (
-                (1.0 - w) * ctab[i] + w * ctab[i + 1],
-                (1.0 - w) * cptab[i] + w * cptab[i + 1],
-            )
-
-        cm, cpm = blend_rows(xsm)  # (nsteps, K)
-        c1, cp1 = blend_rows(xs1)
-        # (nsteps, 4, K, 128) lane-replicated station table, DMA'd per step
-        st_tab = jnp.broadcast_to(
-            jnp.stack([cm, cpm, c1, cp1], axis=1)[..., None],
-            (nsteps, 4, K, 128),
-        )
-        ci0, cpi0 = blend_rows(jnp.asarray([x0], dtype))
-        ci = jnp.broadcast_to(
-            jnp.concatenate([ci0, cpi0], axis=0)[..., None], (2, K, 128)
-        )
+        st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1)
     else:
-        st_tab = jnp.zeros((1, 4, K, 128), dtype)
-        ci = jnp.zeros((2, K, 128), dtype)
+        st_tab = jnp.zeros((1, 1, 4 * KP), dtype)
 
     zlo, zhi = env.z_dom
     rlo, rhi = env.r_dom
@@ -999,7 +1178,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         settings.terminate_backwards, any_x_oob, rd,
     )
 
-    kernel = _make_kernel((x0, x1, h), consts, K, Kb, R, nseg, sps, ducted_blocks)
+    kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps, ducted_blocks)
 
     num_save = nseg + 1
     out_shape = [
@@ -1015,7 +1194,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
     ]
     # T, Tc, z, zc, p, kT, kz, kp, alive(f32) | ns, nb, death, first-dead idx
     # | backwards-dead mask | z excursions | save staging
-    # | RD station double-buffer | save sems | station sems
+    # | RD station SMEM row double-buffer | save sems | station sems
     scratch = (
         [pltpu.VMEM((R, 128), dtype) for _ in range(9)]
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(4)]
@@ -1024,7 +1203,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
             pltpu.VMEM((R, 128), dtype),  # z excursion lo
             pltpu.VMEM((R, 128), dtype),  # z excursion hi
             pltpu.VMEM((3, R, 128), dtype),
-            pltpu.VMEM((2, 4, K, 128), dtype),
+            pltpu.SMEM((2, 1, 4 * KP), dtype),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
@@ -1041,8 +1220,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         vmem_full,  # bacoef
         vmem_full,  # b0s
         vmem_full,  # b1s
-        pl.BlockSpec(memory_space=pltpu.HBM),  # st_tab (DMA'd per step)
-        vmem_full,  # ci
+        pl.BlockSpec(memory_space=pltpu.ANY),  # st_tab (DMA'd per step)
     ]
     out_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),  # save grids stay off-chip
@@ -1065,7 +1243,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, st_tab, ci)
+    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, st_tab)
 
     def unblock(a):  # (num_save, nblocks, R, 128) -> (B, num_save)
         return a.reshape(num_save, Bpad).T[:B]

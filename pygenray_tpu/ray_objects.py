@@ -325,10 +325,10 @@ class EigenRays:
 
         if hasattr(environment, "unpack"):
             cin, _, rin, zin, *_ = environment.unpack(flatearth=False)
-        else:  # bare EnvData pytree
-            cin = np.asarray(environment.c, float)
-            rin = np.asarray(environment.r, float)
-            zin = np.asarray(environment.z, float)
+        else:  # bare EnvData pytree: one cached device->host pull
+            from .envdata import host_profile_tables
+
+            rin, zin, cin = host_profile_tables(environment)
 
         from .ops.host import bilinear_np
 

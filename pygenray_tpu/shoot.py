@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from .envdata import EnvData
 from .environment import OceanEnvironment2D
 from .integrate import SolverSettings, trace
+from .envdata import host_profile_tables
 from .ops.host import bilinear_np
 from .ray_objects import Ray, RayFan
 
@@ -77,9 +78,9 @@ def _trace_fan(
         x0, x1 = source_range, receiver_range
 
     source_depth = np.asarray(source_depth, float)
+    r_h, z_h, c_h = host_profile_tables(env)
     c_src = bilinear_np(
-        np.broadcast_to(x0, source_depth.shape), source_depth,
-        np.asarray(env.r), np.asarray(env.z), np.asarray(env.c),
+        np.broadcast_to(x0, source_depth.shape), source_depth, r_h, z_h, c_h
     )
     p0 = np.sin(np.radians(np.asarray(theta_ode, float))) / c_src
     p0 = jnp.asarray(p0, env.c.dtype)

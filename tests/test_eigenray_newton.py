@@ -113,3 +113,38 @@ class TestKernelEigenrays:
                 np.sort(er_k.launch_angles[i]),
                 np.sort(er_x.launch_angles[i]), atol=5e-3,
             )
+
+    def test_newton_kernel_range_dependent(self):
+        """RD environments run Newton through the tangent kernel too
+        (station rows DMA'd per step)."""
+        import jax.numpy as jnp
+
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+
+        z = np.linspace(0, 6000, 512)
+        r = np.linspace(0, 50e3, 8)
+        c = np.array([munk_ssp(z, sofar_depth=1300 + 0.003 * ri) for ri in r])
+        env = make_env_data(c, r, z, np.full(8, 4600.0), r, dtype=jnp.float32)
+        assert env.range_dependent
+        angles = np.linspace(-14, 14, 141)
+        rays = pr.shoot_rays(1300.0, 0.0, angles, 50e3, 2, env,
+                             flatearth=False, dx=200.0)
+
+        def run(backend):
+            return pr.find_eigenrays(
+                rays, [1300.0], 1300.0, 0.0, 50e3, 10, env, ztol=0.5,
+                flatearth=False, dx=200.0, method="newton", backend=backend,
+            )
+
+        er_k = run("pallas")
+        er_x = run("xla")
+        assert er_k.num_eigenrays_found[0] == er_x.num_eigenrays_found[0]
+        assert er_k.num_eigenrays_found[0] >= 2
+        np.testing.assert_allclose(
+            np.sort(er_k.launch_angles[0]),
+            np.sort(er_x.launch_angles[0]), atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            np.sort(er_k.ts[0][:, -1]), np.sort(er_x.ts[0][:, -1]), atol=1e-5
+        )

@@ -116,6 +116,41 @@ class TestMCEigenrays:
         assert np.all((t > 33.0) & (t < 34.0))
 
 
+class TestMCEigenraysKernel:
+    def test_newton_kernel_path_matches_xla_regula_falsi(self):
+        """backend='pallas' routes the MC eigenray iterations through the
+        ensemble tangent kernel (Newton, interpret mode on CPU); arrivals
+        must match the XLA regula-falsi solve."""
+        c_ens, r, z = perturbed_munk_tables(2, r_max=30e3, nr=16, nz=400, seed=5)
+        env_ens = make_env_ensemble(
+            c_ens, r, z, np.full(16, 5000.0), r, dtype="float32", cheb_order=31
+        )
+        kw = dict(
+            receiver_depth=1300.0,
+            source_depth=1300.0,
+            source_range=0.0,
+            receiver_range=30e3,
+            ztol=1.0,
+            max_iter=8,
+        )
+        fan = np.linspace(-12, 12, 37)
+        out_k = mc_eigenray_times(
+            env_ens, fan, settings=SolverSettings(dx=250.0, backend="pallas",
+                                                  kahan=False), **kw
+        )
+        out_x = mc_eigenray_times(
+            env_ens, fan, settings=SolverSettings(dx=250.0, backend="xla",
+                                                  kahan=False), **kw
+        )
+        assert np.array_equal(out_k["valid"], out_x["valid"])
+        v = out_k["valid"]
+        # same arrivals: launch angles within the ztol-induced angle slack
+        np.testing.assert_allclose(out_k["theta"][v], out_x["theta"][v], atol=0.05)
+        np.testing.assert_allclose(out_k["t"][v], out_x["t"][v], atol=5e-4)
+        assert np.all(out_k["z_resid"][v] < 1.0)
+        np.testing.assert_array_equal(out_k["n_bott"][v], out_x["n_bott"][v])
+
+
 class TestGatherChunking:
     def test_table_ensemble_chunks_above_cap(self, monkeypatch):
         """Above the gather envelope the table-path ensemble is traced in

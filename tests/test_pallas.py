@@ -202,3 +202,94 @@ class TestTangentKernel:
             np.abs(np.asarray(dzx)) + 1e3
         )
         assert rel[alive].max() < 2e-3
+
+    def test_range_dependent_primal_and_tangent(self):
+        """RD station tables through the tangent kernel (SMEM DMA rows)."""
+        from pygenray_tpu.ops.pallas_stepper import (
+            tangent_supported, trace_pallas_tangent,
+        )
+
+        z = np.linspace(0, 6000, 512)
+        r = np.linspace(0, 100e3, 16)
+        c = np.array([munk_ssp(z, sofar_depth=1300 + 0.002 * ri) for ri in r])
+        env = make_env_data(c, r, z, np.full(16, 4600.0), r, dtype=jnp.float32)
+        assert env.range_dependent
+        s = SolverSettings(dx=200.0, kahan=False)
+        assert tangent_supported(env, s, True)
+        h, sps, nseg = _plan(0.0, 60e3, 2, s.dx)
+        geom = (0.0, 60e3, h, sps, nseg)
+        angles = np.linspace(-16, 16, 96)
+        c_src = np.interp(1300.0, z, c[0])
+        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, jnp.float32)
+
+        def zfun(p):
+            res = _trace_impl(env, 1300.0, p, geom, s)
+            return (res.ts[:, -1], res.zs[:, -1], res.n_surf, res.n_bott,
+                    res.death_code)
+
+        (Tx, zx, nsx, nbx, dcx), (dTx, dzx, *_n) = jax.jvp(
+            zfun, (p0,), (jnp.ones_like(p0),)
+        )
+        T, zk, pk, dT, dz, dp, ns, nb, dc = trace_pallas_tangent(
+            env, 1300.0, p0, 1.0, geom, s, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(ns), np.asarray(nsx))
+        np.testing.assert_array_equal(np.asarray(nb), np.asarray(nbx))
+        np.testing.assert_array_equal(np.asarray(dc), np.asarray(dcx))
+        np.testing.assert_allclose(np.asarray(T), np.asarray(Tx), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(zk), np.asarray(zx), atol=0.1)
+        alive = np.asarray(dc) == 0
+        rel = np.abs(np.asarray(dz) - np.asarray(dzx)) / (
+            np.abs(np.asarray(dzx)) + 1e3
+        )
+        assert rel[alive].max() < 2e-3
+
+    def test_ensemble_tangent_matches_vmapped_jvp(self):
+        """Block-per-realization ensemble kernel vs vmapped XLA scan jvp."""
+        from pygenray_tpu.montecarlo import make_env_ensemble
+        from pygenray_tpu.ops.pallas_stepper import trace_pallas_tangent_ensemble
+
+        z = np.linspace(0, 6000, 512)
+        r = np.linspace(0, 100e3, 8)
+        rng = np.random.RandomState(7)
+        E, M = 3, 40
+        c_ens = np.array([
+            np.array([munk_ssp(z, sofar_depth=1300 + 30 * rng.randn()) for _ in r])
+            for _ in range(E)
+        ])
+        env_ens = make_env_ensemble(
+            c_ens, r, z, np.full(8, 4600.0), r, dtype=jnp.float32, cheb_order=31
+        )
+        s = SolverSettings(dx=200.0, kahan=False)
+        h, sps, nseg = _plan(0.0, 60e3, 2, s.dx)
+        geom = (0.0, 60e3, h, sps, nseg)
+        angles = np.linspace(-14, 14, M)
+        c_src = np.interp(1300.0, z, c_ens[0, 0])
+        p0 = jnp.asarray(
+            np.broadcast_to(np.sin(np.radians(-angles)) / c_src, (E, M)),
+            jnp.float32,
+        )
+
+        def zfun(envs, p):
+            res = jax.vmap(
+                lambda e, pp: _trace_impl(e, 1300.0, pp, geom, s)
+            )(envs, p)
+            return (res.ts[..., -1], res.zs[..., -1], res.n_surf, res.n_bott,
+                    res.death_code)
+
+        (Tx, zx, nsx, nbx, dcx), (dTx, dzx, *_n) = jax.jvp(
+            lambda p: zfun(env_ens, p), (p0,), (jnp.ones_like(p0),)
+        )
+        T, zk, pk, dT, dz, dp, ns, nb, dc = trace_pallas_tangent_ensemble(
+            env_ens, 1300.0, p0, 1.0, geom, s, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(ns), np.asarray(nsx))
+        np.testing.assert_array_equal(np.asarray(nb), np.asarray(nbx))
+        np.testing.assert_array_equal(np.asarray(dc), np.asarray(dcx))
+        np.testing.assert_allclose(np.asarray(T), np.asarray(Tx), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(zk), np.asarray(zx), atol=0.1)
+        alive = np.asarray(dc) == 0
+        rel = np.abs(np.asarray(dz) - np.asarray(dzx)) / (
+            np.abs(np.asarray(dzx)) + 1e3
+        )
+        assert rel[alive].max() < 2e-3
