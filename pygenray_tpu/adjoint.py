@@ -55,6 +55,36 @@ def cheb_derivative_matrix(K: int, zlo: float, zhi: float) -> np.ndarray:
     return D * (2.0 / (zhi - zlo))
 
 
+_COEF_KERNEL_CACHE = None
+
+
+def _coef_kernel_cached(env, z0, p0, dcoef, dcpcoef, geom, settings, interpret):
+    """Memoized jitted launcher for the coefficient-tangent kernel (one
+    eager launch pays ~ms-per-op dispatch on the axon tunnel; jitted and
+    structurally keyed it is one device computation)."""
+    global _COEF_KERNEL_CACHE
+    from .utils.cache import LRUCache, env_struct_key
+
+    if _COEF_KERNEL_CACHE is None:
+        _COEF_KERNEL_CACHE = LRUCache(64)
+    from .ops.pallas_stepper import trace_pallas_coef_tangent
+
+    def run(envarg, zz, p, dc, dcp):
+        outs = trace_pallas_coef_tangent(
+            envarg, zz, p, dc, dcp, geom, settings, interpret=interpret
+        )
+        return outs[0], outs[3]  # T_end, dT (D, B)
+
+    z0a = jnp.asarray(z0, jnp.float32)
+    key = (env_struct_key(env), geom, settings, p0.shape, dcoef.shape,
+           z0a.shape, bool(interpret))
+    fn = _COEF_KERNEL_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(run)
+        _COEF_KERNEL_CACHE.put(key, fn)
+    return fn(env, z0a, p0, dcoef, dcpcoef)
+
+
 def travel_time_jacobian(
     env: EnvData,
     z0,
@@ -62,7 +92,7 @@ def travel_time_jacobian(
     x0: float,
     x1: float,
     settings: SolverSettings = SolverSettings(),
-    mode: str = "fwd",
+    mode: str = "auto",
 ):
     """∂T_end/∂(c Chebyshev coefficients) for each ray.
 
@@ -71,6 +101,12 @@ def travel_time_jacobian(
     k-th Chebyshev coefficient of the (range-independent) sound-speed
     profile, with the dc/dz field perturbed consistently (chained through
     the spectral derivative operator).
+
+    ``mode``: "auto" (default) runs the whole (B, K) Jacobian as ONE Pallas
+    launch on supported configurations (f32 spectral fits on TPU) — grid
+    block k advances the forward tangent along coefficient direction k —
+    and otherwise falls back to "fwd" (jax.jacfwd through the XLA scan;
+    K tangent passes).  "rev" uses jax.jacrev.
     """
     if not _use_cheb(env, settings):
         raise ValueError("travel_time_jacobian requires a spectral (cheb) environment")
@@ -79,11 +115,12 @@ def travel_time_jacobian(
 
     h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
     geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
-    # the Pallas kernel has no AD rule; force the XLA scan path.  Kahan
+    # force the XLA scan path for the autodiff fallback.  Kahan
     # compensation is disabled: it is unnecessary at f64 and its
     # cancellation pattern provokes pathologically slow XLA simplification
-    # in the transposed (reverse-mode) scan.
-    settings = dataclasses.replace(
+    # in the transposed (reverse-mode) scan (forward AD convention — the
+    # kernel path matches it).
+    settings_x = dataclasses.replace(
         settings, backend="xla", partition=False, kahan=False
     )
 
@@ -95,11 +132,33 @@ def travel_time_jacobian(
     ccoef0 = env.c_cheb[0]
     cp_offset = env.dcdz_cheb[0] - D @ ccoef0  # fitted-vs-analytic residual
 
+    if mode in ("auto", "kernel"):
+        from .ops.pallas_stepper import tangent_supported
+
+        on_tpu = jax.default_backend() == "tpu"
+        s_k = dataclasses.replace(settings_x, kahan=False)
+        kernel_ok = (
+            settings.backend != "xla"
+            and tangent_supported(env, s_k, True)
+            and (on_tpu or settings.backend == "pallas" or mode == "kernel")
+        )
+        if kernel_ok:
+            # direction k: dc = e_k, dcdz chained through D
+            dcoef = jnp.eye(K, dtype=jnp.float32)
+            dcpcoef = D.T.astype(jnp.float32)  # row k = D @ e_k
+            T_end, dT = _coef_kernel_cached(
+                env, z0, p0, dcoef, dcpcoef, geom, s_k, not on_tpu
+            )
+            return T_end, dT.T  # (B, K)
+        if mode == "kernel":
+            raise ValueError("coefficient-tangent kernel unsupported here")
+        mode = "fwd"
+
     def T_of(ccoef):
         cc = jnp.broadcast_to(ccoef, env.c_cheb.shape)
         cp = jnp.broadcast_to(cp_offset + D @ ccoef, env.dcdz_cheb.shape)
         env2 = dataclasses.replace(env, c_cheb=cc, dcdz_cheb=cp)
-        res = _trace_impl(env2, z0, p0, geom, settings)
+        res = _trace_impl(env2, z0, p0, geom, settings_x)
         return res.ts[:, -1]
 
     T_end = T_of(ccoef0)

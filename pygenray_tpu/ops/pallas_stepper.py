@@ -452,6 +452,101 @@ def tangent_supported(env, settings, use_cheb: bool) -> bool:
     )
 
 
+def _make_step_math(consts, K, Kb, hs):
+    """One event step (non-Kahan) as a pure function of register values —
+    the shared core of the forward-tangent kernels.  Identical math to the
+    mega-kernel's step_body; jax.jvp is applied OVER this function, so the
+    tangent arithmetic can never drift from the primal."""
+    (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
+     b_rlo, b_rhi, term_back, any_x_oob, rd) = consts
+
+    def step_math(rhs, ev, bacoef_read, st_m, st_1, b0, b1, x0f, upd,
+                  T, z, p, kT1, kz1, kp1):
+        kT2, kz2, kp2, _ = rhs(st_m, z + 0.5 * hs * kz1, p + 0.5 * hs * kp1)
+        kT3, kz3, kp3, _ = rhs(st_m, z + 0.5 * hs * kz2, p + 0.5 * hs * kp2)
+        kT4, kz4, kp4, _ = rhs(st_1, z + hs * kz3, p + hs * kp3)
+        dT = hs / 6.0 * (kT1 + 2 * kT2 + 2 * kT3 + kT4)
+        dz = hs / 6.0 * (kz1 + 2 * kz2 + 2 * kz3 + kz4)
+        dp = hs / 6.0 * (kp1 + 2 * kp2 + 2 * kp3 + kp4)
+        z1 = z + dz
+        p1 = p + dp
+
+        surf = (z1 < 0.0) & (z >= 0.0)
+        bott = (z1 > b1) & (z <= b0)
+        cross = upd & (surf | bott)
+
+        bnd0 = jnp.where(surf, 0.0, b0)
+        bnd1 = jnp.where(surf, 0.0, b1)
+        db = bnd1 - bnd0
+        mz0 = hs * kz1
+        mz1 = hs * kz4
+        g0 = z - bnd0
+        g1 = z1 - bnd1
+        f = g0 / jnp.where(jnp.abs(g0 - g1) > _TINY, g0 - g1, 1.0)
+        f = jnp.clip(f, 0.0, 1.0)
+        for _i in range(2):
+            G = _hermite(f, z, z1, mz0, mz1) - (bnd0 + f * db)
+            Gp = _hermite_d(f, z, z1, mz0, mz1) - db
+            f = jnp.clip(
+                f - G / jnp.where(jnp.abs(Gp) > _TINY, Gp, 1.0), 0.0, 1.0
+            )
+
+        t_off = _hermite(f, jnp.zeros_like(dT), dT, hs * kT1, hs * kT4)
+        z_c = _hermite(f, z, z1, mz0, mz1)
+        p_c = _hermite(f, p, p1, hs * kp1, hs * kp4)
+        x_c = x0f + f * hs
+
+        c_c, _ = ev(st_m, z_c)
+        sin_th = jnp.clip(p_c * c_c, -1.0, 1.0)
+        cos_th = jnp.sqrt(jnp.maximum(1.0 - sin_th * sin_th, 0.0))
+        if bangle_mode == "const":
+            s2b = s2b_c
+            c2b = c2b_c
+        else:
+            ub = jnp.clip(
+                (2.0 * x_c - (b_rlo + b_rhi)) / (b_rhi - b_rlo), -1.0, 1.0
+            )
+            b2 = 2.0 * jnp.radians(_clenshaw(ub, bacoef_read, Kb))
+            s2b = jnp.sin(b2)
+            c2b = jnp.cos(b2)
+        p_refl = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
+        if term_back:
+            back_dead = cross & bott & (c2b * cos_th + s2b * sin_th < -1e-9)
+        else:
+            back_dead = jnp.zeros_like(cross)
+
+        hr = (1.0 - f) * hs
+        rT1, rz1, rp1, _ = rhs(st_m, z_c, p_refl)
+        rT2, rz2, rp2, _ = rhs(st_1, z_c + hr * rz1, p_refl + hr * rp1)
+        dT_fix = t_off + hr * 0.5 * (rT1 + rT2)
+        z_fix = z_c + hr * 0.5 * (rz1 + rz2)
+        p_fix = p_refl + hr * 0.5 * (rp1 + rp2)
+
+        use_fix = cross & (~back_dead)
+        dT_tot = jnp.where(use_fix, dT_fix, dT)
+        dz_tot = jnp.where(use_fix, z_fix - z, dz)
+        p_new = jnp.where(use_fix, p_fix, p1)
+
+        T_n = T + jnp.where(upd, dT_tot, 0.0)
+        z_n = z + jnp.where(upd, dz_tot, 0.0)
+        p_n = jnp.where(upd, p_new, p)
+
+        kTe, kze, kpe, c_e = rhs(st_1, z_n, p_n)
+        return (
+            T_n, z_n, p_n,
+            jnp.where(upd, kTe, kT1),
+            jnp.where(upd, kze, kz1),
+            jnp.where(upd, kpe, kp1),
+            # primal-only diagnostics (tangents discarded)
+            c_e * p_n,
+            (cross & surf).astype(jnp.float32),
+            (cross & bott).astype(jnp.float32),
+            back_dead.astype(jnp.float32),
+        )
+
+    return step_math
+
+
 def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
@@ -492,6 +587,7 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
             return inv_s * invc, q * inv_s, -cp * inv_s * invc * invc, c
 
         hs = jnp.float32(h)
+        step_math = _make_step_math(consts, K, Kb, hs)
 
         # ---- init (primal + tangent via jvp) ------------------------------
         if rd:
@@ -552,90 +648,12 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
             upd = alive
 
             def smath(T, z, p, kT1, kz1, kp1):
-                """One event step (non-Kahan); identical math to the
-                mega-kernel's step_body.  Closes over b0/b1/x0f/upd and the
-                station handles, so the only differentiated inputs are the
-                carried ray state."""
-                kT2, kz2, kp2, _ = rhs(st_m, z + 0.5 * hs * kz1, p + 0.5 * hs * kp1)
-                kT3, kz3, kp3, _ = rhs(st_m, z + 0.5 * hs * kz2, p + 0.5 * hs * kp2)
-                kT4, kz4, kp4, _ = rhs(st_1, z + hs * kz3, p + hs * kp3)
-                dT = hs / 6.0 * (kT1 + 2 * kT2 + 2 * kT3 + kT4)
-                dz = hs / 6.0 * (kz1 + 2 * kz2 + 2 * kz3 + kz4)
-                dp = hs / 6.0 * (kp1 + 2 * kp2 + 2 * kp3 + kp4)
-                z1 = z + dz
-                p1 = p + dp
-
-                surf = (z1 < 0.0) & (z >= 0.0)
-                bott = (z1 > b1) & (z <= b0)
-                cross = upd & (surf | bott)
-
-                bnd0 = jnp.where(surf, 0.0, b0)
-                bnd1 = jnp.where(surf, 0.0, b1)
-                db = bnd1 - bnd0
-                mz0 = hs * kz1
-                mz1 = hs * kz4
-                g0 = z - bnd0
-                g1 = z1 - bnd1
-                f = g0 / jnp.where(jnp.abs(g0 - g1) > _TINY, g0 - g1, 1.0)
-                f = jnp.clip(f, 0.0, 1.0)
-                for _i in range(2):
-                    G = _hermite(f, z, z1, mz0, mz1) - (bnd0 + f * db)
-                    Gp = _hermite_d(f, z, z1, mz0, mz1) - db
-                    f = jnp.clip(
-                        f - G / jnp.where(jnp.abs(Gp) > _TINY, Gp, 1.0), 0.0, 1.0
-                    )
-
-                t_off = _hermite(f, jnp.zeros_like(dT), dT, hs * kT1, hs * kT4)
-                z_c = _hermite(f, z, z1, mz0, mz1)
-                p_c = _hermite(f, p, p1, hs * kp1, hs * kp4)
-                x_c = x0f + f * hs
-
-                c_c, _ = ev(st_m, z_c)
-                sin_th = jnp.clip(p_c * c_c, -1.0, 1.0)
-                cos_th = jnp.sqrt(jnp.maximum(1.0 - sin_th * sin_th, 0.0))
-                if bangle_mode == "const":
-                    s2b = s2b_c
-                    c2b = c2b_c
-                else:
-                    ub = jnp.clip(
-                        (2.0 * x_c - (b_rlo + b_rhi)) / (b_rhi - b_rlo), -1.0, 1.0
-                    )
-                    b2 = 2.0 * jnp.radians(_clenshaw(ub, _vmem_reader(bacoef_ref), Kb))
-                    s2b = jnp.sin(b2)
-                    c2b = jnp.cos(b2)
-                p_refl = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
-                if term_back:
-                    back_dead = cross & bott & (c2b * cos_th + s2b * sin_th < -1e-9)
-                else:
-                    back_dead = jnp.zeros_like(cross)
-
-                hr = (1.0 - f) * hs
-                rT1, rz1, rp1, _ = rhs(st_m, z_c, p_refl)
-                rT2, rz2, rp2, _ = rhs(st_1, z_c + hr * rz1, p_refl + hr * rp1)
-                dT_fix = t_off + hr * 0.5 * (rT1 + rT2)
-                z_fix = z_c + hr * 0.5 * (rz1 + rz2)
-                p_fix = p_refl + hr * 0.5 * (rp1 + rp2)
-
-                use_fix = cross & (~back_dead)
-                dT_tot = jnp.where(use_fix, dT_fix, dT)
-                dz_tot = jnp.where(use_fix, z_fix - z, dz)
-                p_new = jnp.where(use_fix, p_fix, p1)
-
-                T_n = T + jnp.where(upd, dT_tot, 0.0)
-                z_n = z + jnp.where(upd, dz_tot, 0.0)
-                p_n = jnp.where(upd, p_new, p)
-
-                kTe, kze, kpe, c_e = rhs(st_1, z_n, p_n)
-                return (
-                    T_n, z_n, p_n,
-                    jnp.where(upd, kTe, kT1),
-                    jnp.where(upd, kze, kz1),
-                    jnp.where(upd, kpe, kp1),
-                    # primal-only diagnostics (tangents discarded)
-                    c_e * p_n,
-                    (cross & surf).astype(jnp.float32),
-                    (cross & bott).astype(jnp.float32),
-                    back_dead.astype(jnp.float32),
+                # shared event-step core; closes over b0/b1/x0f/upd and the
+                # station handles, so the only differentiated inputs are
+                # the carried ray state
+                return step_math(
+                    rhs, ev, _vmem_reader(bacoef_ref), st_m, st_1,
+                    b0, b1, x0f, upd, T, z, p, kT1, kz1, kp1,
                 )
 
             prim_in = (T_s[...], z_s[...], p_s[...],
@@ -881,6 +899,260 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
 
     unb = lambda a: a.reshape(E, Mpad)[:, :M]
     return tuple(unb(o) for o in outs)
+
+
+
+def _make_coef_kernel(geom, consts, K, KP, Kb, nsteps):
+    """Forward tangent along a COEFFICIENT direction: grid block k advances
+    the primal and the tangent d(state)/d(alpha) where the sound-speed
+    coefficients are perturbed c_j + alpha*dc_j (and dcdz chained), alpha=0.
+    The direction enters jax.jvp through an explicit epsilon input whose
+    primal is 0 and tangent is 1, so the shared step math stays untouched.
+    Range-independent spectral profiles only (the adjoint operator's
+    domain, see adjoint.travel_time_jacobian)."""
+    x0g, x1g, h = geom
+    (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
+     b_rlo, b_rhi, term_back, any_x_oob, rd) = consts
+    assert not rd
+
+    def kernel(
+        p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
+        b0s_ref, b1s_ref, dtab_ref,
+        T_out, z_out, p_out, dT_out, dz_out, dp_out,
+        nsurf_out, nbott_out, death_out,
+        T_s, z_s, p_s, kT_s, kz_s, kp_s,
+        dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
+        al_s, ns_s, nb_s, de_s, dt_s, dtsem,
+    ):
+        ib = pl.program_id(0)
+        cpd = pltpu.make_async_copy(dtab_ref.at[ib], dt_s, dtsem)
+        cpd.start()
+        cpd.wait()
+
+        def handles(eps):
+            # eps-dual coefficient readers: tangent of eps is 1, so jvp
+            # yields d/d(alpha) of the whole step at alpha=0
+            return (
+                lambda j: ccoef_ref[j] + eps * dt_s[0, j],
+                lambda j: cpcoef_ref[j] + eps * dt_s[0, KP + j],
+            )
+
+        def ev(st, zq):
+            rc, rcp = st
+            u = jnp.clip(sc * zq - off, -1.0, 1.0)
+            return _clenshaw(u, rc, K), _clenshaw(u, rcp, K)
+
+        def rhs(st, zq, pq):
+            c, cp = ev(st, zq)
+            q = c * pq
+            inv_s = lax.rsqrt(jnp.maximum(1.0 - q * q, _TINY))
+            invc = 1.0 / c
+            return inv_s * invc, q * inv_s, -cp * inv_s * invc * invc, c
+
+        hs = jnp.float32(h)
+        step_math = _make_step_math(consts, K, Kb, hs)
+
+        # ---- init: k1 tangent carries the coefficient direction ----------
+        z0 = z0_ref[0]
+        p0 = p0_ref[0]
+        zeros = jnp.zeros_like(z0)
+        ones = jnp.ones_like(z0)
+
+        def rhs3(zq, pq, eps):
+            fT, fz, fp, _ = rhs(handles(eps), zq, pq)
+            return fT, fz, fp
+
+        (kT0, kz0, kp0), (dkT0, dkz0, dkp0) = jax.jvp(
+            rhs3, (z0, p0, zeros), (zeros, zeros, ones)
+        )
+        T_s[...] = zeros
+        z_s[...] = z0
+        p_s[...] = p0
+        kT_s[...] = kT0
+        kz_s[...] = kz0
+        kp_s[...] = kp0
+        dT_s[...] = zeros
+        dz_s[...] = zeros
+        dp_s[...] = zeros
+        dkT_s[...] = dkT0
+        dkz_s[...] = dkz0
+        dkp_s[...] = dkp0
+        alive0 = (z0 >= zlo - btol) & (z0 <= zhi + btol)
+        al_s[...] = alive0.astype(jnp.float32)
+        ns_s[...] = jnp.zeros_like(z0, dtype=jnp.int32)
+        nb_s[...] = jnp.zeros_like(z0, dtype=jnp.int32)
+        de_s[...] = jnp.where(alive0, 0, 2).astype(jnp.int32)
+
+        def body(k, _):
+            b0 = b0s_ref[k]
+            b1 = b1s_ref[k]
+            kf = k.astype(jnp.float32)
+            x0f = x0g + kf * hs
+            alive = al_s[...] > 0.5
+            upd = alive
+
+            def smath(T, z, p, kT1, kz1, kp1, eps):
+                st = handles(eps)
+                return step_math(
+                    rhs, ev, _vmem_reader(bacoef_ref), st, st,
+                    b0, b1, x0f, upd, T, z, p, kT1, kz1, kp1,
+                )
+
+            prim_in = (T_s[...], z_s[...], p_s[...],
+                       kT_s[...], kz_s[...], kp_s[...], zeros)
+            tang_in = (dT_s[...], dz_s[...], dp_s[...],
+                       dkT_s[...], dkz_s[...], dkp_s[...], ones)
+            prim, tang = jax.jvp(smath, prim_in, tang_in)
+            (T_n, z_n, p_n, kTe, kze, kpe, sin_e, cs_f, cb_f, bd_f) = prim
+            (dT_n, dz_n, dp_n, dkTe, dkze, dkpe, *_unused) = tang
+
+            vert = jnp.abs(sin_e) > sin_lim
+            oob = (z_n > zhi + btol) | (z_n < zlo - btol)
+            if any_x_oob:
+                oob = oob | (
+                    (x0f < jnp.float32(rlo - btol))
+                    | (x0g + (kf + 1.0) * hs > jnp.float32(rhi + btol))
+                )
+            back_dead = bd_f > 0.5
+            alive_n = alive & ~(vert | oob | back_dead)
+            death = de_s[...]
+            de_s[...] = jnp.where(
+                alive & back_dead, 3,
+                jnp.where(alive & vert, 1, jnp.where(alive & oob, 2, death)),
+            ).astype(jnp.int32)
+
+            T_s[...] = T_n
+            z_s[...] = z_n
+            p_s[...] = p_n
+            kT_s[...] = kTe
+            kz_s[...] = kze
+            kp_s[...] = kpe
+            dT_s[...] = dT_n
+            dz_s[...] = dz_n
+            dp_s[...] = dp_n
+            dkT_s[...] = dkTe
+            dkz_s[...] = dkze
+            dkp_s[...] = dkpe
+            al_s[...] = alive_n.astype(jnp.float32)
+            ns_s[...] = ns_s[...] + (cs_f > 0.5).astype(jnp.int32)
+            nb_s[...] = nb_s[...] + (cb_f > 0.5).astype(jnp.int32)
+            return 0
+
+        lax.fori_loop(0, nsteps, body, 0)
+
+        T_out[0] = T_s[...]
+        z_out[0] = z_s[...]
+        p_out[0] = p_s[...]
+        dT_out[0] = dT_s[...]
+        dz_out[0] = dz_s[...]
+        dp_out[0] = dp_s[...]
+        nsurf_out[0] = ns_s[...]
+        nbott_out[0] = nb_s[...]
+        death_out[0] = de_s[...]
+
+    return kernel
+
+
+def trace_pallas_coef_tangent(env, z0, p0, dcoef, dcpcoef, geom, settings,
+                              interpret: bool = False):
+    """Final-state trace with one forward tangent per COEFFICIENT direction.
+
+    ``dcoef``/``dcpcoef`` are (D, K): D directions of simultaneous
+    (c, dcdz) coefficient perturbation; direction d runs as grid block d
+    against the full (B,) ray batch.  Returns
+    ``(T, z, p, dT, dz, dp, n_surf, n_bott, death)`` where the primal
+    fields are (B,) (identical across blocks; block 0's copy is returned)
+    and the tangents are (D, B).  This is the engine of the spectral
+    travel-time Jacobian (adjoint.travel_time_jacobian) run entirely inside
+    the kernel — one launch for the whole (B, D) Jacobian.
+    """
+    from ..ops.interp import linear_interp
+
+    x0, x1, h, sps, nseg = geom
+    nsteps = sps * nseg
+    dtype = jnp.float32
+    if env.range_dependent:
+        raise ValueError("coefficient-tangent kernel requires a range-independent fit")
+    p0 = jnp.asarray(p0, dtype)
+    B = p0.shape[0]
+    dcoef = jnp.asarray(dcoef, dtype)
+    dcpcoef = jnp.asarray(dcpcoef, dtype)
+    D = dcoef.shape[0]
+    z0v = jnp.broadcast_to(jnp.asarray(z0, dtype), (B,))
+
+    R = max(1, -(-B // 128))
+    Bpad = R * 128
+    pad = lambda a: jnp.pad(a, (0, Bpad - B)).reshape(1, R, 128)
+    p0p, z0p = pad(p0), pad(z0v)
+
+    K = env.c_cheb.shape[1]
+    KP = -(-K // 128) * 128
+    rep = lambda a: jnp.broadcast_to(a.astype(dtype)[:, None], (a.shape[0], 128))
+    ccoef = rep(env.c_cheb[0])
+    cpcoef = rep(env.dcdz_cheb[0])
+    Kb = env.bangle_cheb.shape[0]
+    bacoef = rep(env.bangle_cheb)
+
+    padk = lambda a: jnp.pad(a, ((0, 0), (0, KP - K)))
+    dtab = jnp.concatenate([padk(dcoef), padk(dcpcoef)], axis=1)[:, None, :]
+
+    ks = jnp.arange(nsteps, dtype=dtype)
+    xs0 = x0 + ks * h
+    xs1 = x0 + (ks + 1.0) * h
+    b0s = linear_interp(xs0, env.bathy_r, env.bathy, env.uniform_bathy_r).astype(dtype)
+    b1s = linear_interp(xs1, env.bathy_r, env.bathy, env.uniform_bathy_r).astype(dtype)
+    b0s = jnp.broadcast_to(b0s[:, None], (nsteps, 128))
+    b1s = jnp.broadcast_to(b1s[:, None], (nsteps, 128))
+
+    zlo, zhi = env.z_dom
+    rlo, rhi = env.r_dom
+    sc = 2.0 / (zhi - zlo)
+    off = (zlo + zhi) / (zhi - zlo)
+    sin_lim = math.sin(math.radians(settings.vertical_limit_deg))
+    b = math.radians(env.bangle_const)
+    ks64 = np.arange(nsteps, dtype=np.float64)
+    any_x_oob = bool(
+        np.any((x0 + ks64 * h < rlo - settings.bbox_tol)
+               | (x0 + (ks64 + 1.0) * h > rhi + settings.bbox_tol))
+    )
+    consts = (
+        zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
+        math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
+        env.bathy_r_dom[0], env.bathy_r_dom[1],
+        settings.terminate_backwards, any_x_oob, False,
+    )
+
+    kernel = _make_coef_kernel((x0, x1, h), consts, K, KP, Kb, nsteps)
+
+    fvec = jax.ShapeDtypeStruct((D, R, 128), dtype)
+    ivec = jax.ShapeDtypeStruct((D, R, 128), jnp.int32)
+    out_shape = [fvec] * 6 + [ivec] * 3
+    scratch = (
+        [pltpu.VMEM((R, 128), dtype) for _ in range(12)]
+        + [pltpu.VMEM((R, 128), dtype)]  # alive (f32)
+        + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
+        + [pltpu.SMEM((1, 2 * KP), dtype), pltpu.SemaphoreType.DMA]
+    )
+    # every block reads the same ray block; block d reads direction d's row
+    shared = pl.BlockSpec((1, R, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(D,),
+        in_specs=[shared, shared] + [vmem_full] * 5
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[blocked] * 9,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, dtab)
+
+    first = lambda a: a[0].reshape(Bpad)[:B]
+    alld = lambda a: a.reshape(D, Bpad)[:, :B]
+    (T, zf, pf, dT, dz, dp, ns, nb, dc) = outs
+    return (first(T), first(zf), first(pf), alld(dT), alld(dz), alld(dp),
+            first(ns), first(nb), first(dc))
 
 
 def _layout(B: int):

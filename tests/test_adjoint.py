@@ -237,3 +237,37 @@ class TestFermatJacobian:
         j = np.abs(G[0]).sum(axis=1)
         assert j[:4].sum() > 0
         np.testing.assert_allclose(j[5:], 0.0, atol=1e-12)
+
+
+class TestCoefTangentKernel:
+    def test_kernel_jacobian_matches_jacfwd(self):
+        """The one-launch coefficient-tangent kernel must reproduce the
+        jacfwd-through-XLA-scan Jacobian (f32, interpret mode on CPU)."""
+        import jax.numpy as jnp
+
+        from pygenray_tpu.adjoint import travel_time_jacobian
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+        from pygenray_tpu.integrate import SolverSettings
+
+        z = np.linspace(0, 6000, 512)
+        r = np.linspace(0, 60e3, 4)
+        c = np.outer(np.ones(4), munk_ssp(z))
+        env = make_env_data(c, r, z, np.full(4, 4600.0), r, dtype=jnp.float32)
+        angles = np.linspace(-12, 12, 48)
+        c_src = np.interp(1300.0, z, c[0])
+        p0 = np.sin(np.radians(-angles)) / c_src
+        s = SolverSettings(dx=200.0, backend="pallas", kahan=False)
+
+        T_k, jac_k = travel_time_jacobian(env, 1300.0, p0, 0.0, 60e3, s,
+                                          mode="kernel")
+        T_f, jac_f = travel_time_jacobian(env, 1300.0, p0, 0.0, 60e3, s,
+                                          mode="fwd")
+        assert jac_k.shape == jac_f.shape
+        np.testing.assert_allclose(np.asarray(T_k), np.asarray(T_f), atol=1e-4)
+        # f32 forward-tangent accumulation noise; the Jacobian magnitudes
+        # are O(1e-2 .. 1e-5) s per unit coefficient
+        scale = np.abs(np.asarray(jac_f)).max()
+        np.testing.assert_allclose(
+            np.asarray(jac_k), np.asarray(jac_f), atol=2e-3 * scale
+        )
