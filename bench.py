@@ -349,6 +349,32 @@ def bench_extra_configs():
         }
     )
 
+    # -- extra: spectral travel-time Jacobian (coefficient-tangent kernel) --
+    from pygenray_tpu.adjoint import travel_time_jacobian
+
+    env_ri = build_env(jnp.float32)
+    jac_angles = np.linspace(-14.0, 14.0, 512)
+    c_src_j = bilinear_np(0.0, SRC_DEPTH, np.asarray(env_ri.r),
+                          np.asarray(env_ri.z), np.asarray(env_ri.c))
+    p0_j = np.sin(np.radians(-jac_angles)) / c_src_j
+
+    def jac_run():
+        T, jac = travel_time_jacobian(env_ri, SRC_DEPTH, p0_j, 0.0, R_MAX,
+                                      SolverSettings(dx=200.0))
+        return np.asarray(jac)
+
+    best = timeit(jac_run, n=2)
+    jacv = jac_run()
+    out.append(
+        {
+            "metric": "spectral_jacobian_latency",
+            "value": round(best, 4),
+            "unit": "s",
+            "vs_baseline": None,
+            "config": f"dT/dcoef for 512 rays x K={jacv.shape[1]} (one coef-tangent kernel launch)",
+        }
+    )
+
     # config 4b: ensemble eigenray phase — all (realization x bracket)
     # regula-falsi candidates in one device computation
     def mc_eig():
@@ -365,7 +391,7 @@ def bench_extra_configs():
             "value": round(best, 4),
             "unit": "s",
             "vs_baseline": None,
-            "config": f"{E} realizations, 512-angle fans, batched regula falsi at 1300 m",
+            "config": f"{E} realizations, 512-angle fans, ensemble-kernel Newton at 1300 m",
             "arrivals_found": int(arr["valid"].sum()),
         }
     )

@@ -157,7 +157,7 @@ def travel_time_jacobian(
     def T_of(ccoef):
         cc = jnp.broadcast_to(ccoef, env.c_cheb.shape)
         cp = jnp.broadcast_to(cp_offset + D @ ccoef, env.dcdz_cheb.shape)
-        env2 = dataclasses.replace(env, c_cheb=cc, dcdz_cheb=cp)
+        env2 = dataclasses.replace(env, c_cheb=cc, dcdz_cheb=cp, poly_ok=False)
         res = _trace_impl(env2, z0, p0, geom, settings_x)
         return res.ts[:, -1]
 
@@ -203,7 +203,8 @@ def travel_time_jacobian_2d(
     cp_offset = env.dcdz_cheb - cc0 @ D.T
 
     def T_of(cc):
-        env2 = dataclasses.replace(env, c_cheb=cc, dcdz_cheb=cp_offset + cc @ D.T)
+        env2 = dataclasses.replace(env, c_cheb=cc, dcdz_cheb=cp_offset + cc @ D.T,
+                                   poly_ok=False)
         res = _trace_impl(env2, z0, p0, geom, settings)
         return res.ts[:, -1]
 

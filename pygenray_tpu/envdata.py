@@ -5,7 +5,11 @@ speed and its depth-derivative as 2D tables (canonical semantics, matching
 the reference's bilinear-interpolated fields,
 `/root/reference/src/pygenray/launch_rays.py:717-742`), plus optional
 Chebyshev "spectral profile" coefficients — the TPU fast path (see
-``pygenray_tpu.ops.cheb``).  Static metadata (uniform-grid flags, fit
+``pygenray_tpu.ops.cheb``) — and their guarded monomial re-expression
+(``c_pow``/``dcdz_pow``, evaluated with Horner at half the Clenshaw op
+count when ``poly_ok``).  The monomial tables are DERIVED: replace
+spectral coefficients through ``with_spectral`` (or pass
+``poly_ok=False``), never with a bare ``dataclasses.replace``.  Static metadata (uniform-grid flags, fit
 availability, domain bounds) is carried as hashable aux data so the
 integrator can specialize code paths at trace time.
 
@@ -28,7 +32,7 @@ from .ops.cheb import fit_profile_cheb, fit_series_cheb
 from .ops.interp import cubic_spline_coeffs
 from .utils.cache import LRUCache
 
-__all__ = ["EnvData", "make_env_data", "mirror_env_arrays", "host_profile_tables"]
+__all__ = ["EnvData", "make_env_data", "with_spectral", "mirror_env_arrays", "host_profile_tables"]
 
 # fit-acceptance tolerances for the spectral fast path; exceeded → the engine
 # silently falls back to exact table interpolation
@@ -58,6 +62,8 @@ def _is_uniform(g: np.ndarray) -> bool:
         "c_cheb",
         "dcdz_cheb",
         "bangle_cheb",
+        "c_pow",
+        "dcdz_pow",
     ],
     meta_fields=[
         "range_dependent",
@@ -70,6 +76,7 @@ def _is_uniform(g: np.ndarray) -> bool:
         "z_dom",
         "r_dom",
         "bathy_r_dom",
+        "poly_ok",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +94,10 @@ class EnvData:
     c_cheb: jax.Array  # (nr, K)
     dcdz_cheb: jax.Array  # (nr, K)
     bangle_cheb: jax.Array  # (Kb,)
+    # monomial re-expression of the spectral fits (f64-converted at build;
+    # zeros unless poly_ok) — Horner on these is the fastest hot path
+    c_pow: jax.Array  # (nr, K)
+    dcdz_pow: jax.Array  # (nr, K)
     # static metadata
     range_dependent: bool
     uniform_z: bool
@@ -98,6 +109,10 @@ class EnvData:
     z_dom: tuple  # (z[0], z[-1]) as python floats
     r_dom: tuple  # (r[0], r[-1]) as python floats
     bathy_r_dom: tuple  # (bathy_r[0], bathy_r[-1]) as python floats
+    # True when the Chebyshev fits re-expressed in the monomial basis
+    # evaluate (f32 Horner) within tolerance — the engine then uses Horner
+    # (1 fma/term) instead of Clenshaw (2 ops/term) on the hot path
+    poly_ok: bool = False
 
     @property
     def nz(self):
@@ -195,6 +210,22 @@ def make_env_data(
                 f"dc/dz: {cp_res:.2e} 1/s); use interp='table' or 'auto'."
             )
 
+    # monomial-basis guard: Horner halves the hot-path cost but its f32
+    # conditioning must be checked per profile (smooth analytic fits pass;
+    # rough high-order ensemble fits fail the 2^k coefficient growth)
+    pow_ok = False
+    c_pow = np.zeros_like(c_cheb)
+    dcdz_pow = np.zeros_like(dcdz_cheb)
+    if has_cheb:
+        from .ops.cheb import cheb2poly_matrix, poly_ok as _poly_ok
+
+        pow_ok = (_poly_ok(c_cheb, 0.5 * C_FIT_TOL)
+                  and _poly_ok(dcdz_cheb, 0.5 * CP_FIT_TOL))
+        if pow_ok:
+            M = cheb2poly_matrix(c_cheb.shape[1])
+            c_pow = c_cheb @ M.T
+            dcdz_pow = dcdz_cheb @ M.T
+
     # bottom angle representation
     if bathy_r.shape[0] >= 2:
         bangle_coef = cubic_spline_coeffs(bathy_r, bottom_angle)
@@ -237,6 +268,8 @@ def make_env_data(
         c_cheb=dev(c_cheb),
         dcdz_cheb=dev(dcdz_cheb),
         bangle_cheb=dev(bangle_cheb),
+        c_pow=dev(c_pow),
+        dcdz_pow=dev(dcdz_pow),
         range_dependent=range_dependent,
         uniform_z=_is_uniform(z),
         uniform_r=_is_uniform(r),
@@ -247,6 +280,38 @@ def make_env_data(
         z_dom=(float(z[0]), float(z[-1])),
         r_dom=(float(r[0]), float(r[-1])),
         bathy_r_dom=(float(bathy_r[0]), float(bathy_r[-1])),
+        poly_ok=pow_ok,
+    )
+
+
+def with_spectral(env: EnvData, c_cheb, dcdz_cheb) -> EnvData:
+    """Replace the spectral coefficients of an environment SAFELY.
+
+    ``dataclasses.replace(env, c_cheb=...)`` alone leaves the derived
+    monomial tables (``c_pow``/``dcdz_pow``) stale — the hot path would
+    keep integrating the OLD field.  This helper re-runs the monomial
+    guard/conversion (host float64) for the new coefficients.  Code that
+    replaces coefficients inside a traced computation (autodiff operators)
+    must instead pass ``poly_ok=False`` to force the Chebyshev path, as
+    ``adjoint.travel_time_jacobian`` does.
+    """
+    from .ops.cheb import cheb2poly_matrix, poly_ok as _poly_ok
+
+    cc = np.asarray(c_cheb, np.float64)
+    cp = np.asarray(dcdz_cheb, np.float64)
+    ok = bool(env.has_cheb) and (_poly_ok(cc.reshape(-1, cc.shape[-1]), 0.5 * C_FIT_TOL)
+                                 and _poly_ok(cp.reshape(-1, cp.shape[-1]), 0.5 * CP_FIT_TOL))
+    if ok:
+        M = cheb2poly_matrix(cc.shape[-1])
+        c_pow, dcdz_pow = cc @ M.T, cp @ M.T
+    else:
+        c_pow, dcdz_pow = np.zeros_like(cc), np.zeros_like(cp)
+    dt = env.c_cheb.dtype
+    return dataclasses.replace(
+        env,
+        c_cheb=jnp.asarray(cc, dt), dcdz_cheb=jnp.asarray(cp, dt),
+        c_pow=jnp.asarray(c_pow, dt), dcdz_pow=jnp.asarray(dcdz_pow, dt),
+        poly_ok=ok,
     )
 
 

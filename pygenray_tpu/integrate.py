@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .envdata import EnvData
-from .ops.cheb import clenshaw
+from .ops.cheb import clenshaw, horner
 from .ops.interp import cubic_spline_eval, interval_index, linear_interp
 from .utils.cache import LRUCache, env_struct_key
 
@@ -110,7 +110,21 @@ def _use_cheb(env: EnvData, settings: SolverSettings) -> bool:
     return env.has_cheb
 
 
-def _make_eval(env: EnvData, use_cheb: bool):
+def _use_pow(env: EnvData, settings: SolverSettings, use_cheb: bool) -> bool:
+    """Monomial (Horner) hot path: 1 fma/term vs Clenshaw's 2 ops/term.
+    Guarded per environment at build time (``EnvData.poly_ok``)."""
+    return use_cheb and bool(getattr(env, "poly_ok", False))
+
+
+def _spectral_tabs(env: EnvData, use_pow: bool):
+    """The per-station coefficient tables the hot path blends and
+    evaluates: monomial when guarded-OK, Chebyshev otherwise."""
+    if use_pow:
+        return env.c_pow, env.dcdz_pow
+    return env.c_cheb, env.dcdz_cheb
+
+
+def _make_eval(env: EnvData, use_cheb: bool, use_pow: bool = False):
     """Returns ``(ev, ev_c)``: full ``(c, dcdz)`` and c-only evaluation of a
     station profile at batched depths."""
     zlo, zhi = env.z_dom
@@ -118,16 +132,17 @@ def _make_eval(env: EnvData, use_cheb: bool):
     if use_cheb:
         sc = 2.0 / (zhi - zlo)
         off = (zlo + zhi) / (zhi - zlo)
+        poly = horner if use_pow else clenshaw
 
         def ev(prof, z):
             # clamp to the fit domain: constant extrapolation at the edges,
             # mirroring the table kernels' index clamping
             u = jnp.clip(sc * z - off, -1.0, 1.0)
-            return clenshaw(u, prof[0]), clenshaw(u, prof[1])
+            return poly(u, prof[0]), poly(u, prof[1])
 
         def ev_c(prof, z):
             u = jnp.clip(sc * z - off, -1.0, 1.0)
-            return clenshaw(u, prof[0])
+            return poly(u, prof[0])
 
     else:
 
@@ -148,14 +163,14 @@ def _make_eval(env: EnvData, use_cheb: bool):
     return ev, ev_c
 
 
-def _station_profile(env: EnvData, use_cheb: bool, x):
+def _station_profile(env: EnvData, use_cheb: bool, x, use_pow: bool = False):
     """Profile data at a scalar range station ``x`` (host of dynamic slices).
 
-    Returns a pair ``(c_repr, dcdz_repr)``: Chebyshev coefficient vectors
-    (K,) or blended table columns (nz,).
+    Returns a pair ``(c_repr, dcdz_repr)``: spectral coefficient vectors
+    (K,) (monomial when ``use_pow``) or blended table columns (nz,).
     """
     if use_cheb:
-        ctab, cptab = env.c_cheb, env.dcdz_cheb
+        ctab, cptab = _spectral_tabs(env, use_pow)
     else:
         ctab, cptab = env.c, env.dcdz
     if not env.range_dependent:
@@ -266,7 +281,8 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
     B = p0.shape[0]
 
     use_cheb = _use_cheb(env, settings)
-    ev, ev_c = _make_eval(env, use_cheb)
+    use_pow = _use_pow(env, settings, use_cheb)
+    ev, ev_c = _make_eval(env, use_cheb, use_pow)
     sincos2b = _make_bangle(env)
     zlo, zhi = env.z_dom
     rlo, rhi = env.r_dom
@@ -295,7 +311,7 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
     data = {"x0": xs0, "b0": b0s, "b1": b1s, "oob": oob_step}
     if env.range_dependent:
         if use_cheb:
-            ctab, cptab = env.c_cheb, env.dcdz_cheb
+            ctab, cptab = _spectral_tabs(env, use_pow)
         else:
             ctab, cptab = env.c, env.dcdz
 
@@ -315,10 +331,10 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
 
     data = jax.tree_util.tree_map(seg_reshape, data)
 
-    prof_static = None if env.range_dependent else _station_profile(env, use_cheb, jnp.asarray(x0, dtype))
+    prof_static = None if env.range_dependent else _station_profile(env, use_cheb, jnp.asarray(x0, dtype), use_pow)
 
     # ---- initial state ---------------------------------------------------
-    prof0 = prof_static if prof_static is not None else _station_profile(env, use_cheb, jnp.asarray(x0, dtype))
+    prof0 = prof_static if prof_static is not None else _station_profile(env, use_cheb, jnp.asarray(x0, dtype), use_pow)
     kT0, kz0, kp0, c_src = rhs(prof0, z0, p0)
     alive0 = (z0 >= zlo - btol) & (z0 <= zhi + btol)
     death0 = jnp.where(alive0, 0, 2).astype(jnp.int32)
@@ -497,9 +513,10 @@ def _trace_ducted_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
     B = p0.shape[0]
 
     use_cheb = _use_cheb(env, settings)
-    ev, _ = _make_eval(env, use_cheb)
+    use_pow = _use_pow(env, settings, use_cheb)
+    ev, _ = _make_eval(env, use_cheb, use_pow)
     hs = jnp.asarray(h, dtype)
-    prof = _station_profile(env, use_cheb, jnp.asarray(x0, dtype))
+    prof = _station_profile(env, use_cheb, jnp.asarray(x0, dtype), use_pow)
 
     def rhs(z, p):
         c, cp = ev(prof, z)

@@ -77,6 +77,10 @@ def make_env_ensemble(
             )
             for e in range(E)
         ]
+    if len({e.poly_ok for e in envs}) > 1:
+        # meta must agree to stack; a single non-conforming realization
+        # demotes the whole ensemble to the Clenshaw path
+        envs = [dataclasses.replace(e, poly_ok=False) for e in envs]
     return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *envs)
 
 

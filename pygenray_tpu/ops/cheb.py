@@ -23,7 +23,10 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["fit_profile_cheb", "fit_series_cheb", "clenshaw", "cheb_mirror"]
+__all__ = [
+    "fit_profile_cheb", "fit_series_cheb", "clenshaw", "cheb_mirror",
+    "cheb2poly_matrix", "horner", "poly_ok",
+]
 
 
 def fit_series_cheb(x: np.ndarray, y: np.ndarray, order: int, lo=None, hi=None):
@@ -89,6 +92,67 @@ def clenshaw(u, coef):
     for k in range(K - 1, 0, -1):
         b1, b2 = coef[..., k] + 2.0 * u * b1 - b2, b1
     return coef[..., 0] + u * b1 - b2
+
+
+def cheb2poly_matrix(K: int) -> np.ndarray:
+    """M with poly_coef = cheb_coef @ M.T (power basis in the same u).
+
+    A degree-(K-1) Chebyshev series can be re-expressed in the monomial
+    basis; Horner evaluation then costs ONE fma per term where Clenshaw
+    costs two — it halves the dominant per-step cost of the integration
+    kernels.  The conversion is exact linear algebra done in float64; its
+    f32 *evaluation* conditioning depends on the profile and is guarded per
+    environment by ``poly_ok``.
+    """
+    import numpy.polynomial.chebyshev as ncheb
+
+    M = np.zeros((K, K))
+    for k in range(K):
+        e = np.zeros(K)
+        e[k] = 1.0
+        p = ncheb.cheb2poly(e)
+        M[: len(p), k] = p
+    return M
+
+
+def horner(u, coef):
+    """Evaluate a power-basis polynomial at u (monomial Horner).
+
+    Same calling convention as ``clenshaw``: ``coef`` (K,) or (..., K).
+    """
+    K = coef.shape[-1]
+    acc = jnp.zeros_like(u) + coef[..., K - 1]
+    for k in range(K - 2, -1, -1):
+        acc = acc * u + coef[..., k]
+    return acc
+
+
+def poly_ok(coef: np.ndarray, tol: float, nu: int = 2049) -> bool:
+    """True when the monomial form of every Chebyshev row in ``coef``
+    evaluates (in float32 Horner) within ``tol`` of the float64 Chebyshev
+    value across u in [-1, 1].
+
+    Smooth analytic profiles (Munk-class, K≈16) pass easily — their power
+    coefficients stay O(c) and f32 Horner is as accurate as f32 Clenshaw.
+    Rough high-order fits (internal-wave ensembles at K≈64+) fail the
+    2^k coefficient growth and keep the Clenshaw path.
+    """
+    import numpy.polynomial.chebyshev as ncheb
+
+    coef = np.atleast_2d(np.asarray(coef, np.float64))
+    K = coef.shape[-1]
+    M = cheb2poly_matrix(K)
+    pcoef = coef @ M.T
+    if not np.all(np.isfinite(pcoef)):
+        return False
+    u64 = np.linspace(-1.0, 1.0, nu)
+    ref = ncheb.chebval(u64, coef.T)  # (nr, nu)
+    u32 = u64.astype(np.float32)
+    p32 = pcoef.astype(np.float32)
+    acc = np.broadcast_to(p32[:, K - 1 : K], (p32.shape[0], nu)).astype(np.float32)
+    for k in range(K - 2, -1, -1):
+        acc = (acc * u32 + p32[:, k : k + 1]).astype(np.float32)
+    return bool(np.max(np.abs(acc - ref)) <= tol)
 
 
 def cheb_mirror(coef):

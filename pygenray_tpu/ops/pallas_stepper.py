@@ -85,6 +85,20 @@ def _clenshaw(u, read, K):
     return read(0) + u * b1 - b2
 
 
+def _horner(u, read, K):
+    """Monomial Horner with coefficients supplied by ``read(k)`` — half the
+    ops of Clenshaw (1 fma/term).  Used when the environment's fits pass
+    the f32 monomial-conditioning guard (``EnvData.poly_ok``)."""
+    acc = jnp.zeros_like(u) + read(K - 1)
+    for k in range(K - 2, -1, -1):
+        acc = acc * u + read(k)
+    return acc
+
+
+def _poly_fn(use_pow: bool):
+    return _horner if use_pow else _clenshaw
+
+
 def _vmem_reader(ref, pre=()):
     return lambda k: ref[(*pre, k)]
 
@@ -92,7 +106,7 @@ def _vmem_reader(ref, pre=()):
 def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow) = consts
 
     def kernel(
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
@@ -104,16 +118,19 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks):
     ):
         ib = pl.program_id(0)
 
-        # station handle: (read_c, read_cp) coefficient readers (see _clenshaw)
+        # station handle: (read_c, read_cp) coefficient readers; the
+        # evaluator is Horner on monomial rows when poly_ok, else Clenshaw
+        _poly = _poly_fn(use_pow)
+
         def ev(st, zq):
             rc, rcp = st
             u = jnp.clip(sc * zq - off, -1.0, 1.0)
-            return _clenshaw(u, rc, K), _clenshaw(u, rcp, K)
+            return _poly(u, rc, K), _poly(u, rcp, K)
 
         def ev_c(st, zq):
             rc, _ = st
             u = jnp.clip(sc * zq - off, -1.0, 1.0)
-            return _clenshaw(u, rc, K)
+            return _poly(u, rc, K)
 
         def rhs(st, zq, pq):
             c, cp = ev(st, zq)
@@ -458,7 +475,7 @@ def _make_step_math(consts, K, Kb, hs):
     mega-kernel's step_body; jax.jvp is applied OVER this function, so the
     tangent arithmetic can never drift from the primal."""
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow) = consts
 
     def step_math(rhs, ev, bacoef_read, st_m, st_1, b0, b1, x0f, upd,
                   T, z, p, kT1, kz1, kp1):
@@ -550,7 +567,7 @@ def _make_step_math(consts, K, Kb, hs):
 def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow) = consts
 
     def kernel(
         p0_ref, dp0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
@@ -574,10 +591,12 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
                 lambda j: st_s[slot, 0, base + KP + j],
             )
 
+        _poly = _poly_fn(use_pow)
+
         def ev(st, zq):
             rc, rcp = st
             u = jnp.clip(sc * zq - off, -1.0, 1.0)
-            return _clenshaw(u, rc, K), _clenshaw(u, rcp, K)
+            return _poly(u, rc, K), _poly(u, rcp, K)
 
         def rhs(st, zq, pq):
             c, cp = ev(st, zq)
@@ -732,9 +751,11 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
 
     K = env.c_cheb.shape[1]
     rd = bool(env.range_dependent)
+    use_pow = bool(env.poly_ok)
     rep = lambda a: jnp.broadcast_to(a.astype(dtype)[:, None], (a.shape[0], 128))
-    ccoef = rep(env.c_cheb[0])
-    cpcoef = rep(env.dcdz_cheb[0])
+    ctab0, cptab0 = (env.c_pow, env.dcdz_pow) if use_pow else (env.c_cheb, env.dcdz_cheb)
+    ccoef = rep(ctab0[0])
+    cpcoef = rep(cptab0[0])
     Kb = env.bangle_cheb.shape[0]
     bacoef = rep(env.bangle_cheb)
 
@@ -749,7 +770,7 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
 
     KP = -(-K // 128) * 128
     if rd:
-        st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1)
+        st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow)
     else:
         st_tab = jnp.zeros((1, 1, 4 * KP), dtype)
 
@@ -768,7 +789,7 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
         zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
         math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
         env.bathy_r_dom[0], env.bathy_r_dom[1],
-        settings.terminate_backwards, any_x_oob, rd,
+        settings.terminate_backwards, any_x_oob, rd, use_pow,
     )
 
     kernel = _make_final_kernel((x0, x1, h), consts, K, KP, Kb, nsteps)
@@ -833,6 +854,7 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
     if not env0.range_dependent:
         raise ValueError("ensemble tangent kernel requires range-dependent fits")
 
+    use_pow = bool(env0.poly_ok)
     rep = lambda a: jnp.broadcast_to(a.astype(dtype)[:, None], (a.shape[0], 128))
     ccoef = rep(env0.c_cheb[0])  # unused on the rd path; placeholder
     cpcoef = rep(env0.dcdz_cheb[0])
@@ -852,7 +874,7 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
     # (E, nsteps+1, 1, 4KP) per-realization station rows; loop-invariant in
     # the eigenray while_loop, so XLA hoists the build out of the iteration
     st_tab = jax.vmap(
-        lambda e: _station_rows(e, dtype, K, KP, x0, xsm, xs1)
+        lambda e: _station_rows(e, dtype, K, KP, x0, xsm, xs1, use_pow)
     )(env_ens)
 
     zlo, zhi = env0.z_dom
@@ -870,7 +892,7 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
         zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
         math.sin(2 * b), math.cos(2 * b), env0.bangle_mode,
         env0.bathy_r_dom[0], env0.bathy_r_dom[1],
-        settings.terminate_backwards, any_x_oob, True,
+        settings.terminate_backwards, any_x_oob, True, use_pow,
     )
 
     kernel = _make_final_kernel((x0, x1, h), consts, K, KP, Kb, nsteps, ens=True)
@@ -912,7 +934,7 @@ def _make_coef_kernel(geom, consts, K, KP, Kb, nsteps):
     domain, see adjoint.travel_time_jacobian)."""
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow) = consts
     assert not rd
 
     def kernel(
@@ -937,10 +959,12 @@ def _make_coef_kernel(geom, consts, K, KP, Kb, nsteps):
                 lambda j: cpcoef_ref[j] + eps * dt_s[0, KP + j],
             )
 
+        _poly = _poly_fn(use_pow)
+
         def ev(st, zq):
             rc, rcp = st
             u = jnp.clip(sc * zq - off, -1.0, 1.0)
-            return _clenshaw(u, rc, K), _clenshaw(u, rcp, K)
+            return _poly(u, rc, K), _poly(u, rcp, K)
 
         def rhs(st, zq, pq):
             c, cp = ev(st, zq)
@@ -1087,6 +1111,13 @@ def trace_pallas_coef_tangent(env, z0, p0, dcoef, dcpcoef, geom, settings,
 
     K = env.c_cheb.shape[1]
     KP = -(-K // 128) * 128
+    # ALWAYS the Chebyshev representation here: a unit coefficient
+    # direction e_k re-expressed in monomials has 2^k-scale entries, and
+    # the f32 Horner TANGENT chain loses catastrophically on them (the
+    # poly_ok guard covers the primal tables only, measured rel errors
+    # O(1) for high-order directions) — Clenshaw keeps every direction
+    # well-conditioned
+    use_pow = False
     rep = lambda a: jnp.broadcast_to(a.astype(dtype)[:, None], (a.shape[0], 128))
     ccoef = rep(env.c_cheb[0])
     cpcoef = rep(env.dcdz_cheb[0])
@@ -1119,7 +1150,7 @@ def trace_pallas_coef_tangent(env, z0, p0, dcoef, dcpcoef, geom, settings,
         zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
         math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
         env.bathy_r_dom[0], env.bathy_r_dom[1],
-        settings.terminate_backwards, any_x_oob, False,
+        settings.terminate_backwards, any_x_oob, False, use_pow,
     )
 
     kernel = _make_coef_kernel((x0, x1, h), consts, K, KP, Kb, nsteps)
@@ -1354,7 +1385,7 @@ def _bathy_min_over_span(env, x0, x1):
     return float(min(cand))
 
 
-def _station_rows(env, dtype, K, KP, x0, xsm, xs1):
+def _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow=False):
     """Per-step blended station coefficients packed as SMEM-DMA rows.
 
     Returns (nsteps+1, 1, 4*KP): row 0 holds the init (x0) planes
@@ -1365,7 +1396,10 @@ def _station_rows(env, dtype, K, KP, x0, xsm, xs1):
     """
     from ..ops.interp import interval_index
 
-    ctab, cptab = env.c_cheb.astype(dtype), env.dcdz_cheb.astype(dtype)
+    if use_pow:
+        ctab, cptab = env.c_pow.astype(dtype), env.dcdz_pow.astype(dtype)
+    else:
+        ctab, cptab = env.c_cheb.astype(dtype), env.dcdz_cheb.astype(dtype)
 
     def blend_rows(x):
         i = interval_index(x, env.r, env.uniform_r)
@@ -1411,9 +1445,11 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
 
     K = env.c_cheb.shape[1]
     rd = bool(env.range_dependent)
+    use_pow = bool(env.poly_ok)
     rep = lambda a: jnp.broadcast_to(a.astype(dtype)[:, None], (a.shape[0], 128))
-    ccoef = rep(env.c_cheb[0])  # (K, 128) lane-replicated
-    cpcoef = rep(env.dcdz_cheb[0])
+    ctab0, cptab0 = (env.c_pow, env.dcdz_pow) if use_pow else (env.c_cheb, env.dcdz_cheb)
+    ccoef = rep(ctab0[0])  # (K, 128) lane-replicated
+    cpcoef = rep(cptab0[0])
     Kb = env.bangle_cheb.shape[0]
     bacoef = rep(env.bangle_cheb)
 
@@ -1428,7 +1464,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
 
     KP = -(-K // 128) * 128  # station rows padded to the lane tile for DMA
     if rd:
-        st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1)
+        st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow)
     else:
         st_tab = jnp.zeros((1, 1, 4 * KP), dtype)
 
@@ -1447,7 +1483,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
         math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
         env.bathy_r_dom[0], env.bathy_r_dom[1],
-        settings.terminate_backwards, any_x_oob, rd,
+        settings.terminate_backwards, any_x_oob, rd, use_pow,
     )
 
     kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps, ducted_blocks)

@@ -60,8 +60,12 @@ class TestTravelTimeJacobian:
         def T_at(coef_shift):
             cc = np.asarray(env.c_cheb) + coef_shift[None, :]
             cp = np.asarray(env.dcdz_cheb) + (D @ coef_shift)[None, :]
+            # poly_ok=False: the AD operator differentiates the Chebyshev
+            # path; the FD probe must re-trace the same representation
+            # (a bare replace would leave the derived monomial tables stale)
             env2 = dataclasses.replace(
-                env, c_cheb=jnp.asarray(cc), dcdz_cheb=jnp.asarray(cp)
+                env, c_cheb=jnp.asarray(cc), dcdz_cheb=jnp.asarray(cp),
+                poly_ok=False,
             )
             h, sps, nseg = _plan(0.0, 20e3, 2, settings.dx)
             geom = (0.0, 20e3, h, sps, nseg)
@@ -133,8 +137,12 @@ class TestTravelTimeJacobian2D:
         def T_at(shift):
             cc = np.asarray(env.c_cheb) + shift
             cp = np.asarray(env.dcdz_cheb) + shift @ D.T
+            # poly_ok=False: the AD operator differentiates the Chebyshev
+            # path; the FD probe must re-trace the same representation
+            # (a bare replace would leave the derived monomial tables stale)
             env2 = dataclasses.replace(
-                env, c_cheb=jnp.asarray(cc), dcdz_cheb=jnp.asarray(cp)
+                env, c_cheb=jnp.asarray(cc), dcdz_cheb=jnp.asarray(cp),
+                poly_ok=False,
             )
             from pygenray_tpu.integrate import _plan, _trace_impl
 
@@ -206,7 +214,7 @@ class TestFermatJacobian:
         def ends(ccoef):
             cc = jnp.broadcast_to(ccoef, env.c_cheb.shape)
             cp = jnp.broadcast_to(cp_off + D @ ccoef, env.dcdz_cheb.shape)
-            env2 = dc.replace(env, c_cheb=cc, dcdz_cheb=cp)
+            env2 = dc.replace(env, c_cheb=cc, dcdz_cheb=cp, poly_ok=False)
             res = _trace_impl(env2, 1300.0, jnp.asarray(p0), geom, s_ad)
             return res.zs[:, -1], res.ps[:, -1]
 
@@ -250,10 +258,17 @@ class TestCoefTangentKernel:
         from pygenray_tpu.environment import munk_ssp
         from pygenray_tpu.integrate import SolverSettings
 
+        import dataclasses
+
         z = np.linspace(0, 6000, 512)
         r = np.linspace(0, 60e3, 4)
         c = np.outer(np.ones(4), munk_ssp(z))
         env = make_env_data(c, r, z, np.full(4, 4600.0), r, dtype=jnp.float32)
+        # the env keeps poly_ok=True: the coef-tangent kernel must force
+        # the Chebyshev representation internally (monomial re-expression
+        # of high-order coefficient directions is f32-catastrophic) — this
+        # comparison against the Chebyshev jacfwd guards that
+        assert env.poly_ok
         angles = np.linspace(-12, 12, 48)
         c_src = np.interp(1300.0, z, c[0])
         p0 = np.sin(np.radians(-angles)) / c_src

@@ -75,10 +75,16 @@ class TestKernelEigenrays:
         from pygenray_tpu.envdata import make_env_data
         from pygenray_tpu.environment import munk_ssp
 
+        import dataclasses
+
         z = np.linspace(0, 6000, 512)
         r = np.linspace(0, 50e3, 8)
         c = np.outer(np.ones(8), munk_ssp(z))
         env = make_env_data(c, r, z, np.full(8, 4600.0), r, dtype=jnp.float32)
+        # strict kernel-vs-XLA comparisons: keep both paths on Clenshaw
+        # (interpret-mode Horner contraction drifts on bouncing rays; the
+        # hardware paths are bitwise identical — see test_pallas.TestPowPath)
+        env = dataclasses.replace(env, poly_ok=False)
         angles = np.linspace(-14, 14, 141)
         rays = pr.shoot_rays(1300.0, 0.0, angles, 50e3, 2, env,
                              flatearth=False, dx=200.0)
@@ -122,10 +128,13 @@ class TestKernelEigenrays:
         from pygenray_tpu.envdata import make_env_data
         from pygenray_tpu.environment import munk_ssp
 
+        import dataclasses
+
         z = np.linspace(0, 6000, 512)
         r = np.linspace(0, 50e3, 8)
         c = np.array([munk_ssp(z, sofar_depth=1300 + 0.003 * ri) for ri in r])
         env = make_env_data(c, r, z, np.full(8, 4600.0), r, dtype=jnp.float32)
+        env = dataclasses.replace(env, poly_ok=False)  # see _setup_f32 note
         assert env.range_dependent
         angles = np.linspace(-14, 14, 141)
         rays = pr.shoot_rays(1300.0, 0.0, angles, 50e3, 2, env,

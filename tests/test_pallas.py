@@ -18,12 +18,30 @@ from pygenray_tpu.integrate import SolverSettings, _plan, _trace_impl
 from pygenray_tpu.ops.pallas_stepper import pallas_supported, trace_pallas
 
 
-def _env(nz=512, nr=8, bathy=None):
+def _env(nz=512, nr=8, bathy=None, pow_path=False):
+    """f32 Munk test environment.  The strict interpret-mode equivalence
+    tests disable the monomial (Horner) hot path: the CPU interpreter
+    contracts `acc*u + b` differently from XLA, and along chaotic
+    multi-bounce trajectories that ulp-level difference amplifies past any
+    tight tolerance — while on real TPU hardware the two paths are
+    bitwise identical (checked by bench.py's equivalence gate and
+    test_pow below, which pins the discrete event structure instead)."""
+    import dataclasses
+
     z = np.linspace(0, 6000, nz)
     r = np.linspace(0, 100e3, nr)
     c = np.outer(np.ones(nr), munk_ssp(z))
     bathy = np.full(nr, 4600.0) if bathy is None else bathy
-    return make_env_data(c, r, z, bathy, r, dtype=jnp.float32)
+    env = make_env_data(c, r, z, bathy, r, dtype=jnp.float32)
+    if not pow_path:
+        env = dataclasses.replace(env, poly_ok=False)
+    return env
+
+
+def _no_pow(env):
+    import dataclasses
+
+    return dataclasses.replace(env, poly_ok=False)
 
 
 def _compare(env, angles, x1=50e3, num_save=10, dx=200.0, z0=1300.0, ts_atol=5e-6):
@@ -101,9 +119,89 @@ class TestPallasEquivalence:
         z = np.linspace(0, 6000, 512)
         r = np.linspace(0, 100e3, 16)
         c = np.array([munk_ssp(z, sofar_depth=1300 + 0.002 * ri) for ri in r])
-        env = make_env_data(c, r, z, np.full(16, 4600.0), r, dtype=jnp.float32)
+        env = _no_pow(make_env_data(c, r, z, np.full(16, 4600.0), r, dtype=jnp.float32))
         assert env.range_dependent and env.has_cheb
         _compare(env, np.linspace(-18, 18, 128), ts_atol=2e-6)
+
+
+class TestPowPath:
+    def test_pow_event_structure_and_times(self):
+        """Monomial (Horner) hot path vs the Clenshaw path: identical
+        discrete event structure; travel times within the f32 trajectory
+        spread of two equal-accuracy representations.  (On TPU hardware
+        the Pallas and XLA pow paths are bitwise identical — bench gate.)"""
+        env_pow = _env(pow_path=True)
+        env_cheb = _env(pow_path=False)
+        assert env_pow.poly_ok and not env_cheb.poly_ok
+        s = SolverSettings(dx=200.0)
+        h, sps, nseg = _plan(0.0, 50e3, 10, s.dx)
+        geom = (0.0, 50e3, h, sps, nseg)
+        angles = np.linspace(-18, 18, 256)
+        c_src = np.interp(1300.0, np.asarray(env_pow.z), np.asarray(env_pow.c[0]))
+        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, jnp.float32)
+
+        # XLA scan: pow vs cheb representations
+        rp = _trace_impl(env_pow, 1300.0, p0, geom, s)
+        rc = _trace_impl(env_cheb, 1300.0, p0, geom, s)
+        np.testing.assert_array_equal(np.asarray(rp.n_surf), np.asarray(rc.n_surf))
+        np.testing.assert_array_equal(np.asarray(rp.n_bott), np.asarray(rc.n_bott))
+        np.testing.assert_array_equal(
+            np.asarray(rp.death_code), np.asarray(rc.death_code)
+        )
+        np.testing.assert_allclose(
+            np.asarray(rp.ts), np.asarray(rc.ts), atol=5e-4
+        )
+        # Pallas pow kernel: event structure matches the XLA pow path
+        out, _, _ = trace_pallas(env_pow, 1300.0, p0, geom, s, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out.n_surf), np.asarray(rp.n_surf))
+        np.testing.assert_array_equal(np.asarray(out.n_bott), np.asarray(rp.n_bott))
+        np.testing.assert_array_equal(
+            np.asarray(out.death_code), np.asarray(rp.death_code)
+        )
+        np.testing.assert_allclose(np.asarray(out.ts), np.asarray(rp.ts), atol=5e-4)
+
+    def test_with_spectral_refreshes_pow(self):
+        """Bare dataclasses.replace leaves the monomial tables stale;
+        with_spectral re-derives them so the perturbation takes effect."""
+        import dataclasses
+
+        from pygenray_tpu.envdata import with_spectral
+
+        env = _env(pow_path=True)
+        cc = np.asarray(env.c_cheb, np.float64)
+        cp = np.asarray(env.dcdz_cheb, np.float64)
+        cc2 = cc.copy()
+        cc2[:, 0] += 5.0  # +5 m/s everywhere
+        env2 = with_spectral(env, cc2, cp)
+        assert env2.poly_ok
+        s = SolverSettings(dx=500.0)
+        h, sps, nseg = _plan(0.0, 20e3, 2, s.dx)
+        geom = (0.0, 20e3, h, sps, nseg)
+        p0 = jnp.asarray([np.sin(np.radians(5.0)) / 1500.0], jnp.float32)
+        t1 = float(_trace_impl(env, 1300.0, p0, geom, s).ts[0, -1])
+        t2 = float(_trace_impl(env2, 1300.0, p0, geom, s).ts[0, -1])
+        # faster medium -> earlier arrival, roughly dT ~ -T dc/c
+        assert t2 < t1
+        assert abs((t1 - t2) / t1 - 5.0 / 1500.0) < 1e-3
+
+    def test_pow_f64_matches_cheb_tightly(self):
+        """In float64 the two representations agree to ~1e-12 s — the pow
+        conversion is exact linear algebra, not an approximation."""
+        z = np.linspace(0, 6000, 512)
+        r = np.linspace(0, 100e3, 8)
+        c = np.outer(np.ones(8), munk_ssp(z))
+        env = make_env_data(c, r, z, np.full(8, 4600.0), r, dtype=jnp.float64)
+        assert env.poly_ok
+        s = SolverSettings(dx=200.0)
+        h, sps, nseg = _plan(0.0, 100e3, 10, s.dx)
+        geom = (0.0, 100e3, h, sps, nseg)
+        p0 = jnp.asarray(
+            np.sin(np.radians(-np.linspace(-15, 15, 64))) / 1500.0, jnp.float64
+        )
+        rp = _trace_impl(env, 1300.0, p0, geom, s)
+        rc = _trace_impl(_no_pow(env), 1300.0, p0, geom, s)
+        np.testing.assert_allclose(np.asarray(rp.ts), np.asarray(rc.ts), atol=1e-11)
+        np.testing.assert_array_equal(np.asarray(rp.n_bott), np.asarray(rc.n_bott))
 
 
 class TestSortedDispatch:
@@ -212,7 +310,7 @@ class TestTangentKernel:
         z = np.linspace(0, 6000, 512)
         r = np.linspace(0, 100e3, 16)
         c = np.array([munk_ssp(z, sofar_depth=1300 + 0.002 * ri) for ri in r])
-        env = make_env_data(c, r, z, np.full(16, 4600.0), r, dtype=jnp.float32)
+        env = _no_pow(make_env_data(c, r, z, np.full(16, 4600.0), r, dtype=jnp.float32))
         assert env.range_dependent
         s = SolverSettings(dx=200.0, kahan=False)
         assert tangent_supported(env, s, True)
@@ -257,9 +355,9 @@ class TestTangentKernel:
             np.array([munk_ssp(z, sofar_depth=1300 + 30 * rng.randn()) for _ in r])
             for _ in range(E)
         ])
-        env_ens = make_env_ensemble(
+        env_ens = _no_pow(make_env_ensemble(
             c_ens, r, z, np.full(8, 4600.0), r, dtype=jnp.float32, cheb_order=31
-        )
+        ))
         s = SolverSettings(dx=200.0, kahan=False)
         h, sps, nseg = _plan(0.0, 60e3, 2, s.dx)
         geom = (0.0, 60e3, h, sps, nseg)
