@@ -103,10 +103,12 @@ def _vmem_reader(ref, pre=()):
     return lambda k: ref[(*pre, k)]
 
 
-def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks):
+def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
      b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow) = consts
+
+    _nblk = -(-(nseg * sps) // STW)
 
     def kernel(
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
@@ -114,7 +116,7 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks):
         ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out, dseg_out,
         zlo_out, zhi_out,
         T_s, Tc_s, z_s, zc_s, p_s, kT_s, kz_s, kp_s, al_s, ns_s, nb_s, de_s,
-        ds_s, bd_s, zel_s, zeh_s, stage_s, st_s, sem, stsem,
+        ds_s, bd_s, zel_s, zeh_s, stage_s, st_s, sti_s, sem, stsem, stisem,
     ):
         ib = pl.program_id(0)
 
@@ -139,26 +141,33 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks):
             invc = 1.0 / c
             return inv_s * invc, cp2 * inv_s, -cp * inv_s * invc * invc, c
 
-        def st_dma(row, slot):
-            # row j of st_tab: j=0 the init (x0) planes, j>=1 step j-1's
-            # blended planes [c_m | cp_m | c_1 | cp_1], each KP scalars
+        def st_dma_blk(j, slot):
+            # station rows ride in W-step blocks: row 0 of st_tab is the
+            # init (x0) planes, rows 1+jW..1+jW+W hold steps jW..jW+W-1's
+            # blended planes [c_m | cp_m | c_1 | cp_1], each KP scalars.
+            # One DMA + one wait per W steps instead of per step (the
+            # per-row issue/wait overhead measured ~2 us/step).
             return pltpu.make_async_copy(
-                st_tab_ref.at[row], st_s.at[slot], stsem.at[slot]
+                st_tab_ref.at[pl.ds(1 + j * STW, STW)],
+                st_s.at[slot], stsem.at[slot],
             )
 
-        def st_handle(slot, base):
+        def st_handle(slot, row, base):
             return (
-                lambda j: st_s[slot, 0, base + j],
-                lambda j: st_s[slot, 0, base + KP + j],
+                lambda j: st_s[slot, row, 0, base + j],
+                lambda j: st_s[slot, row, 0, base + KP + j],
             )
 
         # ---- init -------------------------------------------------------
         if rd:
-            cp0 = st_dma(0, 1)
+            cp0 = pltpu.make_async_copy(st_tab_ref.at[0], sti_s, stisem)
             cp0.start()
             cp0.wait()
-            st_init = st_handle(1, 0)
-            st_dma(1, 0).start()  # prefetch step 0's planes into slot 0
+            st_init = (
+                lambda j: sti_s[0, j],
+                lambda j: sti_s[0, KP + j],
+            )
+            st_dma_blk(0, 0).start()  # prefetch the first W-step block
         else:
             st_init = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
         z0 = z0_ref[0]
@@ -217,15 +226,20 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks):
             alive = al_s[...] > 0.5
 
             if rd:
-                # double-buffered station rows: prefetch step k+1's row
-                # (table row k+2) while computing step k, consume slot k%2
-                slot = lax.rem(k, 2)
-                @pl.when(k + 1 < nseg * sps)
+                # double-buffered W-step blocks: on entering block jb,
+                # wait for its DMA and prefetch block jb+1; rows within a
+                # block are plain SMEM reads
+                jb = lax.div(k, STW)
+                row = lax.rem(k, STW)
+                slot = lax.rem(jb, 2)
+                @pl.when(row == 0)
                 def _():
-                    st_dma(k + 2, 1 - slot).start()
-                st_dma(k + 1, slot).wait()
-                st_m = st_handle(slot, 0)
-                st_1 = st_handle(slot, 2 * KP)
+                    @pl.when(jb + 1 < _nblk)
+                    def _():
+                        st_dma_blk(jb + 1, 1 - slot).start()
+                    st_dma_blk(jb, slot).wait()
+                st_m = st_handle(slot, row, 0)
+                st_1 = st_handle(slot, row, 2 * KP)
             else:
                 st_m = st_1 = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
 
@@ -383,13 +397,17 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks):
             kp1 = kp_s[...]
 
             if rd:
-                slot = lax.rem(k, 2)
-                @pl.when(k + 1 < nseg * sps)
+                jb = lax.div(k, STW)
+                row = lax.rem(k, STW)
+                slot = lax.rem(jb, 2)
+                @pl.when(row == 0)
                 def _():
-                    st_dma(k + 2, 1 - slot).start()
-                st_dma(k + 1, slot).wait()
-                st_m = st_handle(slot, 0)
-                st_1 = st_handle(slot, 2 * KP)
+                    @pl.when(jb + 1 < _nblk)
+                    def _():
+                        st_dma_blk(jb + 1, 1 - slot).start()
+                    st_dma_blk(jb, slot).wait()
+                st_m = st_handle(slot, row, 0)
+                st_1 = st_handle(slot, row, 2 * KP)
             else:
                 st_m = st_1 = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
 
@@ -569,6 +587,9 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
      b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow) = consts
 
+    _nblk = -(-nsteps // 8)
+    STW = 8
+
     def kernel(
         p0_ref, dp0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
         b0s_ref, b1s_ref, st_tab_ref,
@@ -576,19 +597,21 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
         nsurf_out, nbott_out, death_out,
         T_s, z_s, p_s, kT_s, kz_s, kp_s,
         dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
-        al_s, ns_s, nb_s, de_s, st_s, stsem,
+        al_s, ns_s, nb_s, de_s, st_s, sti_s, stsem, stisem,
     ):
         ib = pl.program_id(0)
 
-        def st_dma(row, slot):
-            # row 0: init (x0) planes; row j>=1: step j-1's blended planes
-            src = st_tab_ref.at[ib, row] if ens else st_tab_ref.at[row]
+        def st_dma_blk(j, slot):
+            # W-step station blocks (see the mega-kernel): row 0 is the
+            # init (x0) planes, rows 1+jW.. hold the per-step planes
+            src = (st_tab_ref.at[ib, pl.ds(1 + j * STW, STW)] if ens
+                   else st_tab_ref.at[pl.ds(1 + j * STW, STW)])
             return pltpu.make_async_copy(src, st_s.at[slot], stsem.at[slot])
 
-        def st_handle(slot, base):
+        def st_handle(slot, row, base):
             return (
-                lambda j: st_s[slot, 0, base + j],
-                lambda j: st_s[slot, 0, base + KP + j],
+                lambda j: st_s[slot, row, 0, base + j],
+                lambda j: st_s[slot, row, 0, base + KP + j],
             )
 
         _poly = _poly_fn(use_pow)
@@ -610,11 +633,15 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
 
         # ---- init (primal + tangent via jvp) ------------------------------
         if rd:
-            cp0 = st_dma(0, 1)
+            isrc = st_tab_ref.at[ib, 0] if ens else st_tab_ref.at[0]
+            cp0 = pltpu.make_async_copy(isrc, sti_s, stisem)
             cp0.start()
             cp0.wait()
-            st_init = st_handle(1, 0)
-            st_dma(1, 0).start()  # prefetch step 0's planes into slot 0
+            st_init = (
+                lambda j: sti_s[0, j],
+                lambda j: sti_s[0, KP + j],
+            )
+            st_dma_blk(0, 0).start()  # prefetch the first W-step block
         else:
             st_init = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
         z0 = z0_ref[0]
@@ -649,14 +676,18 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
 
         def body(k, _):
             if rd:
-                # double-buffered station rows (see the mega-kernel)
-                slot = lax.rem(k, 2)
-                @pl.when(k + 1 < nsteps)
+                # double-buffered W-step blocks (see the mega-kernel)
+                jb = lax.div(k, STW)
+                row = lax.rem(k, STW)
+                slot = lax.rem(jb, 2)
+                @pl.when(row == 0)
                 def _():
-                    st_dma(k + 2, 1 - slot).start()
-                st_dma(k + 1, slot).wait()
-                st_m = st_handle(slot, 0)
-                st_1 = st_handle(slot, 2 * KP)
+                    @pl.when(jb + 1 < _nblk)
+                    def _():
+                        st_dma_blk(jb + 1, 1 - slot).start()
+                    st_dma_blk(jb, slot).wait()
+                st_m = st_handle(slot, row, 0)
+                st_1 = st_handle(slot, row, 2 * KP)
             else:
                 st_m = st_1 = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
             b0 = b0s_ref[k]
@@ -771,6 +802,8 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
     KP = -(-K // 128) * 128
     if rd:
         st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow)
+        nblk = -(-nsteps // 8)
+        st_tab = jnp.pad(st_tab, ((0, 1 + nblk * 8 - st_tab.shape[0]), (0, 0), (0, 0)))
     else:
         st_tab = jnp.zeros((1, 1, 4 * KP), dtype)
 
@@ -801,7 +834,9 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
         [pltpu.VMEM((R, 128), dtype) for _ in range(12)]
         + [pltpu.VMEM((R, 128), dtype)]  # alive (f32)
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
-        + [pltpu.SMEM((2, 1, 4 * KP), dtype), pltpu.SemaphoreType.DMA((2,))]
+        + [pltpu.SMEM((2, 8, 1, 4 * KP), dtype),
+           pltpu.SMEM((1, 4 * KP), dtype),
+           pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA]
     )
     blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -876,6 +911,10 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
     st_tab = jax.vmap(
         lambda e: _station_rows(e, dtype, K, KP, x0, xsm, xs1, use_pow)
     )(env_ens)
+    nblk = -(-nsteps // 8)
+    st_tab = jnp.pad(
+        st_tab, ((0, 0), (0, 1 + nblk * 8 - st_tab.shape[1]), (0, 0), (0, 0))
+    )
 
     zlo, zhi = env0.z_dom
     rlo, rhi = env0.r_dom
@@ -904,7 +943,9 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
         [pltpu.VMEM((R, 128), dtype) for _ in range(12)]
         + [pltpu.VMEM((R, 128), dtype)]  # alive (f32)
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
-        + [pltpu.SMEM((2, 1, 4 * KP), dtype), pltpu.SemaphoreType.DMA((2,))]
+        + [pltpu.SMEM((2, 8, 1, 4 * KP), dtype),
+           pltpu.SMEM((1, 4 * KP), dtype),
+           pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA]
     )
     blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1463,8 +1504,11 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
     b1s = jnp.broadcast_to(b1s[:, None], (nsteps, 128))
 
     KP = -(-K // 128) * 128  # station rows padded to the lane tile for DMA
+    STW = 8  # steps per station-DMA block
     if rd:
         st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow)
+        nblk = -(-nsteps // STW)
+        st_tab = jnp.pad(st_tab, ((0, 1 + nblk * STW - st_tab.shape[0]), (0, 0), (0, 0)))
     else:
         st_tab = jnp.zeros((1, 1, 4 * KP), dtype)
 
@@ -1486,7 +1530,8 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         settings.terminate_backwards, any_x_oob, rd, use_pow,
     )
 
-    kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps, ducted_blocks)
+    kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps,
+                          ducted_blocks, STW)
 
     num_save = nseg + 1
     out_shape = [
@@ -1502,7 +1547,8 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
     ]
     # T, Tc, z, zc, p, kT, kz, kp, alive(f32) | ns, nb, death, first-dead idx
     # | backwards-dead mask | z excursions | save staging
-    # | RD station SMEM row double-buffer | save sems | station sems
+    # | RD station SMEM W-step block double-buffer + init row
+    # | save sems | station sems | init sem
     scratch = (
         [pltpu.VMEM((R, 128), dtype) for _ in range(9)]
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(4)]
@@ -1511,9 +1557,11 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
             pltpu.VMEM((R, 128), dtype),  # z excursion lo
             pltpu.VMEM((R, 128), dtype),  # z excursion hi
             pltpu.VMEM((3, R, 128), dtype),
-            pltpu.SMEM((2, 1, 4 * KP), dtype),
+            pltpu.SMEM((2, STW, 1, 4 * KP), dtype),
+            pltpu.SMEM((1, 4 * KP), dtype),  # init (x0) station row
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,  # init-row copy
         ]
     )
 
