@@ -20,6 +20,7 @@ original bracketing angles.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .integrate import trace
@@ -30,6 +31,15 @@ from .shoot import _resolve_env, settings_for
 from .utils.cache import LRUCache, env_struct_key
 
 __all__ = ["find_eigenrays"]
+
+
+@jax.jit
+def _pack_trace(ts, zs, ps, nb, ns):
+    """Pack a full-save trace into one (B, 3S+2) array for a single fetch."""
+    dt = ts.dtype
+    return jnp.concatenate(
+        [ts, zs, ps, nb[:, None].astype(dt), ns[:, None].astype(dt)], axis=1
+    )
 
 _DEVICE_SOLVE_CACHE = LRUCache(64)
 
@@ -328,19 +338,21 @@ def find_eigenrays(
         # final full-resolution trace of the converged angles
         conv_idx = np.where(converged)[0]
         if conv_idx.size:
-            import jax
-
             res = shoot_batch(theta_hit[conv_idx], num_save=num_range_save)
-            # one overlapped D2H gather instead of six sequential fetches
-            rs, ts, zs, ps, nb, ns = jax.device_get(
-                (res.rs, res.ts, res.zs, res.ps, res.n_bott, res.n_surf)
-            )
-            rs = np.asarray(rs, float)
+            # ONE packed D2H transfer (the axon tunnel charges ~10-20 ms
+            # per array even when overlapped); the save grid is recomputed
+            # on the host instead of fetched
+            packed = np.asarray(_pack_trace(
+                res.ts, res.zs, res.ps, res.n_bott, res.n_surf
+            ), float)
+            S = num_range_save
+            ts, zs, ps = packed[:, :S], packed[:, S:2 * S], packed[:, 2 * S:3 * S]
+            nb = packed[:, 3 * S].astype(int)
+            ns = packed[:, 3 * S + 1].astype(int)
+            nseg = max(num_range_save - 1, 1)
+            rs = x0 + (x1 - x0) * np.arange(nseg + 1) / nseg
             if backwards:
                 rs = -rs
-            ts = np.asarray(ts, float)
-            zs = np.asarray(zs, float)
-            ps = np.asarray(ps, float)
             for j, i in enumerate(conv_idx):
                 ray = Ray(
                     rs,
