@@ -18,7 +18,7 @@ from .environment import (
     flat_earth_c,
     munk_ssp,
 )
-from .envdata import EnvData, make_env_data
+from .envdata import EnvData, make_env_data, with_spectral
 from .integrate import DEATH_CODES, SolverSettings, TraceResult, trace
 from .shoot import shoot_ray, shoot_rays, settings_for
 from .eigenrays import find_eigenrays
@@ -57,6 +57,7 @@ __all__ = [
     "flat_earth_c",
     "EnvData",
     "make_env_data",
+    "with_spectral",
     "SolverSettings",
     "TraceResult",
     "DEATH_CODES",
