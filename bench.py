@@ -235,6 +235,22 @@ def bench_extra_configs():
     )
     best = timeit(run)
 
+    # sustained (device-time) RD throughput: 5 traces in one dispatch
+    from pygenray_tpu.integrate import _plan
+    from pygenray_tpu.ops.pallas_stepper import trace_pallas
+
+    h_rd, sps_rd, nseg_rd = _plan(0.0, R_MAX, NUM_SAVE, s.dx)
+    geom_rd = (0.0, R_MAX, float(h_rd), int(sps_rd), int(nseg_rd))
+    fn5 = jax.jit(lambda e, p: sum(
+        trace_pallas(e, SRC_DEPTH, p, geom_rd, s)[0].ts.sum() for _ in range(5)
+    ))
+    _ = float(fn5(env_rd, p0))
+    t0 = time.perf_counter()
+    _ = float(fn5(env_rd, p0))
+    t5 = time.perf_counter() - t0
+    rd_per_trace = (t5 - min(0.029, t5 / 6)) / 5  # subtract one dispatch fee
+    rd_sustained = NUM_RAYS / rd_per_trace
+
     # accuracy vs the scipy oracle on an angle subset (cached fixture)
     rd_cache = pathlib.Path(__file__).parent / "tests" / "fixtures" / "bench_oracle_rd.npz"
     sub_angles = np.linspace(-12.0, 12.0, 7)
@@ -268,6 +284,7 @@ def bench_extra_configs():
             "config": f"range-dependent Munk + sloped bottom, {NUM_RAYS} rays, 100 km, dx=100, f32",
             "wall_s": round(best, 4),
             "max_travel_time_err_ms": round(rd_err_ms, 4),
+            "sustained_rays_per_sec": round(rd_sustained, 1),
         }
     )
 

@@ -147,25 +147,49 @@ def trace_ensemble(
             death_code=cat(lambda o: o.death_code),
         )
 
-    # Pallas mega-kernel path: the kernel cannot be vmapped, but a loop of
-    # per-realization launches still wins (~3x) over the vmapped XLA scan;
-    # launches are async so the device pipeline stays busy.
+    # Pallas mega-kernel path: the kernel cannot be vmapped, but an
+    # unrolled loop of per-realization launches inside ONE jit still wins
+    # (~3x) over the vmapped XLA scan — and costs a single host dispatch
+    # (the axon tunnel charges ~20-30 ms per dispatch; E eager launches
+    # used to pay it E times).
     if settings.backend != "xla" and jax.default_backend() == "tpu":
         from .integrate import _use_cheb
-        from .ops.pallas_stepper import pallas_supported, trace_pallas_cached
+        from .ops.pallas_stepper import pallas_supported
 
         env0 = jax.tree_util.tree_map(lambda a: a[0], env_ens)
         if pallas_supported(env0, settings, _use_cheb(env0, settings)):
-            E = env_ens.c.shape[0]
-            outs = []
-            for e in range(E):
-                env_e = jax.tree_util.tree_map(lambda a: a[e], env_ens)
-                p_e = p0[e] if p_axis == 0 else p0
-                outs.append(trace_pallas_cached(env_e, z0, p_e, geom, settings))
-            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+            return _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings)
 
     fn = lambda env, p: _trace_impl(env, z0, p, geom, settings)
     return jax.vmap(fn, in_axes=(0, p_axis))(env_ens, p0)
+
+
+_ENS_PALLAS_CACHE = LRUCache(32)
+
+
+def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings):
+    """All E per-realization mega-kernel launches unrolled inside one
+    jitted call — one host dispatch for the whole ensemble trace."""
+    from .ops.pallas_stepper import trace_pallas
+
+    E = env_ens.c.shape[0]
+    key = (env_struct_key(env_ens), geom, settings, p0.shape, p_axis,
+           float(z0) if np.ndim(z0) == 0 else ("arr",) + tuple(np.shape(z0)))
+    fn = _ENS_PALLAS_CACHE.get(key)
+    if fn is None:
+
+        def run(envs, p):
+            outs = []
+            for e in range(E):
+                env_e = jax.tree_util.tree_map(lambda a: a[e], envs)
+                p_e = p[e] if p_axis == 0 else p
+                res, _, _ = trace_pallas(env_e, z0, p_e, geom, settings)
+                outs.append(res)
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+        fn = jax.jit(run)
+        _ENS_PALLAS_CACHE.put(key, fn)
+    return fn(env_ens, p0)
 
 
 def mc_eigenray_times(
