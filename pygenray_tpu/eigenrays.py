@@ -156,13 +156,17 @@ def find_eigenrays(
 
         h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
         geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
+        hs_, sps_s, nseg_s = _plan(float(x0), float(x1), int(num_range_save), settings.dx)
+        geom_save = (float(x0), float(x1), float(hs_), int(sps_s), int(nseg_s))
         s_it = dataclasses.replace(
             settings, backend="xla", partition=False,
             kahan=settings.kahan and not use_newton,
         )
+        s_full = dataclasses.replace(settings, partition=False)
 
         from .ops.pallas_stepper import (
-            tangent_supported, trace_pallas, trace_pallas_tangent,
+            pallas_supported, tangent_supported, trace_pallas,
+            trace_pallas_tangent,
         )
 
         on_tpu = jax.default_backend() == "tpu"
@@ -171,13 +175,19 @@ def find_eigenrays(
             and tangent_supported(env, s_it, _use_cheb(env, s_it))
             and (on_tpu or settings.backend == "pallas")
         )
+        full_kernel = (
+            settings.backend != "xla"
+            and pallas_supported(env, s_full, _use_cheb(env, s_full))
+            and (on_tpu or settings.backend == "pallas")
+        )
         dt = jnp.float64 if env.c.dtype == jnp.float64 else jnp.float32
+        S = nseg_s + 1
         inv_csrc = 1.0 / float(c_src)
         deg = np.pi / 180.0
         NBj = th1_a.shape[0]
 
         key = (
-            env_struct_key(env), geom, settings, NBj,
+            env_struct_key(env), geom, geom_save, settings, NBj,
             bool(use_newton), bool(use_kernel), float(ztol), int(max_iter),
             float(source_depth),
         )
@@ -265,11 +275,32 @@ def find_eigenrays(
 
                 st = jax.lax.while_loop(cond, body, st0)
                 (_, _, _, _, _, conv, dead, th_hit, iters, resid, _) = st
-                # single packed D2H result
-                return jnp.stack([
+
+                # fused final full-save trace of the hit angles (same
+                # device call: no second dispatch/fetch); non-converged
+                # lanes trace their initial angle, discarded on the host
+                th_full = jnp.where(conv, th_hit, packed[0])
+                p_full = jnp.sin(-th_full * deg) * inv_csrc
+                if full_kernel:
+                    res_f, _, _ = trace_pallas(
+                        envarg, source_depth, p_full, geom_save, s_full,
+                        interpret=not on_tpu,
+                    )
+                else:
+                    res_f = _trace_impl(
+                        envarg, source_depth, p_full, geom_save, s_full
+                    )
+                # single packed D2H result: (NB, 5 + 3S + 2)
+                head = jnp.stack([
                     th_hit, conv.astype(dt), dead.astype(dt),
                     iters.astype(dt), resid,
-                ])
+                ], axis=1)
+                return jnp.concatenate([
+                    head, res_f.ts.astype(dt), res_f.zs.astype(dt),
+                    res_f.ps.astype(dt),
+                    res_f.n_bott[:, None].astype(dt),
+                    res_f.n_surf[:, None].astype(dt),
+                ], axis=1)
 
             solve_fn = jax.jit(solve)
             _DEVICE_SOLVE_CACHE.put(key, solve_fn)
@@ -279,10 +310,10 @@ def find_eigenrays(
         packed = jnp.asarray(
             np.stack([theta0, th1_a, th2_a, z1_a, z2_a, rd_a]), dt
         )
-        out = np.asarray(solve_fn(env, packed))
+        out = np.asarray(solve_fn(env, packed), float)
         return (
-            out[0], out[1] > 0.5, out[2] > 0.5,
-            out[3].astype(np.int32), out[4],
+            out[:, 0], out[:, 1] > 0.5, out[:, 2] > 0.5,
+            out[:, 3].astype(np.int32), out[:, 4], out[:, 5:],
         )
 
     # ---- collect brackets across all receiver depths ---------------------
@@ -334,22 +365,26 @@ def find_eigenrays(
     iterations = np.zeros(NB, np.int32)
     resid = np.full(NB, np.nan)
 
-    def _assemble(theta_hit, converged, dead, iterations, resid):
-        # final full-resolution trace of the converged angles
+    def _assemble(theta_hit, converged, dead, iterations, resid, full=None):
+        # final full-resolution trajectories of the converged angles.  The
+        # device solver already traced them inside its single dispatch
+        # (``full``); the verbose host path re-shoots and does ONE packed
+        # D2H transfer (the axon tunnel charges ~10-20 ms per array even
+        # when overlapped).  The save grid is recomputed on the host.
         conv_idx = np.where(converged)[0]
         if conv_idx.size:
-            res = shoot_batch(theta_hit[conv_idx], num_save=num_range_save)
-            # ONE packed D2H transfer (the axon tunnel charges ~10-20 ms
-            # per array even when overlapped); the save grid is recomputed
-            # on the host instead of fetched
-            packed = np.asarray(_pack_trace(
-                res.ts, res.zs, res.ps, res.n_bott, res.n_surf
-            ), float)
-            S = num_range_save
+            nseg = max(num_range_save - 1, 1)
+            S = nseg + 1
+            if full is None:
+                res = shoot_batch(theta_hit[conv_idx], num_save=num_range_save)
+                packed = np.asarray(_pack_trace(
+                    res.ts, res.zs, res.ps, res.n_bott, res.n_surf
+                ), float)
+            else:
+                packed = full[conv_idx]
             ts, zs, ps = packed[:, :S], packed[:, S:2 * S], packed[:, 2 * S:3 * S]
             nb = packed[:, 3 * S].astype(int)
             ns = packed[:, 3 * S + 1].astype(int)
-            nseg = max(num_range_save - 1, 1)
             rs = x0 + (x1 - x0) * np.arange(nseg + 1) / nseg
             if backwards:
                 rs = -rs
@@ -388,11 +423,11 @@ def find_eigenrays(
     if not verbose:
         # all iterations in one device while_loop (no per-iteration
         # host round trips); verbose mode keeps the host loop for progress
-        theta_hit, converged, dead, iterations, resid = device_solve(
+        theta_hit, converged, dead, iterations, resid, full = device_solve(
             rd_arr, th1, th2, z1, z2, use_newton
         )
         return _assemble(
-            theta_hit, converged, dead, iterations, resid
+            theta_hit, converged, dead, iterations, resid, full
         )
 
     it_range = range(max_iter + 2)
