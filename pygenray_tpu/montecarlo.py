@@ -233,6 +233,33 @@ def mc_eigenray_times(
             env_ens.c.dtype,
         )
 
+    # 0. kernel-supported one-shot: fan + bracketing + Newton iterations +
+    # final evaluation all inside ONE device dispatch and ONE packed fetch
+    # (each dispatch costs ~20-30 ms over the axon tunnel).  Falls back to
+    # the two-phase flow below if any realization overflows the fixed
+    # bracket capacity.
+    if _ensemble_kernel_ok(env_ens, settings):
+        out = _mc_one_shot_device(
+            env_ens, fan_angles, c_src, float(source_depth),
+            float(source_range), float(receiver_range),
+            float(receiver_depth), float(ztol), int(max_iter), settings,
+        )
+        if not (out[7] > 0.5).any():  # no bracket-capacity overflow
+            counts = out[6, :, 0].astype(int)
+            M = int(counts.max()) if counts.size else 0
+            if M == 0:
+                return {k: np.zeros((E, 0)) for k in
+                        ("theta", "t", "z_resid", "n_surf", "n_bott", "valid")}
+            conv = out[1, :, :M] > 0.5
+            return {
+                "theta": np.where(conv, out[0, :, :M], np.nan),
+                "t": np.where(conv, out[2, :, :M], np.nan),
+                "z_resid": np.where(conv, out[3, :, :M], np.nan),
+                "n_surf": np.where(conv, out[4, :, :M].astype(np.int64), -1),
+                "n_bott": np.where(conv, out[5, :, :M].astype(np.int64), -1),
+                "valid": conv,
+            }
+
     # 1. fan through every realization.  Bracketing only needs the final
     # depth and aliveness, so on kernel-supported configurations the whole
     # fan is ONE ensemble-kernel launch (block e = realization e) and one
@@ -346,6 +373,146 @@ def _fan_final_state(env_ens, source_depth, p0, x0, x1, settings):
     return out[0], out[1] > 0.5
 
 
+_MC_ONESHOT_CACHE = LRUCache(32)
+MC_BRACKET_CAP = 24  # fixed per-realization bracket capacity of the one-shot path
+
+
+def _mc_one_shot_device(
+    env_ens, fan_angles, c_src, source_depth, source_range, receiver_range,
+    rd, ztol, max_iter, settings,
+):
+    """Fan + bracketing + all Newton iterations + the final evaluation in
+    ONE device dispatch and ONE packed fetch.
+
+    Bracketing is a fixed-capacity compaction (the first
+    ``MC_BRACKET_CAP`` sign changes per realization, matching the host
+    path's ``np.where(np.diff(sign) != 0)`` order); an overflow flag is
+    returned so the caller can fall back to the two-phase path in the
+    (unseen in practice) case of more brackets than capacity.
+    """
+    h, sps, nseg = _plan(float(source_range), float(receiver_range), 2, settings.dx)
+    geom = (float(source_range), float(receiver_range), float(h), int(sps), int(nseg))
+    s_it = dataclasses.replace(settings, backend="xla", partition=False,
+                               kahan=False)
+    dt = env_ens.c.dtype
+    deg = np.pi / 180.0
+    on_tpu = jax.default_backend() == "tpu"
+    E = env_ens.c.shape[0]
+    B = fan_angles.shape[0]
+    M = MC_BRACKET_CAP
+
+    from .ops.pallas_stepper import trace_pallas_tangent_ensemble
+
+    key = (env_struct_key(env_ens), geom, s_it, E, B, M,
+           float(rd), float(ztol), int(max_iter), float(source_depth))
+    fn = _MC_ONESHOT_CACHE.get(key)
+    if fn is None:
+
+        def solve(envs, angles_d, csrc_d):
+            def zeval(theta):
+                p0 = jnp.sin(-theta * deg) / csrc_d[:, None]
+                (T, z_ode, _, _, dz_ode, _, ns, nb, dcode) = (
+                    trace_pallas_tangent_ensemble(
+                        envs, source_depth, p0, jnp.ones_like(p0), geom,
+                        s_it, interpret=not on_tpu,
+                    )
+                )
+                dz_dth = -dz_ode * (-jnp.cos(theta * deg) * deg / csrc_d[:, None])
+                return -z_ode, dcode == 0, T, ns, nb, dz_dth
+
+            # fan + bracket (device-side fixed-capacity compaction)
+            p0f = jnp.sin(-jnp.broadcast_to(angles_d, (E, B)) * deg) / csrc_d[:, None]
+            (_, z_ode_f, _, _, _, _, _, _, dcode_f) = (
+                trace_pallas_tangent_ensemble(
+                    envs, source_depth, p0f, jnp.zeros_like(p0f), geom,
+                    s_it, interpret=not on_tpu,
+                )
+            )
+            z_end = jnp.where(dcode_f == 0, -z_ode_f, jnp.nan)
+            sign = jnp.sign(z_end + rd)
+            mask = (sign[:, 1:] - sign[:, :-1]) != 0  # nan-adjacent -> True
+            count = mask.sum(axis=1)
+            overflow = count > M
+            sentinel = B  # bracket indices run 0..B-2
+            keyv = jnp.where(mask, jnp.arange(B - 1)[None, :], sentinel)
+            order = jnp.sort(keyv, axis=1)[:, :M]
+            valid = order <= B - 2
+            idx = jnp.minimum(order, B - 2)
+            th1 = angles_d[idx]
+            th2 = angles_d[idx + 1]
+            z1 = jnp.take_along_axis(z_end, idx, 1)
+            z2 = jnp.take_along_axis(z_end, idx + 1, 1)
+            den = jnp.where(jnp.abs(z2 - z1) > 0, z2 - z1, 1.0)
+            theta0 = th1 - (z1 + rd) * (th2 - th1) / den
+
+            body = _make_mc_body(zeval, rd, ztol, True)
+
+            def cond(st):
+                return jnp.any(~(st[5] | st[6])) & (st[8] < max_iter + 2)
+
+            st0 = (
+                theta0.astype(dt), th1.astype(dt), th2.astype(dt),
+                z1.astype(dt), z2.astype(dt),
+                jnp.zeros((E, M), bool), ~valid,
+                jnp.full((E, M), jnp.nan, dt), jnp.asarray(0, jnp.int32),
+            )
+            st = jax.lax.while_loop(cond, body, st0)
+            conv, th_hit = st[5], st[7]
+
+            ze, _, t_end, ns, nb, _ = zeval(jnp.where(conv, th_hit, 0.0))
+            z_res = jnp.abs(ze + rd)
+            return jnp.stack([
+                th_hit, conv.astype(dt), t_end, z_res,
+                ns.astype(dt), nb.astype(dt),
+                jnp.broadcast_to(count[:, None].astype(dt), (E, M)),
+                jnp.broadcast_to(overflow[:, None].astype(dt), (E, M)),
+            ])
+
+        fn = jax.jit(solve)
+        _MC_ONESHOT_CACHE.put(key, fn)
+
+    out = np.asarray(
+        fn(env_ens, jnp.asarray(fan_angles, dt), jnp.asarray(c_src, dt)), float
+    )
+    return out
+
+
+def _make_mc_body(zeval, rd, ztol, use_newton):
+    """One root-finding update for the (E, M) candidate matrix: Newton with
+    exact AD derivative safeguarded by the bracket when ``use_newton``
+    (same policy as ``eigenrays.device_solve``), else regula falsi."""
+
+    def body(st):
+        theta, t1, t2, za, zb, conv, dead, th_hit, it = st
+        ze, alive, _, _, _, dz_dth = zeval(theta)
+        active = ~(conv | dead)
+        dead2 = dead | (active & ~alive)
+        act = active & alive
+        hit = act & (jnp.abs(ze + rd) < ztol)
+        conv2 = conv | hit
+        th_hit = jnp.where(hit, theta, th_hit)
+        upd = act & ~hit
+        side1 = jnp.sign(ze + rd) == jnp.sign(za + rd)
+        za = jnp.where(upd & side1, ze, za)
+        t1 = jnp.where(upd & side1, theta, t1)
+        zb = jnp.where(upd & ~side1, ze, zb)
+        t2 = jnp.where(upd & ~side1, theta, t2)
+        den = jnp.where(jnp.abs(zb - za) > 0, zb - za, 1.0)
+        th_fp = t1 - (za + rd) * (t2 - t1) / den
+        if use_newton:
+            th_nw = theta - (ze + rd) / dz_dth
+            lo = jnp.minimum(t1, t2)
+            hi = jnp.maximum(t1, t2)
+            bad = ~jnp.isfinite(th_nw) | (th_nw <= lo) | (th_nw >= hi)
+            th_new = jnp.where(bad, th_fp, th_nw)
+        else:
+            th_new = th_fp
+        theta = jnp.where(upd, th_new, theta)
+        return (theta, t1, t2, za, zb, conv2, dead2, th_hit, it + 1)
+
+    return body
+
+
 def _solve_ensemble_device(
     env_ens, theta0, th1, th2, z1, z2, dead0, c_src,
     source_depth, source_range, receiver_range, rd, ztol, max_iter, settings,
@@ -406,35 +573,7 @@ def _solve_ensemble_device(
 
             zeval = zfun_kernel if use_kernel else zfun
 
-            def body(st):
-                theta, t1, t2, za, zb, conv, dead, th_hit, it = st
-                ze, alive, _, _, _, dz_dth = zeval(theta)
-                active = ~(conv | dead)
-                dead2 = dead | (active & ~alive)
-                act = active & alive
-                hit = act & (jnp.abs(ze + rd) < ztol)
-                conv2 = conv | hit
-                th_hit = jnp.where(hit, theta, th_hit)
-                upd = act & ~hit
-                side1 = jnp.sign(ze + rd) == jnp.sign(za + rd)
-                za = jnp.where(upd & side1, ze, za)
-                t1 = jnp.where(upd & side1, theta, t1)
-                zb = jnp.where(upd & ~side1, ze, zb)
-                t2 = jnp.where(upd & ~side1, theta, t2)
-                den = jnp.where(jnp.abs(zb - za) > 0, zb - za, 1.0)
-                th_fp = t1 - (za + rd) * (t2 - t1) / den
-                if use_kernel:
-                    # Newton step with exact AD derivative, safeguarded by
-                    # the bracket (same policy as eigenrays.device_solve)
-                    th_nw = theta - (ze + rd) / dz_dth
-                    lo = jnp.minimum(t1, t2)
-                    hi = jnp.maximum(t1, t2)
-                    bad = ~jnp.isfinite(th_nw) | (th_nw <= lo) | (th_nw >= hi)
-                    th_new = jnp.where(bad, th_fp, th_nw)
-                else:
-                    th_new = th_fp
-                theta = jnp.where(upd, th_new, theta)
-                return (theta, t1, t2, za, zb, conv2, dead2, th_hit, it + 1)
+            body = _make_mc_body(zeval, rd, ztol, use_kernel)
 
             def cond(st):
                 return jnp.any(~(st[5] | st[6])) & (st[8] < max_iter + 2)
