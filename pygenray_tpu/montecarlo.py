@@ -238,13 +238,13 @@ def mc_eigenray_times(
     # (each dispatch costs ~20-30 ms over the axon tunnel).  Falls back to
     # the two-phase flow below if any realization overflows the fixed
     # bracket capacity.
-    if _ensemble_kernel_ok(env_ens, settings):
+    if fan_angles.size >= 2 and _ensemble_kernel_ok(env_ens, settings):
         out = _mc_one_shot_device(
             env_ens, fan_angles, c_src, float(source_depth),
             float(source_range), float(receiver_range),
             float(receiver_depth), float(ztol), int(max_iter), settings,
         )
-        if not (out[7] > 0.5).any():  # no bracket-capacity overflow
+        if out.shape[2] and not (out[7] > 0.5).any():  # no capacity overflow
             counts = out[6, :, 0].astype(int)
             M = int(counts.max()) if counts.size else 0
             if M == 0:
