@@ -845,7 +845,7 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
         out_shape=out_shape,
         grid=(nblocks,),
         in_specs=[blocked, blocked, blocked] + [vmem_full] * 5
-        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[blocked] * 9,
         scratch_shapes=scratch,
         interpret=interpret,
@@ -954,7 +954,7 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
         out_shape=out_shape,
         grid=(E,),
         in_specs=[blocked, blocked, blocked] + [vmem_full] * 5
-        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[blocked] * 9,
         scratch_shapes=scratch,
         interpret=interpret,
@@ -1214,7 +1214,7 @@ def trace_pallas_coef_tangent(env, z0, p0, dcoef, dcpcoef, geom, settings,
         out_shape=out_shape,
         grid=(D,),
         in_specs=[shared, shared] + [vmem_full] * 5
-        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[blocked] * 9,
         scratch_shapes=scratch,
         interpret=interpret,
@@ -1576,7 +1576,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         vmem_full,  # bacoef
         vmem_full,  # b0s
         vmem_full,  # b1s
-        pl.BlockSpec(memory_space=pltpu.ANY),  # st_tab (DMA'd per step)
+        pl.BlockSpec(memory_space=pl.ANY),  # st_tab (DMA'd per step)
     ]
     out_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),  # save grids stay off-chip
