@@ -182,7 +182,6 @@ def find_eigenrays(
         )
         dt = jnp.float64 if env.c.dtype == jnp.float64 else jnp.float32
         S = nseg_s + 1
-        inv_csrc = 1.0 / float(c_src)
         deg = np.pi / 180.0
         NBj = th1_a.shape[0]
 
@@ -195,10 +194,15 @@ def find_eigenrays(
         if solve_fn is None:
 
             def solve(envarg, packed):
-                # packed: (6, NB) = [theta0, th1, th2, z1, z2, rd] — a single
-                # H2D transfer; the axon tunnel charges ~10-20 ms per array
-                # transfer, so the whole solver does exactly one in, one out
+                # packed: (7, NB) = [theta0, th1, th2, z1, z2, rd, c_src] — a
+                # single H2D transfer; the axon tunnel charges ~10-20 ms per
+                # array transfer, so the whole solver does one in, one out.
+                # c_src rides in the packed array (NOT baked into the
+                # closure) so structurally-identical environments sharing
+                # this cached executable still launch with their own
+                # source sound speed.
                 rd = packed[5]
+                inv_csrc = 1.0 / packed[6, 0]
                 st0 = (
                     packed[0], packed[1], packed[2], packed[3], packed[4],
                     jnp.zeros(NBj, bool), jnp.zeros(NBj, bool),
@@ -308,7 +312,8 @@ def find_eigenrays(
         denom0 = np.where(np.abs(z2_a - z1_a) > 0, z2_a - z1_a, 1.0)
         theta0 = th1_a - (z1_a + rd_a) * (th2_a - th1_a) / denom0
         packed = jnp.asarray(
-            np.stack([theta0, th1_a, th2_a, z1_a, z2_a, rd_a]), dt
+            np.stack([theta0, th1_a, th2_a, z1_a, z2_a, rd_a,
+                      np.full_like(theta0, float(c_src))]), dt
         )
         out = np.asarray(solve_fn(env, packed), float)
         return (

@@ -333,7 +333,7 @@ def mirror_env_arrays(c, dcdz, r, bathy, bathy_r, bottom_angle):
     )
 
 
-_HOST_TABLE_CACHE = LRUCache(64)  # id-keyed host VALUES of one env (kept alive)
+_HOST_TABLE_CACHE = {}  # id(env) -> (r, z, c); evicted when the env is GC'd
 
 
 def host_profile_tables(env) -> tuple:
@@ -344,13 +344,18 @@ def host_profile_tables(env) -> tuple:
     speed, and on the axon TPU tunnel each device->host array pull costs
     ~10-20 ms — three pulls per call used to dominate eigenray latency.
     This fetches all three arrays in ONE overlapped ``jax.device_get`` and
-    memoizes them per environment object (the env is kept alive inside the
-    cache entry so the id() key stays valid).
+    memoizes the HOST copies per environment object.  The entry holds no
+    reference to the env (its device buffers stay collectable); a weakref
+    finalizer evicts the entry the moment the env is garbage-collected, so
+    the id() key can never alias a new object.
     """
-    got = _HOST_TABLE_CACHE.get(id(env))
+    import weakref
+
+    k = id(env)
+    got = _HOST_TABLE_CACHE.get(k)
     if got is None:
         r, z, c = jax.device_get((env.r, env.z, env.c))
-        got = (np.asarray(r, float), np.asarray(z, float),
-               np.asarray(c, float), env)
-        _HOST_TABLE_CACHE.put(id(env), got)
-    return got[:3]
+        got = (np.asarray(r, float), np.asarray(z, float), np.asarray(c, float))
+        _HOST_TABLE_CACHE[k] = got
+        weakref.finalize(env, _HOST_TABLE_CACHE.pop, k, None)
+    return got

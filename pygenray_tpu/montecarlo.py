@@ -173,23 +173,27 @@ def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings):
     from .ops.pallas_stepper import trace_pallas
 
     E = env_ens.c.shape[0]
+    z0a = jnp.asarray(z0, env_ens.c.dtype)
     key = (env_struct_key(env_ens), geom, settings, p0.shape, p_axis,
-           float(z0) if np.ndim(z0) == 0 else ("arr",) + tuple(np.shape(z0)))
+           z0a.shape)
     fn = _ENS_PALLAS_CACHE.get(key)
     if fn is None:
 
-        def run(envs, p):
+        # z0 is a runtime argument (never baked into the closure): two
+        # same-shape calls with different source depths must not share a
+        # traced constant
+        def run(envs, p, zz):
             outs = []
             for e in range(E):
                 env_e = jax.tree_util.tree_map(lambda a: a[e], envs)
                 p_e = p[e] if p_axis == 0 else p
-                res, _, _ = trace_pallas(env_e, z0, p_e, geom, settings)
+                res, _, _ = trace_pallas(env_e, zz, p_e, geom, settings)
                 outs.append(res)
             return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
 
         fn = jax.jit(run)
         _ENS_PALLAS_CACHE.put(key, fn)
-    return fn(env_ens, p0)
+    return fn(env_ens, p0, z0a)
 
 
 def mc_eigenray_times(

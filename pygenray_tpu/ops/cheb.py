@@ -20,6 +20,8 @@ reference field applied to the fitted columns.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -94,6 +96,7 @@ def clenshaw(u, coef):
     return coef[..., 0] + u * b1 - b2
 
 
+@functools.lru_cache(maxsize=32)
 def cheb2poly_matrix(K: int) -> np.ndarray:
     """M with poly_coef = cheb_coef @ M.T (power basis in the same u).
 
@@ -141,9 +144,15 @@ def poly_ok(coef: np.ndarray, tol: float, nu: int = 2049) -> bool:
 
     coef = np.atleast_2d(np.asarray(coef, np.float64))
     K = coef.shape[-1]
-    M = cheb2poly_matrix(K)
-    pcoef = coef @ M.T
+    with np.errstate(over="ignore", invalid="ignore"):
+        M = cheb2poly_matrix(K)
+        pcoef = coef @ M.T
     if not np.all(np.isfinite(pcoef)):
+        return False
+    # quick reject: monomial coefficients far beyond f32 range cannot pass
+    # the dense check — skip the 2049-point evaluation (high-order
+    # ensemble fits hit this on every realization)
+    if np.abs(pcoef).max() > 1e8:
         return False
     u64 = np.linspace(-1.0, 1.0, nu)
     ref = ncheb.chebval(u64, coef.T)  # (nr, nu)

@@ -103,6 +103,27 @@ def _vmem_reader(ref, pre=()):
     return lambda k: ref[(*pre, k)]
 
 
+def _station_step_handles(k, STW, nblk, st_dma_blk, st_handle, KP):
+    """Enter step k's station block: on a block boundary, prefetch the next
+    W-step block (double-buffered) and wait for this one; return the
+    (mid-step, end-step) coefficient handles.  Shared by the mega-kernel's
+    two step bodies and the tangent kernels so the DMA discipline cannot
+    drift between them (a desynced start/wait presents as a hardware hang).
+    """
+    jb = lax.div(k, STW)
+    row = lax.rem(k, STW)
+    slot = lax.rem(jb, 2)
+
+    @pl.when(row == 0)
+    def _():
+        @pl.when(jb + 1 < nblk)
+        def _():
+            st_dma_blk(jb + 1, 1 - slot).start()
+        st_dma_blk(jb, slot).wait()
+
+    return st_handle(slot, row, 0), st_handle(slot, row, 2 * KP)
+
+
 def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
@@ -226,20 +247,9 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
             alive = al_s[...] > 0.5
 
             if rd:
-                # double-buffered W-step blocks: on entering block jb,
-                # wait for its DMA and prefetch block jb+1; rows within a
-                # block are plain SMEM reads
-                jb = lax.div(k, STW)
-                row = lax.rem(k, STW)
-                slot = lax.rem(jb, 2)
-                @pl.when(row == 0)
-                def _():
-                    @pl.when(jb + 1 < _nblk)
-                    def _():
-                        st_dma_blk(jb + 1, 1 - slot).start()
-                    st_dma_blk(jb, slot).wait()
-                st_m = st_handle(slot, row, 0)
-                st_1 = st_handle(slot, row, 2 * KP)
+                st_m, st_1 = _station_step_handles(
+                    k, STW, _nblk, st_dma_blk, st_handle, KP
+                )
             else:
                 st_m = st_1 = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
 
@@ -397,17 +407,9 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
             kp1 = kp_s[...]
 
             if rd:
-                jb = lax.div(k, STW)
-                row = lax.rem(k, STW)
-                slot = lax.rem(jb, 2)
-                @pl.when(row == 0)
-                def _():
-                    @pl.when(jb + 1 < _nblk)
-                    def _():
-                        st_dma_blk(jb + 1, 1 - slot).start()
-                    st_dma_blk(jb, slot).wait()
-                st_m = st_handle(slot, row, 0)
-                st_1 = st_handle(slot, row, 2 * KP)
+                st_m, st_1 = _station_step_handles(
+                    k, STW, _nblk, st_dma_blk, st_handle, KP
+                )
             else:
                 st_m = st_1 = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
 
@@ -676,18 +678,9 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
 
         def body(k, _):
             if rd:
-                # double-buffered W-step blocks (see the mega-kernel)
-                jb = lax.div(k, STW)
-                row = lax.rem(k, STW)
-                slot = lax.rem(jb, 2)
-                @pl.when(row == 0)
-                def _():
-                    @pl.when(jb + 1 < _nblk)
-                    def _():
-                        st_dma_blk(jb + 1, 1 - slot).start()
-                    st_dma_blk(jb, slot).wait()
-                st_m = st_handle(slot, row, 0)
-                st_1 = st_handle(slot, row, 2 * KP)
+                st_m, st_1 = _station_step_handles(
+                    k, STW, _nblk, st_dma_blk, st_handle, KP
+                )
             else:
                 st_m = st_1 = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
             b0 = b0s_ref[k]

@@ -193,3 +193,41 @@ class TestEigenraysVariants:
         assert np.all(np.abs(er.zs[0][:, -1] + 1300.0) < 1.0)
         # eigenray ranges run backwards from source to receiver
         assert er.rs[0][0, 0] == 45e3 and er.rs[0][0, -1] == 5e3
+
+
+class TestCacheIsolation:
+    def test_struct_identical_envs_use_own_sound_speed(self):
+        """Two environments with identical structure but different c fields
+        must not share launch-parameter constants through the structurally
+        keyed solver cache (regression: c_src was baked into the closure)."""
+        import jax.numpy as jnp
+
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+
+        z = np.linspace(0, 6000, 300)
+        r = np.linspace(0, 20e3, 4)
+        bathy = np.full(4, 5000.0)
+
+        def solve_with(env):
+            fan = pr.shoot_rays(1300.0, 0.0, np.linspace(-10, 10, 41), 20e3,
+                                2, env, flatearth=False, dx=500.0)
+            return pr.find_eigenrays(
+                fan, [1300.0], 1300.0, 0.0, 20e3, 2, env, ztol=1.0,
+                flatearth=False, dx=500.0,
+            )
+
+        c1 = np.outer(np.ones(4), munk_ssp(z))
+        c2 = c1 * 1.02  # same structure, 2% faster medium
+        env1 = make_env_data(c1, r, z, bathy, r, dtype=jnp.float64)
+        env2 = make_env_data(c2, r, z, bathy, r, dtype=jnp.float64)
+
+        er1 = solve_with(env1)  # populates the structurally keyed cache
+        er2 = solve_with(env2)  # must NOT reuse env1's source sound speed
+        t1 = np.sort(er1.ts[0][:, -1])
+        t2 = np.sort(er2.ts[0][:, -1])
+        assert er1.num_eigenrays_found[0] >= 1
+        assert er2.num_eigenrays_found[0] >= 1
+        # 2% faster medium -> ~2% earlier arrivals
+        ratio = t2[0] / t1[0]
+        assert abs(ratio - 1 / 1.02) < 2e-3, f"arrival ratio {ratio}"
