@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from .ops.cheb import fit_profile_cheb, fit_series_cheb
 from .ops.interp import cubic_spline_coeffs
-from .utils.cache import LRUCache
 
 __all__ = ["EnvData", "make_env_data", "with_spectral", "mirror_env_arrays", "host_profile_tables"]
 

@@ -25,7 +25,6 @@ suite checks equivalence in interpret mode.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import numpy as np
 import jax
