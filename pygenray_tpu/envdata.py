@@ -164,11 +164,13 @@ def make_env_data(
     bathy = np.asarray(bathy, np.float64)
     bathy_r = np.asarray(bathy_r, np.float64)
 
-    if not np.all(np.diff(r) >= 0):
+    # strictly increasing: a duplicated coordinate (e.g. concatenated
+    # datasets) would later divide by a zero interval and NaN the trace
+    if r.shape[0] > 1 and not np.all(np.diff(r) > 0):
         raise ValueError("Sound speed range coordinates must be monotonically increasing.")
-    if not np.all(np.diff(z) >= 0):
+    if not np.all(np.diff(z) > 0):
         raise ValueError("Sound speed depth coordinates must be monotonically increasing.")
-    if not np.all(np.diff(bathy_r) >= 0):
+    if bathy_r.shape[0] > 1 and not np.all(np.diff(bathy_r) > 0):
         raise ValueError("Bathymetry range coordinates must be monotonically increasing.")
 
     if dcdz is None:

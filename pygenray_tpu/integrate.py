@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -206,10 +207,11 @@ def _make_bangle(env: EnvData):
 
     elif env.bangle_mode == "cheb":
         coef = env.bangle_cheb
+        # static domain floats (bathy_r_dom exists precisely so this affine
+        # map constant-folds instead of gathering from the device array)
+        blo, bhi = env.bathy_r_dom
 
         def sincos2b(x):
-            blo = env.bathy_r[0]
-            bhi = env.bathy_r[-1]
             u = jnp.clip((2.0 * x - (blo + bhi)) / (bhi - blo), -1.0, 1.0)
             b2 = 2.0 * jnp.radians(clenshaw(u, coef))
             return jnp.sin(b2), jnp.cos(b2)
@@ -306,7 +308,14 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
     xs1 = x0 + (ks + 1.0) * h
     b0s = linear_interp(xs0, env.bathy_r, env.bathy, env.uniform_bathy_r)
     b1s = linear_interp(xs1, env.bathy_r, env.bathy, env.uniform_bathy_r)
-    oob_step = (xs0 < rlo - btol) | (xs1 > rhi + btol)
+    # out-of-domain flags precomputed on the host in float64: on-device
+    # x0 + k*h arithmetic in f32 accumulates ~mm of rounding over 100 km,
+    # which can spuriously flag (and kill) the whole fan at a domain-edge
+    # receiver; the Pallas kernel has always done this (any_x_oob)
+    ks64 = np.arange(nsteps, dtype=np.float64)
+    oob_step = jnp.asarray(
+        (x0 + ks64 * h < rlo - btol) | (x0 + (ks64 + 1.0) * h > rhi + btol)
+    )
 
     data = {"x0": xs0, "b0": b0s, "b1": b1s, "oob": oob_step}
     if env.range_dependent:
@@ -474,7 +483,9 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
 
     def segment(carry, seg_data):
         carry, _ = lax.scan(step, carry, seg_data)
-        out = (carry["T"] + carry["Tc"], carry["z"] + carry["zc"], carry["p"], carry["alive"])
+        # compensated readout: comp holds the amount the running value
+        # OVERSHOT the true sum, so the corrected value is val - comp
+        out = (carry["T"] - carry["Tc"], carry["z"] - carry["zc"], carry["p"], carry["alive"])
         return carry, out
 
     carry, (ts_seg, zs_seg, ps_seg, alive_seg) = lax.scan(segment, carry0, data)
@@ -554,7 +565,7 @@ def _trace_ducted_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
 
     def segment(carry, _):
         carry, _ = lax.scan(step, carry, None, length=sps)
-        return carry, (carry[0] + carry[1], carry[2] + carry[3], carry[4])
+        return carry, (carry[0] - carry[1], carry[2] - carry[3], carry[4])
 
     carry, (ts_seg, zs_seg, ps_seg) = lax.scan(segment, carry0, None, length=nseg)
 
@@ -565,7 +576,40 @@ def _trace_ducted_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
     return ts, zs, ps, carry[8], carry[9]
 
 
-_DUCTED_HOST_CACHE = LRUCache(64)  # id-keyed: caches host *values* of one env
+_DUCTED_HOST_CACHE = {}  # id(env) -> host arrays; evicted when the env is GC'd
+
+
+def _ducted_host(env):
+    """Host float64 copies of (c[0], z, bathy_r, bathy) for the ducted
+    classification and audits — one overlapped device pull per env, with a
+    weakref finalizer evicting the entry (no env reference kept, so device
+    buffers stay collectable and the id() key can never alias)."""
+    import weakref
+
+    k = id(env)
+    host = _DUCTED_HOST_CACHE.get(k)
+    if host is None:
+        c0, zg, br, bv = jax.device_get(
+            (env.c[0], env.z, env.bathy_r, env.bathy)
+        )
+        host = (
+            np.asarray(c0, np.float64), np.asarray(zg, np.float64),
+            np.asarray(br, np.float64), np.asarray(bv, np.float64),
+        )
+        _DUCTED_HOST_CACHE[k] = host
+        weakref.finalize(env, _DUCTED_HOST_CACHE.pop, k, None)
+    return host
+
+
+def _bathy_min_span(env, x0, x1):
+    """Shallowest bottom over the shot's range span (host, cached tables)."""
+    _, _, br, bv = _ducted_host(env)
+    lo, hi = min(x0, x1), max(x0, x1)
+    sel = (br >= lo) & (br <= hi)
+    cand = [np.interp(lo, br, bv), np.interp(hi, br, bv)]
+    if sel.any():
+        cand.append(bv[sel].min())
+    return float(min(cand))
 
 
 def ducted_mask(env: EnvData, z0, p0, x0: float, x1: float, margin: float = 2e-3):
@@ -578,23 +622,9 @@ def ducted_mask(env: EnvData, z0, p0, x0: float, x1: float, margin: float = 2e-3
     source (before the surface) and below it (before the shallowest bottom).
     Returns None when the environment does not support the classification.
     """
-    import numpy as np
-
     if env.range_dependent:
         return None
-    host = _DUCTED_HOST_CACHE.get(id(env))
-    if host is None:
-        # one-time device→host pull of the small profile tables (the axon
-        # tunnel makes repeated pulls expensive)
-        host = (
-            np.asarray(env.c[0], np.float64),
-            np.asarray(env.z, np.float64),
-            np.asarray(env.bathy_r, np.float64),
-            np.asarray(env.bathy, np.float64),
-            env,  # keep alive so id() stays valid
-        )
-        _DUCTED_HOST_CACHE.put(id(env), host)
-    c, zg, br, bv, _ = host
+    c, zg, br, bv = _ducted_host(env)
     p0 = np.asarray(p0, np.float64)
     z0v = np.broadcast_to(np.asarray(z0, np.float64), p0.shape)
 
@@ -642,8 +672,6 @@ def _trace_partitioned(env, z0, p0, geom, settings):
     """Split the fan into ducted / boundary-capable rays, run the cheap
     event-free stepper on the former, and merge in the original order.
     Falls back to the full stepper when classification is unavailable."""
-    import numpy as np
-
     x0, x1 = geom[0], geom[1]
     p0_host = np.asarray(p0)
     B = p0_host.shape[0]
@@ -653,12 +681,25 @@ def _trace_partitioned(env, z0, p0, geom, settings):
 
     idx_d = np.where(mask)[0]
     idx_f = np.where(~mask)[0]
+    z0_host = np.asarray(z0)
+    per_ray_z0 = z0_host.ndim == 1
 
     def padded_p0(idx):
         nb = _bucket(idx.shape[0])
         pp = np.zeros(nb, p0_host.dtype)
         pp[: idx.shape[0]] = p0_host[idx]
         return jnp.asarray(pp)
+
+    def padded_z0(idx):
+        # per-ray source depths must be gathered alongside their p0 subset
+        # (the full z0 array would crash the broadcast or, worse, silently
+        # pair rays with the wrong depths when the bucket size matches B)
+        if not per_ray_z0:
+            return z0
+        nb = _bucket(idx.shape[0])
+        zz = np.zeros(nb, z0_host.dtype)
+        zz[: idx.shape[0]] = z0_host[idx]
+        return jnp.asarray(zz)
 
     def padded_idx(idx, nb):
         # padding rows scatter out of range -> dropped (mode="drop")
@@ -669,24 +710,30 @@ def _trace_partitioned(env, z0, p0, geom, settings):
     ducted_out = None
     if idx_d.size:
         pd = padded_p0(idx_d)
-        ts_d, zs_d, ps_d, z_lo, z_hi = _trace_ducted_impl(env, z0, pd, geom, settings)
+        ts_d, zs_d, ps_d, z_lo, z_hi = _trace_ducted_impl(
+            env, padded_z0(idx_d), pd, geom, settings
+        )
         # audit: a misclassified ray that actually escaped the water column
         # is re-run through the full stepper (host check on the small
-        # excursion arrays only; trajectories stay on device)
+        # excursion arrays only; trajectories stay on device).  The scatter
+        # indices stay ALIGNED with the traced rows: a bad row maps to the
+        # out-of-range sentinel (dropped) rather than compacting idx_d,
+        # which would shift every later traced row into the wrong slot.
         nd = idx_d.shape[0]
         z_lo = np.asarray(z_lo)[:nd]
         z_hi = np.asarray(z_hi)[:nd]
-        bad = (z_lo <= 0.0) | (z_hi >= float(np.asarray(env.bathy).min()))
+        bad = (z_lo <= 0.0) | (z_hi >= _bathy_min_span(env, x0, x1))
+        gi = np.full(pd.shape[0], B, np.int32)
+        gi[:nd] = np.where(bad, B, idx_d)
         if bad.any():
             idx_f = np.sort(np.concatenate([idx_f, idx_d[bad]]))
-            idx_d = idx_d[~bad]
-        if idx_d.size:
-            ducted_out = (padded_idx(idx_d, pd.shape[0]), ts_d, zs_d, ps_d)
+        if (~bad).any():
+            ducted_out = (jnp.asarray(gi), ts_d, zs_d, ps_d)
 
     full_out = None
     if idx_f.size:
         pf = padded_p0(idx_f)
-        resf = _trace_impl(env, z0, pf, geom, settings)
+        resf = _trace_impl(env, padded_z0(idx_f), pf, geom, settings)
         full_out = (padded_idx(idx_f, pf.shape[0]), resf)
 
     # device-side merge back into original ray order

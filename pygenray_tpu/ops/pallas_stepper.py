@@ -389,7 +389,8 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
 
         def seg_body(seg, _):
             lax.fori_loop(seg * sps, (seg + 1) * sps, step_body, 0)
-            save(seg + 1, T_s[...] + Tc_s[...], z_s[...] + zc_s[...], p_s[...])
+            # compensated readout: val - comp (comp = overshoot)
+            save(seg + 1, T_s[...] - Tc_s[...], z_s[...] - zc_s[...], p_s[...])
             return 0
 
         # event-free variant for blocks of provably-ducted rays (no boundary
@@ -438,7 +439,8 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
 
         def seg_body_ducted(seg, _):
             lax.fori_loop(seg * sps, (seg + 1) * sps, step_body_ducted, 0)
-            save(seg + 1, T_s[...] + Tc_s[...], z_s[...] + zc_s[...], p_s[...])
+            # compensated readout: val - comp (comp = overshoot)
+            save(seg + 1, T_s[...] - Tc_s[...], z_s[...] - zc_s[...], p_s[...])
             return 0
 
         if ducted_blocks > 0:

@@ -241,6 +241,12 @@ class RayFan:
     def __add__(self, other):
         if not isinstance(other, RayFan):
             raise TypeError("Can only add RayFan objects together")
+        # an empty fan (every ray dropped) is the identity: chunked fans
+        # must still accumulate
+        if len(self) == 0:
+            return other
+        if len(other) == 0:
+            return self
         if not np.array_equal(self.rs[0], other.rs[0]):
             raise ValueError("Range arrays (rs) must be equivalent for concatenation")
         return RayFan.from_arrays(
@@ -354,7 +360,14 @@ class EigenRays:
 
             received, rids, rids_int = [], [], []
             for k in range(fan.rs.shape[0]):
-                c = bilinear_np(fan.rs[k, -1], fan.zs[k, -1], rin, zin, cin)
+                # stored zs use the negative-down user convention; the
+                # sound-speed grid is positive-down, so interpolate at -z.
+                # (The reference feeds the signed value into ray_angle,
+                # `/root/reference/src/pygenray/ray_objects.py:521-535`,
+                # which clamp-extrapolates ABOVE the surface and skews the
+                # received angle for any depth-varying profile — fixed
+                # here, like the failed-bracket index bug.)
+                c = bilinear_np(fan.rs[k, -1], -fan.zs[k, -1], rin, zin, cin)
                 theta = np.degrees(np.arcsin(np.clip(fan.ps[k, -1] * c, -1, 1)))
                 received.append(theta)
                 rid = np.sum(np.diff(np.sign(fan.ps[k, :])) != 0) * np.sign(

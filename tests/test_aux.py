@@ -235,3 +235,98 @@ class TestStructuralJitCache:
         assert n_after_b == n_after_a  # second env reused the executable
         # ...but the faster medium must yield shorter travel times
         assert np.all(np.asarray(res_b.ts[:, -1]) < np.asarray(res_a.ts[:, -1]))
+
+
+class TestReviewRegressions:
+    """Regression pins for the round-3 high-effort review findings."""
+
+    def test_f32_xla_domain_edge_rays_survive(self):
+        """On-device f32 range arithmetic must not spuriously kill the fan
+        at a receiver sitting exactly on the domain edge (the out-of-domain
+        step flags are precomputed on the host in float64)."""
+        import jax.numpy as jnp
+
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+        from pygenray_tpu.integrate import SolverSettings, trace
+
+        z = np.linspace(0, 6000, 400)
+        r = np.linspace(0, 50e3, 8)
+        c = np.outer(np.ones(8), munk_ssp(z))
+        env = make_env_data(c, r, z, np.full(8, 5000.0), r, dtype=jnp.float32)
+        p0 = np.sin(np.radians(-np.linspace(-8, 8, 32))) / 1500.0
+        res = trace(env, 1300.0, p0, 0.0, 50e3, 5,
+                    SolverSettings(dx=50.0, backend="xla"))
+        assert np.asarray(res.alive).all()
+
+    def test_duplicate_grid_coordinates_rejected(self):
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+
+        z = np.linspace(0, 5000, 100)
+        r = np.array([0.0, 25e3, 25e3, 50e3])
+        c = np.outer(np.ones(4), munk_ssp(z))
+        with pytest.raises(ValueError, match="monotonically increasing"):
+            make_env_data(c, r, z, np.full(4, 5000.0), r)
+
+    def test_empty_fan_is_concat_identity(self):
+        from conftest import synthetic_ray
+        from pygenray_tpu.ray_objects import RayFan
+
+        fan = RayFan([synthetic_ray(launch_angle=a) for a in (-5.0, 0.0, 5.0)])
+        empty = fan[np.zeros(len(fan), bool)]
+        assert len(empty) == 0
+        assert len(empty + fan) == len(fan)
+        assert len(fan + empty) == len(fan)
+        np.testing.assert_array_equal((empty + fan).thetas, fan.thetas)
+
+    def test_partition_per_ray_source_depths(self):
+        """partition=True with a per-ray z0 array must pair every ray with
+        its own source depth (regression: padded subsets got the full
+        array, crashing or silently mispairing)."""
+        from pygenray_tpu.integrate import SolverSettings, trace
+        from pygenray_tpu.models import munk_env
+
+        env = munk_env(r_max=50e3, nr=30, nz=400)
+        envd = env.env_data(flatearth=False, interp="table", dtype="float64")
+        B = 4608
+        angles = np.linspace(-16, 16, B)
+        c_src = np.interp(1300.0, np.asarray(envd.z), np.asarray(envd.c[0]))
+        p0 = np.sin(np.radians(-angles)) / c_src
+        z0 = np.full(B, 1300.0)
+        z0[::7] = 900.0  # mixed depths, same classification validity
+        s_part = SolverSettings(dx=500.0, partition=True, backend="xla")
+        s_ref = SolverSettings(dx=500.0, partition=False, backend="xla")
+        rp = trace(envd, z0, p0, 0.0, 50e3, 3, s_part)
+        rf = trace(envd, z0, p0, 0.0, 50e3, 3, s_ref)
+        np.testing.assert_allclose(
+            np.asarray(rp.ts), np.asarray(rf.ts), rtol=2e-6, atol=1e-7
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rp.n_bott), np.asarray(rf.n_bott)
+        )
+
+    def test_received_angle_uses_positive_depth(self):
+        """EigenRays received angles must interpolate c at the positive-down
+        receiver depth — a linear-gradient profile makes the reference's
+        above-surface extrapolation visible."""
+        import pygenray_tpu as pr
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.integrate import SolverSettings
+
+        z = np.linspace(0, 5000, 200)
+        r = np.linspace(0, 20e3, 4)
+        c2d = np.outer(np.ones(4), 1500.0 + 0.05 * z)  # strong gradient
+        env = make_env_data(c2d, r, z, np.full(4, 5000.0), r, dtype="float64")
+        fan = pr.shoot_rays(1000.0, 0.0, np.linspace(-8, 8, 41), 20e3, 2,
+                            env, flatearth=False, dx=200.0)
+        er = pr.find_eigenrays(fan, [1000.0], 1000.0, 0.0, 20e3, 5, env,
+                               ztol=1.0, flatearth=False, dx=200.0)
+        assert er.num_eigenrays_found[0] >= 1
+        # receive angle from sin(theta) = p * c at the TRUE receiver depth
+        for k in range(er.num_eigenrays_found[0]):
+            z_end = -er.zs[0][k, -1]  # positive-down
+            c_rcv = 1500.0 + 0.05 * z_end
+            expect = np.degrees(np.arcsin(np.clip(
+                er.ps[0][k, -1] * c_rcv, -1, 1)))
+            assert abs(er.received_angles[0][k] - expect) < 0.05
