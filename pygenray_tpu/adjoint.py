@@ -310,4 +310,8 @@ def perturbation_response(jac, env: EnvData, delta_c, z_samples=None):
     K = jac.shape[1]
     zlo, zhi = env.z_dom
     dcoef, _ = fit_series_cheb(z_samples, np.asarray(delta_c), K - 1, lo=zlo, hi=zhi)
+    # a coarsely sampled perturbation yields fewer than K coefficients
+    # (fit order is clamped to len(z_samples)-1); pad with zeros
+    if dcoef.shape[0] < K:
+        dcoef = np.pad(dcoef, (0, K - dcoef.shape[0]))
     return np.asarray(jac) @ dcoef[:K]

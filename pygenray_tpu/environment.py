@@ -136,6 +136,9 @@ class OceanEnvironment2D:
             dims=["range"],
             coords={"range": self.bathymetry.range.values},
         )
+        # the device-side EnvData cache is keyed on (flatearth, mirrored,
+        # interp, dtype) only — re-transforming must drop stale entries
+        self._envdata_cache = {}
 
     def flat_earth_transform_rd(self):
         """Range-dependent earth flattening: per-range latitude coordinate.
@@ -145,8 +148,11 @@ class OceanEnvironment2D:
         """
         c_fe = flat_earth_c(self.sound_speed, verbose=False)
         self.sound_speed_fe = c_fe
-        self.dcdz = c_fe.differentiate("depth")
+        # .values: __init__ stores dcdz as a plain ndarray; keep the public
+        # attribute's type consistent across the transform
+        self.dcdz = c_fe.differentiate("depth").values
         self.bathymetry_fe = self.bathymetry.copy(deep=True)
+        self._envdata_cache = {}
 
     # ------------------------------------------------------------------
     def plot(self, ax=None, add_colorbar=True, **kwargs):
@@ -343,11 +349,21 @@ def _ridder(fhdl, xl, xh, xrhs, xacc, *args):
         xm = (xl + xh) / 2
         fm = fhdl(xm, *args) - xrhs
         dnm = np.sqrt(np.maximum(fm * fm - fl * fh, 0.0))
-        if np.any(dnm == 0):
-            return x, fx
-        xnew = xm + (xm - xl) * np.sign(fl - fh) * fm / dnm
+        # elements with a vanishing denominator have converged (fm == 0 or
+        # the bracket collapsed): FREEZE them and keep iterating the rest —
+        # an early return here would hand every other element its current
+        # mid-bracket guess (verified: a single exact element corrupted the
+        # whole batch by up to 25%)
+        done = dnm == 0
+        x = np.where(fm == 0, xm, x)  # exact midpoint root
+        if np.all(done):
+            return x, fhdl(x, *args) - xrhs
+        safe_dnm = np.where(done, 1.0, dnm)
+        xnew = np.where(
+            done, x, xm + (xm - xl) * np.sign(fl - fh) * fm / safe_dnm
+        )
         if np.all(np.abs(xnew - x) <= xacc):
-            return x, fx
+            return xnew, fhdl(xnew, *args) - xrhs
         x = xnew
         fnew = fhdl(x, *args) - xrhs
         fx = fnew

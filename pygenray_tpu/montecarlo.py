@@ -70,12 +70,14 @@ def make_env_ensemble(
     else:
         order = max(p.c_cheb.shape[1] for p in probes) - 1
         kw2 = {k: v for k, v in kw.items() if k not in ("cheb_order", "cheb_exact_order")}
+        # only refit members whose adaptive order differs from the shared
+        # target (refitting everything doubled ensemble build time)
         envs = [
-            make_env_data(
+            p if p.c_cheb.shape[1] - 1 == order else make_env_data(
                 c_ens[e], r, z, bathy, bathy_r, interp=interp, dtype=dtype,
                 cheb_order=order, cheb_exact_order=True, **kw2,
             )
-            for e in range(E)
+            for e, p in enumerate(probes)
         ]
     if len({e.poly_ok for e in envs}) > 1:
         # meta must agree to stack; a single non-conforming realization
@@ -110,6 +112,11 @@ def trace_ensemble(
     `/root/reference/src/pygenray/integration_processes.py:101-174`, is
     exact but gather-heavy; prefer the spectral path wherever it fits).
     """
+    if not float(x1) > float(x0):
+        raise ValueError(
+            "trace_ensemble requires x1 > x0; mirror the environment for "
+            "backwards shots"
+        )
     h, sps, nseg = _plan(float(x0), float(x1), int(num_save), settings.dx)
     geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
     p0 = jnp.asarray(p0)
@@ -124,6 +131,15 @@ def trace_ensemble(
 
         nchunks = -(-(E * B) // TABLE_GATHER_RAY_CAP)
         bc = -(-B // nchunks)
+        if bc >= B:
+            # cannot chunk further along the ray axis (the realization
+            # count alone exceeds the envelope) — fail loudly instead of
+            # recursing on the identical problem
+            raise ValueError(
+                f"table-path ensemble of {E} realizations exceeds the TPU "
+                "gather envelope even at one ray per chunk; split the "
+                "ensemble across calls or use the spectral path"
+            )
         warnings.warn(
             f"table-path ensemble of {E}x{B} rays exceeds the TPU gather "
             f"envelope; tracing in {nchunks} chunks of {bc} rays "
@@ -218,6 +234,11 @@ def mc_eigenray_times(
     """
     fan_angles = np.asarray(fan_angles, float)
     E = env_ens.c.shape[0]
+    if not float(receiver_range) > float(source_range):
+        raise ValueError(
+            "mc_eigenray_times requires receiver_range > source_range; "
+            "mirror the ensemble for backwards geometry"
+        )
 
     # one overlapped device->host pull for all realizations (the axon
     # tunnel charges ~10-20 ms per transfer; E x 3 pulls used to dominate)
@@ -463,8 +484,32 @@ def _mc_one_shot_device(
             st = jax.lax.while_loop(cond, body, st0)
             conv, th_hit = st[5], st[7]
 
-            ze, _, t_end, ns, nb, _ = zeval(jnp.where(conv, th_hit, 0.0))
-            z_res = jnp.abs(ze + rd)
+            # final evaluation of the converged angles through the KAHAN
+            # mega-kernel (per-realization launches inside this same
+            # dispatch): the tangent kernel that drives the iterations is
+            # non-Kahan by design, but reported travel times must carry
+            # the compensated f32 floor (same policy as find_eigenrays'
+            # fused full trace)
+            from .ops.pallas_stepper import trace_pallas
+
+            th_fin = jnp.where(conv, th_hit, 0.0)
+            p_fin = jnp.sin(-th_fin * deg) / csrc_d[:, None]
+            s_fin = dataclasses.replace(settings, partition=False)
+            t_rows, z_rows, ns_rows, nb_rows = [], [], [], []
+            for e in range(E):
+                env_e = jax.tree_util.tree_map(lambda a: a[e], envs)
+                res_e, _, _ = trace_pallas(
+                    env_e, source_depth, p_fin[e], geom, s_fin,
+                    interpret=not on_tpu,
+                )
+                t_rows.append(res_e.ts[:, -1])
+                z_rows.append(res_e.zs[:, -1])
+                ns_rows.append(res_e.n_surf)
+                nb_rows.append(res_e.n_bott)
+            t_end = jnp.stack(t_rows)
+            z_res = jnp.abs(-jnp.stack(z_rows) + rd)
+            ns = jnp.stack(ns_rows)
+            nb = jnp.stack(nb_rows)
             return jnp.stack([
                 th_hit, conv.astype(dt), t_end, z_res,
                 ns.astype(dt), nb.astype(dt),
@@ -591,12 +636,21 @@ def _solve_ensemble_device(
             conv, th_hit = st[5], st[7]
 
             # final evaluation of the converged angles (travel times,
-            # residuals, bounce counts), still on device
-            ze, _, t_end, ns, nb, _ = zeval(jnp.where(conv, th_hit, 0.0))
-            z_res = jnp.abs(ze + rd)
+            # residuals, bounce counts), still on device — through the
+            # KAHAN scan (the iteration path runs kahan=False for the
+            # tangent convention; reported times must not)
+            th_fin = jnp.where(conv, th_hit, 0.0)
+            p_fin = jnp.sin(-th_fin * deg) / c_src_d[:, None]
+            s_fin = dataclasses.replace(settings, backend="xla",
+                                        partition=False)
+            res_f = jax.vmap(
+                lambda e, p: _trace_impl(e, source_depth, p, geom, s_fin)
+            )(envs, p_fin)
+            t_end = res_f.ts[..., -1]
+            z_res = jnp.abs(-res_f.zs[..., -1] + rd)
             return jnp.stack([
                 th_hit, conv.astype(dt), t_end, z_res,
-                ns.astype(dt), nb.astype(dt),
+                res_f.n_surf.astype(dt), res_f.n_bott.astype(dt),
             ])
 
         fn = jax.jit(solve)
