@@ -810,6 +810,16 @@ def trace(
         if settings.backend == "pallas" and not pallas_ok:
             raise ValueError("Pallas backend unsupported for this configuration")
         pallas_ok = pallas_ok and (on_tpu or settings.backend == "pallas")
+        if pallas_ok and isinstance(p0, jax.core.Tracer):
+            # differentiating or vmapping through trace(): the kernel has
+            # no jvp/batching rule for its DMA machinery — use the XLA
+            # scan, which transforms fine (same math, interpret-tested
+            # equal).  Plain jit tracing (DynamicJaxprTracer) keeps the
+            # kernel: pallas_call is jit-traceable.
+            from jax.interpreters.partial_eval import DynamicJaxprTracer
+
+            if not type(p0) is DynamicJaxprTracer:
+                pallas_ok = False
 
     if sharded:
         if pallas_ok:

@@ -102,6 +102,36 @@ def _vmem_reader(ref, pre=()):
     return lambda k: ref[(*pre, k)]
 
 
+def _launch_consts(env, settings, x0, h, nsteps, rd, use_pow):
+    """The static per-launch constants tuple shared by every kernel, plus
+    the per-step x-out-of-domain flags precomputed on the host in float64
+    (on-device f32 x0 + k*h arithmetic carries ~mm of rounding over 100 km
+    — far above bbox_tol — and must never decide domain-exit deaths).
+
+    ONE builder for all four launchers: the 18-field tuple is destructured
+    positionally in the kernel factories, so constructing it in one place
+    is what keeps a reorder from silently misbinding adjacent fields.
+    """
+    zlo, zhi = env.z_dom
+    rlo, rhi = env.r_dom
+    sc = 2.0 / (zhi - zlo)
+    off = (zlo + zhi) / (zhi - zlo)
+    sin_lim = math.sin(math.radians(settings.vertical_limit_deg))
+    b = math.radians(env.bangle_const)
+    ks64 = np.arange(nsteps, dtype=np.float64)
+    xoob = ((x0 + ks64 * h < rlo - settings.bbox_tol)
+            | (x0 + (ks64 + 1.0) * h > rhi + settings.bbox_tol))
+    any_x_oob = bool(xoob.any())
+    consts = (
+        zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
+        math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
+        env.bathy_r_dom[0], env.bathy_r_dom[1],
+        settings.terminate_backwards, any_x_oob, rd, use_pow,
+        bool(settings.kahan),
+    )
+    return consts, xoob
+
+
 def _station_step_handles(k, STW, nblk, st_dma_blk, st_handle, KP):
     """Enter step k's station block: on a block boundary, prefetch the next
     W-step block (double-buffered) and wait for this one; return the
@@ -126,13 +156,13 @@ def _station_step_handles(k, STW, nblk, st_dma_blk, st_handle, KP):
 def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan) = consts
 
     _nblk = -(-(nseg * sps) // STW)
 
     def kernel(
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
-        st_tab_ref,
+        xoob_ref, st_tab_ref,
         ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out, dseg_out,
         zlo_out, zhi_out,
         T_s, Tc_s, z_s, zc_s, p_s, kT_s, kz_s, kp_s, al_s, ns_s, nb_s, de_s,
@@ -276,15 +306,19 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
             # crosses a boundary this step (the common case, so the crossing
             # machinery below runs only when jnp.any(cross))
             dT_m = jnp.where(upd, dT, 0.0)
-            yk = dT_m - Tc
-            T_n0 = T + yk
-            Tc_s[...] = (T_n0 - T) - yk
-            T_s[...] = T_n0
             dz_m = jnp.where(upd, dz, 0.0)
-            yz = dz_m - zc
-            z_n0 = z + yz
-            zc_s[...] = (z_n0 - z) - yz
-            z_s[...] = z_n0
+            if use_kahan:
+                yk = dT_m - Tc
+                T_n0 = T + yk
+                Tc_s[...] = (T_n0 - T) - yk
+                T_s[...] = T_n0
+                yz = dz_m - zc
+                z_n0 = z + yz
+                zc_s[...] = (z_n0 - z) - yz
+                z_s[...] = z_n0
+            else:
+                T_s[...] = T + dT_m
+                z_s[...] = z + dz_m
             p_s[...] = jnp.where(upd, p1, p)
             bd_s[...] = jnp.zeros_like(T)
 
@@ -347,15 +381,19 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
                 p_new = jnp.where(use_fix, p_fix, p1)
 
                 dT_m = jnp.where(upd, dT_tot, 0.0)
-                yk = dT_m - Tc
-                T_n = T + yk
-                Tc_s[...] = (T_n - T) - yk
-                T_s[...] = T_n
                 dz_m = jnp.where(upd, dz_tot, 0.0)
-                yz = dz_m - zc
-                z_n = z + yz
-                zc_s[...] = (z_n - z) - yz
-                z_s[...] = z_n
+                if use_kahan:
+                    yk = dT_m - Tc
+                    T_n = T + yk
+                    Tc_s[...] = (T_n - T) - yk
+                    T_s[...] = T_n
+                    yz = dz_m - zc
+                    z_n = z + yz
+                    zc_s[...] = (z_n - z) - yz
+                    z_s[...] = z_n
+                else:
+                    T_s[...] = T + dT_m
+                    z_s[...] = z + dz_m
                 p_s[...] = jnp.where(upd, p_new, p)
                 bd_s[...] = back_dead.astype(jnp.float32)
                 ns_s[...] = ns_s[...] + (cross & surf & upd).astype(jnp.int32)
@@ -368,10 +406,10 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
             vert = jnp.abs(c_e * p_n) > sin_lim
             oob = (z_n > zhi + btol) | (z_n < zlo - btol)
             if any_x_oob:
-                oob = oob | (
-                    (x0 < jnp.float32(rlo - btol))
-                    | (x0g + (kf + 1.0) * hs > jnp.float32(rhi + btol))
-                )
+                # host-precomputed f64 per-step flags (lockstep with the
+                # XLA scan; on-device f32 range arithmetic must not decide
+                # domain-exit deaths)
+                oob = oob | (xoob_ref[k] > 0.5)
             newly = alive & (vert | oob | back_dead)
             alive_n = alive & ~newly
             death = de_s[...]
@@ -419,14 +457,20 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
             dT = hs / 6.0 * (kT1 + 2 * kT2 + 2 * kT3 + kT4)
             dz = hs / 6.0 * (kz1 + 2 * kz2 + 2 * kz3 + kz4)
             dp = hs / 6.0 * (kp1 + 2 * kp2 + 2 * kp3 + kp4)
-            yk = dT - Tc
-            T_n = T + yk
-            Tc_s[...] = (T_n - T) - yk
-            T_s[...] = T_n
-            yz = dz - zc
-            z_n = z + yz
-            zc_s[...] = (z_n - z) - yz
-            z_s[...] = z_n
+            if use_kahan:
+                yk = dT - Tc
+                T_n = T + yk
+                Tc_s[...] = (T_n - T) - yk
+                T_s[...] = T_n
+                yz = dz - zc
+                z_n = z + yz
+                zc_s[...] = (z_n - z) - yz
+                z_s[...] = z_n
+            else:
+                T_n = T + dT
+                T_s[...] = T_n
+                z_n = z + dz
+                z_s[...] = z_n
             p_n = p + dp
             p_s[...] = p_n
             kTe, kze, kpe, _ = rhs(st_1, z_n, p_n)
@@ -496,7 +540,7 @@ def _make_step_math(consts, K, Kb, hs):
     mega-kernel's step_body; jax.jvp is applied OVER this function, so the
     tangent arithmetic can never drift from the primal."""
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan) = consts
 
     def step_math(rhs, ev, bacoef_read, st_m, st_1, b0, b1, x0f, upd,
                   T, z, p, kT1, kz1, kp1):
@@ -588,14 +632,14 @@ def _make_step_math(consts, K, Kb, hs):
 def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan) = consts
 
     _nblk = -(-nsteps // 8)
     STW = 8
 
     def kernel(
         p0_ref, dp0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
-        b0s_ref, b1s_ref, st_tab_ref,
+        b0s_ref, b1s_ref, xoob_ref, st_tab_ref,
         T_out, z_out, p_out, dT_out, dz_out, dp_out,
         nsurf_out, nbott_out, death_out,
         T_s, z_s, p_s, kT_s, kz_s, kp_s,
@@ -711,10 +755,8 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
             vert = jnp.abs(sin_e) > sin_lim
             oob = (z_n > zhi + btol) | (z_n < zlo - btol)
             if any_x_oob:
-                oob = oob | (
-                    (x0f < jnp.float32(rlo - btol))
-                    | (x0g + (kf + 1.0) * hs > jnp.float32(rhi + btol))
-                )
+                # host-precomputed f64 flags (see _launch_consts)
+                oob = oob | (xoob_ref[k] > 0.5)
             back_dead = bd_f > 0.5
             alive_n = alive & ~(vert | oob | back_dead)
             death = de_s[...]
@@ -801,22 +843,13 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
     else:
         st_tab = jnp.zeros((1, 1, 4 * KP), dtype)
 
-    zlo, zhi = env.z_dom
-    rlo, rhi = env.r_dom
-    sc = 2.0 / (zhi - zlo)
-    off = (zlo + zhi) / (zhi - zlo)
-    sin_lim = math.sin(math.radians(settings.vertical_limit_deg))
-    b = math.radians(env.bangle_const)
-    ks64 = np.arange(nsteps, dtype=np.float64)
-    any_x_oob = bool(
-        np.any((x0 + ks64 * h < rlo - settings.bbox_tol)
-               | (x0 + (ks64 + 1.0) * h > rhi + settings.bbox_tol))
-    )
-    consts = (
-        zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
-        math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
-        env.bathy_r_dom[0], env.bathy_r_dom[1],
-        settings.terminate_backwards, any_x_oob, rd, use_pow,
+    consts, xoob64 = _launch_consts(env, settings, x0, h, nsteps, rd, use_pow)
+    any_x_oob = consts[14]
+    xoob = (
+        jnp.broadcast_to(
+            jnp.asarray(xoob64, dtype)[:, None], (nsteps, 128)
+        )
+        if any_x_oob else jnp.zeros((1, 128), dtype)
     )
 
     kernel = _make_final_kernel((x0, x1, h), consts, K, KP, Kb, nsteps)
@@ -838,12 +871,12 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
         kernel,
         out_shape=out_shape,
         grid=(nblocks,),
-        in_specs=[blocked, blocked, blocked] + [vmem_full] * 5
+        in_specs=[blocked, blocked, blocked] + [vmem_full] * 6
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[blocked] * 9,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(p0p, dp0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, st_tab)
+    )(p0p, dp0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, st_tab)
 
     unb = lambda a: a.reshape(Bpad)[:B]
     return tuple(unb(o) for o in outs)
@@ -875,7 +908,13 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
     Mpad = R * 128
     pad = lambda a: jnp.pad(a, ((0, 0), (0, Mpad - M))).reshape(E, R, 128)
     p0p, dp0p = pad(p0), pad(dp0)
-    z0p = jnp.broadcast_to(jnp.asarray(z0, dtype), (E, R, 128))
+    z0a = jnp.asarray(z0, dtype)
+    if z0a.ndim != 0:
+        raise ValueError(
+            "trace_pallas_tangent_ensemble takes a scalar source depth "
+            f"(got shape {z0a.shape}); per-candidate depths are unsupported"
+        )
+    z0p = jnp.broadcast_to(z0a, (E, R, 128))
 
     K = env_ens.c_cheb.shape[2]
     KP = -(-K // 128) * 128
@@ -910,22 +949,13 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
         st_tab, ((0, 0), (0, 1 + nblk * 8 - st_tab.shape[1]), (0, 0), (0, 0))
     )
 
-    zlo, zhi = env0.z_dom
-    rlo, rhi = env0.r_dom
-    sc = 2.0 / (zhi - zlo)
-    off = (zlo + zhi) / (zhi - zlo)
-    sin_lim = math.sin(math.radians(settings.vertical_limit_deg))
-    b = math.radians(env0.bangle_const)
-    ks64 = np.arange(nsteps, dtype=np.float64)
-    any_x_oob = bool(
-        np.any((x0 + ks64 * h < rlo - settings.bbox_tol)
-               | (x0 + (ks64 + 1.0) * h > rhi + settings.bbox_tol))
-    )
-    consts = (
-        zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
-        math.sin(2 * b), math.cos(2 * b), env0.bangle_mode,
-        env0.bathy_r_dom[0], env0.bathy_r_dom[1],
-        settings.terminate_backwards, any_x_oob, True, use_pow,
+    consts, xoob64 = _launch_consts(env0, settings, x0, h, nsteps, True, use_pow)
+    any_x_oob = consts[14]
+    xoob = (
+        jnp.broadcast_to(
+            jnp.asarray(xoob64, dtype)[:, None], (nsteps, 128)
+        )
+        if any_x_oob else jnp.zeros((1, 128), dtype)
     )
 
     kernel = _make_final_kernel((x0, x1, h), consts, K, KP, Kb, nsteps, ens=True)
@@ -947,12 +977,12 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
         kernel,
         out_shape=out_shape,
         grid=(E,),
-        in_specs=[blocked, blocked, blocked] + [vmem_full] * 5
+        in_specs=[blocked, blocked, blocked] + [vmem_full] * 6
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[blocked] * 9,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(p0p, dp0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, st_tab)
+    )(p0p, dp0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, st_tab)
 
     unb = lambda a: a.reshape(E, Mpad)[:, :M]
     return tuple(unb(o) for o in outs)
@@ -969,12 +999,12 @@ def _make_coef_kernel(geom, consts, K, KP, Kb, nsteps):
     domain, see adjoint.travel_time_jacobian)."""
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan) = consts
     assert not rd
 
     def kernel(
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
-        b0s_ref, b1s_ref, dtab_ref,
+        b0s_ref, b1s_ref, xoob_ref, dtab_ref,
         T_out, z_out, p_out, dT_out, dz_out, dp_out,
         nsurf_out, nbott_out, death_out,
         T_s, z_s, p_s, kT_s, kz_s, kp_s,
@@ -1068,10 +1098,8 @@ def _make_coef_kernel(geom, consts, K, KP, Kb, nsteps):
             vert = jnp.abs(sin_e) > sin_lim
             oob = (z_n > zhi + btol) | (z_n < zlo - btol)
             if any_x_oob:
-                oob = oob | (
-                    (x0f < jnp.float32(rlo - btol))
-                    | (x0g + (kf + 1.0) * hs > jnp.float32(rhi + btol))
-                )
+                # host-precomputed f64 flags (see _launch_consts)
+                oob = oob | (xoob_ref[k] > 0.5)
             back_dead = bd_f > 0.5
             alive_n = alive & ~(vert | oob | back_dead)
             death = de_s[...]
@@ -1170,22 +1198,13 @@ def trace_pallas_coef_tangent(env, z0, p0, dcoef, dcpcoef, geom, settings,
     b0s = jnp.broadcast_to(b0s[:, None], (nsteps, 128))
     b1s = jnp.broadcast_to(b1s[:, None], (nsteps, 128))
 
-    zlo, zhi = env.z_dom
-    rlo, rhi = env.r_dom
-    sc = 2.0 / (zhi - zlo)
-    off = (zlo + zhi) / (zhi - zlo)
-    sin_lim = math.sin(math.radians(settings.vertical_limit_deg))
-    b = math.radians(env.bangle_const)
-    ks64 = np.arange(nsteps, dtype=np.float64)
-    any_x_oob = bool(
-        np.any((x0 + ks64 * h < rlo - settings.bbox_tol)
-               | (x0 + (ks64 + 1.0) * h > rhi + settings.bbox_tol))
-    )
-    consts = (
-        zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
-        math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
-        env.bathy_r_dom[0], env.bathy_r_dom[1],
-        settings.terminate_backwards, any_x_oob, False, use_pow,
+    consts, xoob64 = _launch_consts(env, settings, x0, h, nsteps, False, use_pow)
+    any_x_oob = consts[14]
+    xoob = (
+        jnp.broadcast_to(
+            jnp.asarray(xoob64, dtype)[:, None], (nsteps, 128)
+        )
+        if any_x_oob else jnp.zeros((1, 128), dtype)
     )
 
     kernel = _make_coef_kernel((x0, x1, h), consts, K, KP, Kb, nsteps)
@@ -1207,12 +1226,12 @@ def trace_pallas_coef_tangent(env, z0, p0, dcoef, dcpcoef, geom, settings,
         kernel,
         out_shape=out_shape,
         grid=(D,),
-        in_specs=[shared, shared] + [vmem_full] * 5
+        in_specs=[shared, shared] + [vmem_full] * 6
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[blocked] * 9,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, dtab)
+    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, dtab)
 
     first = lambda a: a[0].reshape(Bpad)[:B]
     alld = lambda a: a.reshape(D, Bpad)[:, :B]
@@ -1506,22 +1525,13 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
     else:
         st_tab = jnp.zeros((1, 1, 4 * KP), dtype)
 
-    zlo, zhi = env.z_dom
-    rlo, rhi = env.r_dom
-    sc = 2.0 / (zhi - zlo)
-    off = (zlo + zhi) / (zhi - zlo)
-    sin_lim = math.sin(math.radians(settings.vertical_limit_deg))
-    b = math.radians(env.bangle_const)
-    ks64 = np.arange(nsteps, dtype=np.float64)
-    any_x_oob = bool(
-        np.any((x0 + ks64 * h < rlo - settings.bbox_tol)
-               | (x0 + (ks64 + 1.0) * h > rhi + settings.bbox_tol))
-    )
-    consts = (
-        zlo, zhi, sc, off, sin_lim, settings.bbox_tol, rlo, rhi,
-        math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
-        env.bathy_r_dom[0], env.bathy_r_dom[1],
-        settings.terminate_backwards, any_x_oob, rd, use_pow,
+    consts, xoob64 = _launch_consts(env, settings, x0, h, nsteps, rd, use_pow)
+    any_x_oob = consts[14]
+    xoob = (
+        jnp.broadcast_to(
+            jnp.asarray(xoob64, dtype)[:, None], (nsteps, 128)
+        )
+        if any_x_oob else jnp.zeros((1, 128), dtype)
     )
 
     kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps,
@@ -1570,6 +1580,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         vmem_full,  # bacoef
         vmem_full,  # b0s
         vmem_full,  # b1s
+        vmem_full,  # xoob (host-f64 per-step domain-exit flags)
         pl.BlockSpec(memory_space=pl.ANY),  # st_tab (DMA'd per step)
     ]
     out_specs = [
@@ -1593,7 +1604,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, st_tab)
+    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, st_tab)
 
     def unblock(a):  # (num_save, nblocks, R, 128) -> (B, num_save)
         return a.reshape(num_save, Bpad).T[:B]

@@ -38,16 +38,37 @@ class Timer:
         self.phases = {}
 
     @contextlib.contextmanager
-    def phase(self, name: str, sync=None):
-        """Time a phase; pass ``sync=arrays`` to block on device results."""
+    def phase(self, name: str, sync: bool = True):
+        """Time a phase, yielding a sync callable for async device results.
+
+        The yielded object collects values produced INSIDE the block and
+        blocks on them before the clock stops (a ``sync=arrays`` argument
+        bound at entry could never see them)::
+
+            with timer.phase("trace") as done:
+                res = trace(...)
+                done(res.ts)      # device work charged to this phase
+
+        With ``sync=True`` (default) ``__exit__`` also drains all pending
+        device work via ``jax.effects_barrier`` so un-registered async
+        results are not silently charged to a later phase.
+        """
         import jax
+
+        pending = []
+
+        def register(*arrays):
+            pending.extend(arrays)
+            return arrays[-1] if len(arrays) == 1 else arrays
 
         t0 = time.perf_counter()
         try:
-            yield
+            yield register
         finally:
-            if sync is not None:
-                jax.block_until_ready(sync)
+            if pending:
+                jax.block_until_ready(pending)
+            elif sync:
+                jax.effects_barrier()
             self.phases[name] = self.phases.get(name, 0.0) + time.perf_counter() - t0
 
     def report(self) -> str:

@@ -90,6 +90,12 @@ class LiteDataArray:
         coords = {k: v.values for k, v in self.coords.items()}
         for dim, idx in indexers.items():
             ax = dims.index(dim)
+            if isinstance(idx, slice):  # np.take rejects slices
+                sel = [slice(None)] * data.ndim
+                sel[ax] = idx
+                data = data[tuple(sel)]
+                coords[dim] = coords[dim][idx]
+                continue
             data = np.take(data, idx, axis=ax)
             if np.isscalar(idx) or np.ndim(idx) == 0:
                 dims.pop(ax)
@@ -152,11 +158,20 @@ class LiteCoord:
 
 
 def is_dataarray(obj):
-    """True for real xarray DataArrays and for LiteDataArray."""
+    """True for real xarray DataArrays (including subclasses) and for
+    LiteDataArray."""
     if isinstance(obj, LiteDataArray):
         return True
-    cls = type(obj)
-    return cls.__module__.startswith("xarray") and cls.__name__ == "DataArray"
+    try:
+        import xarray
+
+        return isinstance(obj, xarray.DataArray)
+    except ImportError:
+        # no xarray installed: accept duck-typed lookalikes by name
+        return any(
+            c.__module__.startswith("xarray") and c.__name__ == "DataArray"
+            for c in type(obj).__mro__
+        )
 
 
 try:  # prefer real xarray when present

@@ -124,6 +124,50 @@ class TestPallasEquivalence:
         _compare(env, np.linspace(-18, 18, 128), ts_atol=2e-6)
 
 
+class TestKernelSettingsParity:
+    def test_kahan_false_is_honored(self):
+        """SolverSettings(kahan=False) must change the kernel's arithmetic
+        exactly like the XLA scan's (regression: the kernel compensated
+        unconditionally, silently ignoring the flag)."""
+        env = _env()
+        s_off = SolverSettings(dx=200.0, kahan=False)
+        h, sps, nseg = _plan(0.0, 50e3, 10, s_off.dx)
+        geom = (0.0, 50e3, h, sps, nseg)
+        angles = np.linspace(-12, 12, 128)
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, jnp.float32)
+        ref = _trace_impl(env, 1300.0, p0, geom, s_off)
+        out, _, _ = trace_pallas(env, 1300.0, p0, geom, s_off, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(out.ts), atol=5e-6)
+        np.testing.assert_array_equal(np.asarray(ref.n_bott), np.asarray(out.n_bott))
+        # and the flag actually matters: kahan on/off differ at f32 ulp level
+        s_on = SolverSettings(dx=200.0, kahan=True)
+        on, _, _ = trace_pallas(env, 1300.0, p0, geom, s_on, interpret=True)
+        assert not np.array_equal(np.asarray(on.ts), np.asarray(out.ts))
+
+    def test_beyond_domain_deaths_match_xla(self):
+        """A shot extending past r_dom must kill rays at the SAME step on
+        both backends (per-step domain-exit flags are host-precomputed in
+        f64 for both)."""
+        env = _env()  # r_dom ends at 100 km
+        s = SolverSettings(dx=200.0)
+        h, sps, nseg = _plan(0.0, 120e3, 12, s.dx)  # 20 km past the domain
+        geom = (0.0, 120e3, h, sps, nseg)
+        angles = np.linspace(-10, 10, 64)
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, jnp.float32)
+        ref = _trace_impl(env, 1300.0, p0, geom, s)
+        out, _, _ = trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
+        assert (np.asarray(ref.death_code) == 2).all()  # all exit the domain
+        np.testing.assert_array_equal(
+            np.asarray(ref.death_code), np.asarray(out.death_code)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.alive_save), np.asarray(out.alive_save)
+        )
+        np.testing.assert_array_equal(np.asarray(ref.n_bott), np.asarray(out.n_bott))
+
+
 class TestPowPath:
     def test_pow_event_structure_and_times(self):
         """Monomial (Horner) hot path vs the Clenshaw path: identical
