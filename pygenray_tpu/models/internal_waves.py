@@ -56,7 +56,6 @@ def iw_perturbations(
     rng = np.random.default_rng(seed)
     z = np.asarray(z, float)
     r = np.asarray(r, float)
-    H = z[-1] - z[0]
 
     # exponential buoyancy profile; WKB amplitude scaling ~ N(z)
     Nz = np.exp(-z / zn_scale)  # normalized N(z)/N0
