@@ -11,7 +11,14 @@ and backend-independent.
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# append-if-absent (NOT setdefault): a pre-set XLA_FLAGS (CI dump flags
+# etc.) must not silently drop the 8-device virtual mesh the sharding
+# tests hard-assert on — same pattern as __graft_entry__.dryrun_multichip
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax
 
@@ -63,9 +70,6 @@ def synthetic_ray(
         source_depth=source_depth,
     )
 
-
-# backwards-compat alias used by some test modules
-_make_ray = synthetic_ray
 
 
 @pytest.fixture

@@ -7,6 +7,8 @@ FMAs differently across the two graph shapes — on real TPU hardware the
 benchmark's equivalence gate observes the two paths bitwise identical).
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 import jax
@@ -26,21 +28,15 @@ def _env(nz=512, nr=8, bathy=None, pow_path=False):
     tight tolerance — while on real TPU hardware the two paths are
     bitwise identical (checked by bench.py's equivalence gate and
     test_pow below, which pins the discrete event structure instead)."""
-    import dataclasses
-
     z = np.linspace(0, 6000, nz)
     r = np.linspace(0, 100e3, nr)
     c = np.outer(np.ones(nr), munk_ssp(z))
     bathy = np.full(nr, 4600.0) if bathy is None else bathy
     env = make_env_data(c, r, z, bathy, r, dtype=jnp.float32)
-    if not pow_path:
-        env = dataclasses.replace(env, poly_ok=False)
-    return env
+    return env if pow_path else _no_pow(env)
 
 
 def _no_pow(env):
-    import dataclasses
-
     return dataclasses.replace(env, poly_ok=False)
 
 
@@ -69,8 +65,6 @@ class TestPallasEquivalence:
         s = SolverSettings()
         assert pallas_supported(env, s, True)
         # spline bottom angle unsupported
-        import dataclasses
-
         env2 = dataclasses.replace(env, bangle_mode="spline")
         assert not pallas_supported(env2, s, True)
         assert not pallas_supported(env, s, False)
@@ -207,8 +201,6 @@ class TestPowPath:
     def test_with_spectral_refreshes_pow(self):
         """Bare dataclasses.replace leaves the monomial tables stale;
         with_spectral re-derives them so the perturbation takes effect."""
-        import dataclasses
-
         from pygenray_tpu.envdata import with_spectral
 
         env = _env(pow_path=True)
@@ -305,8 +297,6 @@ class TestTangentKernel:
     """Forward-tangent final-state kernel vs the XLA scan and its jvp."""
 
     def test_primal_and_tangent_match_xla_jvp(self):
-        import dataclasses
-
         from pygenray_tpu.ops.pallas_stepper import (
             tangent_supported, trace_pallas_tangent,
         )
@@ -338,12 +328,15 @@ class TestTangentKernel:
         # primal within f32 compiler-contraction noise (~1 ulp/step)
         np.testing.assert_allclose(np.asarray(T), np.asarray(Tx), atol=1e-4)
         np.testing.assert_allclose(np.asarray(zk), np.asarray(zx), atol=0.1)
-        # tangent (the Newton derivative) within f32 accumulation noise
+        # tangents (Newton derivative + travel-time sensitivity) within
+        # f32 accumulation noise — dT is what timefront/Jacobian users
+        # consume, so it is pinned alongside dz
         alive = np.asarray(dc) == 0
-        rel = np.abs(np.asarray(dz) - np.asarray(dzx)) / (
-            np.abs(np.asarray(dzx)) + 1e3
-        )
-        assert rel[alive].max() < 2e-3
+        for tang, ref_t in ((dz, dzx), (dT, dTx)):
+            rel = np.abs(np.asarray(tang) - np.asarray(ref_t)) / (
+                np.abs(np.asarray(ref_t)) + 1e3
+            )
+            assert rel[alive].max() < 2e-3
 
     def test_range_dependent_primal_and_tangent(self):
         """RD station tables through the tangent kernel (SMEM DMA rows)."""
@@ -381,10 +374,11 @@ class TestTangentKernel:
         np.testing.assert_allclose(np.asarray(T), np.asarray(Tx), atol=1e-4)
         np.testing.assert_allclose(np.asarray(zk), np.asarray(zx), atol=0.1)
         alive = np.asarray(dc) == 0
-        rel = np.abs(np.asarray(dz) - np.asarray(dzx)) / (
-            np.abs(np.asarray(dzx)) + 1e3
-        )
-        assert rel[alive].max() < 2e-3
+        for tang, ref_t in ((dz, dzx), (dT, dTx)):
+            rel = np.abs(np.asarray(tang) - np.asarray(ref_t)) / (
+                np.abs(np.asarray(ref_t)) + 1e3
+            )
+            assert rel[alive].max() < 2e-3
 
     def test_ensemble_tangent_matches_vmapped_jvp(self):
         """Block-per-realization ensemble kernel vs vmapped XLA scan jvp."""
@@ -431,7 +425,8 @@ class TestTangentKernel:
         np.testing.assert_allclose(np.asarray(T), np.asarray(Tx), atol=1e-4)
         np.testing.assert_allclose(np.asarray(zk), np.asarray(zx), atol=0.1)
         alive = np.asarray(dc) == 0
-        rel = np.abs(np.asarray(dz) - np.asarray(dzx)) / (
-            np.abs(np.asarray(dzx)) + 1e3
-        )
-        assert rel[alive].max() < 2e-3
+        for tang, ref_t in ((dz, dzx), (dT, dTx)):
+            rel = np.abs(np.asarray(tang) - np.asarray(ref_t)) / (
+                np.abs(np.asarray(ref_t)) + 1e3
+            )
+            assert rel[alive].max() < 2e-3

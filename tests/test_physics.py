@@ -31,6 +31,30 @@ TABLE = dict(interp="table", dtype="float64")
 # ---------------------------------------------------------------------------
 
 
+def _rd_test_field():
+    """The shared range-dependent test field: drifting-SOFAR Munk over a
+    sloping bottom (one definition; the backwards-shot and bounce-parity
+    suites must test the SAME field)."""
+    z = np.linspace(0.0, 6000.0, 400)
+    r = np.linspace(0.0, 100e3, 80)
+    c_2d = np.array([pr.munk_ssp(z, sofar_depth=1300 + 0.01 * ri) for ri in r])
+    bathy_vals = np.linspace(4500.0, 4900.0, len(r))
+    return z, r, c_2d, bathy_vals
+
+
+def _rd_test_env(c_2d, r, z, bathy_vals):
+    from pygenray_tpu.environment import OceanEnvironment2D
+    from pygenray_tpu.utils.xrlite import LiteDataArray
+
+    return OceanEnvironment2D(
+        sound_speed=LiteDataArray(
+            c_2d, dims=["range", "depth"], coords={"range": r, "depth": z}
+        ),
+        bathymetry=LiteDataArray(bathy_vals, dims=["range"], coords={"range": r}),
+        flat_earth_transform=False,
+    )
+
+
 class TestSnellInvariant:
     @pytest.mark.parametrize("user_angle", [-5.0, -10.0, -15.0])
     def test_p_constant_along_ray(self, user_angle):
@@ -183,9 +207,11 @@ class TestMunkRegression:
             oenv = oracle.munk_env(r_max=50e3, nr=30, nz=400)
             ts, zs = [], []
             for a in self.ANGLES:
-                _, Y, _, _ = oracle.trace_ray_oracle(
+                out = oracle.trace_ray_oracle(
                     oenv, 1300.0, 0.0, a, 50e3, 50, rtol=1e-12, atol=1e-12
                 )
+                assert out is not None, f"oracle dropped angle {a} during regen"
+                _, Y, _, _ = out
                 ts.append(Y[0])
                 zs.append(-Y[1])
             np.savez(fixture, ts=np.array(ts), zs=np.array(zs))
@@ -249,24 +275,11 @@ class TestBackwardsShooting:
         assert np.std(abs_p) / np.mean(abs_p) < 1e-5
 
     def _rd_env_pair(self):
-        from pygenray_tpu.environment import OceanEnvironment2D
-        from pygenray_tpu.utils.xrlite import LiteDataArray
-
-        z = np.linspace(0.0, 6000.0, 400)
-        r = np.linspace(0.0, 100e3, 80)
-        c_2d = np.array([pr.munk_ssp(z, sofar_depth=1300 + 0.01 * ri) for ri in r])
-        bathy_vals = np.linspace(4500.0, 4900.0, len(r))
-
-        def build(c, b):
-            return OceanEnvironment2D(
-                sound_speed=LiteDataArray(
-                    c, dims=["range", "depth"], coords={"range": r, "depth": z}
-                ),
-                bathymetry=LiteDataArray(b, dims=["range"], coords={"range": r}),
-                flat_earth_transform=False,
-            )
-
-        return build(c_2d, bathy_vals), build(c_2d[::-1, :], bathy_vals[::-1])
+        z, r, c_2d, bathy_vals = _rd_test_field()
+        return (
+            _rd_test_env(c_2d, r, z, bathy_vals),
+            _rd_test_env(c_2d[::-1, :], r, z, bathy_vals[::-1]),
+        )
 
     def test_matches_manually_mirrored_environment(self):
         env, env_m = self._rd_env_pair()
@@ -337,21 +350,8 @@ class TestOracleParity:
     def test_bouncing_rays_parity(self):
         """Sloped bottom + range-dependent profile: bounce counts exact and
         end travel time within the tomography budget even for steep rays."""
-        z = np.linspace(0.0, 6000.0, 400)
-        r = np.linspace(0.0, 100e3, 80)
-        c_2d = np.array([pr.munk_ssp(z, sofar_depth=1300 + 0.01 * ri) for ri in r])
-        bathy_vals = np.linspace(4500.0, 4900.0, len(r))
-
-        from pygenray_tpu.environment import OceanEnvironment2D
-        from pygenray_tpu.utils.xrlite import LiteDataArray
-
-        env = OceanEnvironment2D(
-            sound_speed=LiteDataArray(
-                c_2d, dims=["range", "depth"], coords={"range": r, "depth": z}
-            ),
-            bathymetry=LiteDataArray(bathy_vals, dims=["range"], coords={"range": r}),
-            flat_earth_transform=False,
-        )
+        z, r, c_2d, bathy_vals = _rd_test_field()
+        env = _rd_test_env(c_2d, r, z, bathy_vals)
         oenv = oracle.OracleEnv.from_tables(c_2d, r, z, bathy_vals, r)
         angles = [-17.0, -15.0, 15.0, 17.0]
         rf = pr.shoot_rays(200.0, 0.0, angles, 100e3, 100, env, flatearth=False, **TABLE)
