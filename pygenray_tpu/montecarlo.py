@@ -223,14 +223,20 @@ def mc_eigenray_times(
     max_iter: int = 20,
     settings: SolverSettings = SolverSettings(),
 ):
-    """Eigenray travel times at one receiver depth across an ensemble.
+    """Eigenray travel times across an ensemble of environments.
 
-    Runs a fan per realization, brackets the arrivals, then iterates regula
-    falsi for ALL (realization × bracket) candidates as one batched trace
-    per iteration.  Returns a dict of (E, M) arrays (M = max bracket count
-    over realizations): ``theta`` (user launch angles), ``t`` (travel
-    times), ``z_resid`` (final-depth residual), ``n_surf``/``n_bott``, and
-    ``valid`` (bracket exists and converged).
+    Runs a fan per realization, brackets the arrivals, then iterates all
+    (realization × bracket) Newton/regula-falsi candidates together as one
+    device computation.  ``receiver_depth`` is a scalar or an array of
+    depths (a vertical receiver array, like ``find_eigenrays``):
+
+    - scalar: returns a dict of (E, M) arrays (M = max bracket count over
+      realizations): ``theta`` (user launch angles), ``t`` (travel times),
+      ``z_resid`` (final-depth residual), ``n_surf``/``n_bott``, and
+      ``valid`` (bracket exists and converged).
+    - array of n depths: the SAME fan serves every depth and all
+      (depth × realization × bracket) candidates solve in one device call;
+      returns (n, E, M) arrays.
     """
     fan_angles = np.asarray(fan_angles, float)
     E = env_ens.c.shape[0]
@@ -239,6 +245,8 @@ def mc_eigenray_times(
             "mc_eigenray_times requires receiver_range > source_range; "
             "mirror the ensemble for backwards geometry"
         )
+    rds = np.atleast_1d(np.asarray(receiver_depth, float))
+    scalar_depth = np.ndim(receiver_depth) == 0
 
     # one overlapped device->host pull for all realizations (the axon
     # tunnel charges ~10-20 ms per transfer; E x 3 pulls used to dominate)
@@ -263,7 +271,7 @@ def mc_eigenray_times(
     # (each dispatch costs ~20-30 ms over the axon tunnel).  Falls back to
     # the two-phase flow below if any realization overflows the fixed
     # bracket capacity.
-    if fan_angles.size >= 2 and _ensemble_kernel_ok(env_ens, settings):
+    if scalar_depth and fan_angles.size >= 2 and _ensemble_kernel_ok(env_ens, settings):
         out = _mc_one_shot_device(
             env_ens, fan_angles, c_src, float(source_depth),
             float(source_range), float(receiver_range),
@@ -273,8 +281,7 @@ def mc_eigenray_times(
             counts = out[6, :, 0].astype(int)
             M = int(counts.max()) if counts.size else 0
             if M == 0:
-                return {k: np.zeros((E, 0)) for k in
-                        ("theta", "t", "z_resid", "n_surf", "n_bott", "valid")}
+                return _mc_empty_result((E, 0))
             conv = out[1, :, :M] > 0.5
             return {
                 "theta": np.where(conv, out[0, :, :M], np.nan),
@@ -302,50 +309,86 @@ def mc_eigenray_times(
         z_end = -np.asarray(fan.zs, float)[..., -1]  # (E, B) user convention
         z_end = np.where(np.asarray(fan.alive), z_end, np.nan)
 
-    # 2. bracket per realization, pad to common M
-    g = z_end + receiver_depth
-    sign = np.sign(g)
-    starts = [np.where(np.diff(sign[e]) != 0)[0] for e in range(E)]
-    M = max((len(s) for s in starts), default=0)
-    if M == 0:
-        shape = (E, 0)
-        return {k: np.zeros(shape) for k in ("theta", "t", "z_resid", "n_surf", "n_bott", "valid")}
+    # 2. bracket per (depth × realization); candidates for every depth ride
+    # one concatenated (E, Mtot) axis with per-candidate receiver depths
+    sign = np.sign(z_end[None, :, :] + rds[:, None, None])  # (n_rd, E, B)
+    keys = ("theta", "t", "z_resid", "n_surf", "n_bott", "valid")
+    per_depth = []  # (M_d, th1, th2, z1, z2, valid) per depth
+    for d in range(rds.shape[0]):
+        starts = [np.where(np.diff(sign[d, e]) != 0)[0] for e in range(E)]
+        M_d = max((len(s) for s in starts), default=0)
+        th1 = np.zeros((E, M_d))
+        th2 = np.zeros((E, M_d))
+        z1 = np.ones((E, M_d))
+        z2 = -np.ones((E, M_d))
+        valid = np.zeros((E, M_d), bool)
+        for e, s in enumerate(starts):
+            k = len(s)
+            th1[e, :k] = fan_angles[s]
+            th2[e, :k] = fan_angles[s + 1]
+            z1[e, :k] = z_end[e, s]
+            z2[e, :k] = z_end[e, s + 1]
+            valid[e, :k] = True
+        per_depth.append((M_d, th1, th2, z1, z2, valid))
 
-    th1 = np.zeros((E, M))
-    th2 = np.zeros((E, M))
-    z1 = np.ones((E, M))
-    z2 = -np.ones((E, M))
-    valid = np.zeros((E, M), bool)
-    for e, s in enumerate(starts):
-        k = len(s)
-        th1[e, :k] = fan_angles[s]
-        th2[e, :k] = fan_angles[s + 1]
-        z1[e, :k] = z_end[e, s]
-        z2[e, :k] = z_end[e, s + 1]
-        valid[e, :k] = True
+    Ms = [p[0] for p in per_depth]
+    Mtot = sum(Ms)
+    M_max = max(Ms, default=0)
+    if Mtot == 0:
+        return _mc_empty_result((E, 0) if scalar_depth else (rds.shape[0], E, 0))
 
-    rd = receiver_depth
+    cat = lambda i: np.concatenate([p[i] for p in per_depth], axis=1)
+    th1, th2, z1, z2 = cat(1), cat(2), cat(3), cat(4)
+    valid = np.concatenate([p[5] for p in per_depth], axis=1)
+    rd_arr = np.concatenate(
+        [np.full((E, p[0]), rds[d]) for d, p in enumerate(per_depth)], axis=1
+    )
     denom = np.where(np.abs(z2 - z1) > 1e-300, z2 - z1, 1.0)
-    theta0 = th1 - (z1 + rd) * (th2 - th1) / denom
+    theta0 = th1 - (z1 + rd_arr) * (th2 - th1) / denom
 
-    # 3+4. ALL false-position iterations + the final evaluation of the
-    # converged angles as ONE device computation (lax.while_loop over the
-    # (E, M) candidate matrix) — the former host loop paid one device round
-    # trip per iteration
+    # 3+4. ALL iterations + the Kahan final evaluation of every
+    # (depth × realization × bracket) candidate as ONE device computation
     out = _solve_ensemble_device(
         env_ens, theta0, th1, th2, z1, z2, ~valid, c_src,
         float(source_depth), float(source_range), float(receiver_range),
-        float(rd), float(ztol), int(max_iter), settings,
+        rd_arr, float(ztol), int(max_iter), settings,
     )
     converged = out[1] > 0.5
-    theta_hit = out[0]
-    return {
-        "theta": np.where(converged, theta_hit, np.nan),
+    vals = {
+        "theta": np.where(converged, out[0], np.nan),
         "t": np.where(converged, out[2], np.nan),
         "z_resid": np.where(converged, out[3], np.nan),
         "n_surf": np.where(converged, out[4].astype(np.int64), -1),
         "n_bott": np.where(converged, out[5].astype(np.int64), -1),
         "valid": converged,
+    }
+    if scalar_depth:
+        return vals
+
+    # unpack the concatenated candidate axis back into (n_rd, E, M_max)
+    fill = {"theta": np.nan, "t": np.nan, "z_resid": np.nan,
+            "n_surf": -1, "n_bott": -1, "valid": False}
+    result = {}
+    for k in keys:
+        stack = np.full((rds.shape[0], E, M_max), fill[k],
+                        dtype=vals[k].dtype if k != "valid" else bool)
+        lo = 0
+        for d, M_d in enumerate(Ms):
+            stack[d, :, :M_d] = vals[k][:, lo:lo + M_d]
+            lo += M_d
+        result[k] = stack
+    return result
+
+
+def _mc_empty_result(shape):
+    """No-bracket result with the same dtypes as the populated path
+    (``valid`` must be boolean: callers use it as a mask)."""
+    return {
+        "theta": np.zeros(shape), "t": np.zeros(shape),
+        "z_resid": np.zeros(shape),
+        "n_surf": np.zeros(shape, np.int64),
+        "n_bott": np.zeros(shape, np.int64),
+        "valid": np.zeros(shape, bool),
     }
 
 
@@ -593,13 +636,16 @@ def _solve_ensemble_device(
 
     key = (
         env_struct_key(env_ens), geom, s_it, theta0.shape,
-        rd, ztol, max_iter, source_depth, use_kernel,
+        ztol, max_iter, source_depth, use_kernel,
     )
     fn = _MC_SOLVE_CACHE.get(key)
     if fn is None:
 
         def solve(envs, packed, c_src_d):
-            th0, t1, t2, za, zb, dd0 = (packed[i] for i in range(6))
+            # rd rides in the packed array (row 6): per-candidate receiver
+            # depths support multi-depth solves and are never baked into
+            # the structurally keyed executable
+            th0, t1, t2, za, zb, dd0, rd = (packed[i] for i in range(7))
 
             def zfun(theta):
                 p0 = jnp.sin(-theta * deg) / c_src_d[:, None]
@@ -656,7 +702,8 @@ def _solve_ensemble_device(
         fn = jax.jit(solve)
         _MC_SOLVE_CACHE.put(key, fn)
 
+    rd_arr = np.broadcast_to(np.asarray(rd, float), theta0.shape)
     packed = jnp.asarray(
-        np.stack([theta0, th1, th2, z1, z2, dead0.astype(float)]), dt
+        np.stack([theta0, th1, th2, z1, z2, dead0.astype(float), rd_arr]), dt
     )
     return np.asarray(fn(env_ens, packed, jnp.asarray(c_src, dt)), float)

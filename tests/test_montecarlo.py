@@ -116,6 +116,37 @@ class TestMCEigenrays:
         assert np.all((t > 33.0) & (t < 34.0))
 
 
+class TestMCEigenraysMultiDepth:
+    def test_depth_array_matches_per_depth_calls(self):
+        """A vertical receiver array solves all depths in one device call;
+        results must match independent scalar-depth solves."""
+        c_ens, r, z = perturbed_munk_tables(2, r_max=30e3, nr=16, nz=400, seed=5)
+        env_ens = make_env_ensemble(c_ens, r, z, np.full(16, 5000.0), r,
+                                    dtype="float64")
+        kw = dict(source_depth=1300.0, source_range=0.0,
+                  receiver_range=30e3, ztol=1.0,
+                  settings=SolverSettings(dx=250.0))
+        fan = np.linspace(-12, 12, 37)
+        rds = np.array([900.0, 1300.0, 1700.0])
+        multi = mc_eigenray_times(env_ens, fan, rds, **kw)
+        assert multi["valid"].shape[0] == 3
+        for d, rd in enumerate(rds):
+            single = mc_eigenray_times(env_ens, fan, float(rd), **kw)
+            M = single["valid"].shape[1]
+            assert np.array_equal(multi["valid"][d, :, :M], single["valid"])
+            assert not multi["valid"][d, :, M:].any()
+            v = single["valid"]
+            np.testing.assert_allclose(
+                multi["theta"][d, :, :M][v], single["theta"][v], atol=1e-6
+            )
+            np.testing.assert_allclose(
+                multi["t"][d, :, :M][v], single["t"][v], atol=1e-9
+            )
+            np.testing.assert_array_equal(
+                multi["n_bott"][d, :, :M][v], single["n_bott"][v]
+            )
+
+
 class TestMCEigenraysKernel:
     def test_newton_kernel_path_matches_xla_regula_falsi(self):
         """backend='pallas' routes the MC eigenray iterations through the
