@@ -658,6 +658,18 @@ def ducted_mask(env: EnvData, z0, p0, x0: float, x1: float, margin: float = 2e-3
     return (~steep) & in_domain & (max_above >= thr) & (max_below >= thr)
 
 
+def _span_exits_domain(env, geom, settings) -> bool:
+    """True when any integration step leaves the environment's range domain
+    (computed on the host in float64, like the per-step oob flags)."""
+    x0, x1, h, sps, nseg = geom
+    rlo, rhi = env.r_dom
+    ks64 = np.arange(sps * nseg, dtype=np.float64)
+    return bool(np.any(
+        (x0 + ks64 * h < rlo - settings.bbox_tol)
+        | (x0 + (ks64 + 1.0) * h > rhi + settings.bbox_tol)
+    ))
+
+
 def _bucket(n: int) -> int:
     """Round a partition size up to a coarse bucket to bound recompiles."""
     if n <= 256:
@@ -676,6 +688,10 @@ def _trace_partitioned(env, z0, p0, geom, settings):
     p0_host = np.asarray(p0)
     B = p0_host.shape[0]
     mask = ducted_mask(env, z0, p0_host, x0, x1)
+    if mask is not None and _span_exits_domain(env, geom, settings):
+        # the event-free ducted stepper has no death logic at all, so
+        # x-domain exits (shot span beyond r_dom) would go unkilled
+        mask = None
     if mask is None or B < 4096 or (~mask).sum() > 0.5 * B:
         return _trace_impl(env, z0, jnp.asarray(p0), geom, settings)
 

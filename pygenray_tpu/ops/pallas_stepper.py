@@ -1309,11 +1309,13 @@ def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False):
     db = 0
     if (settings.partition and concrete and not env.range_dependent
             and p0.shape[0] >= 4096):
-        from ..integrate import ducted_mask
+        from ..integrate import _span_exits_domain, ducted_mask
 
         p0_host = np.asarray(p0)
         z0_host = np.asarray(z0a) if z0a.ndim else float(z0a)
         mask = ducted_mask(env, z0_host, p0_host, geom[0], geom[1])
+        if mask is not None and _span_exits_domain(env, geom, settings):
+            mask = None  # ducted kernel variant has no x-domain death logic
         if mask is not None and mask.any():
             B = p0.shape[0]
             nblocks, R, Bb, _ = _layout(B)
