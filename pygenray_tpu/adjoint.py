@@ -121,7 +121,7 @@ def travel_time_jacobian(
     # in the transposed (reverse-mode) scan (forward AD convention — the
     # kernel path matches it).
     settings_x = dataclasses.replace(
-        settings, backend="xla", partition=False, kahan=False
+        settings, backend="xla", kahan=False
     )
 
     K = env.c_cheb.shape[1]
@@ -191,7 +191,7 @@ def travel_time_jacobian_2d(
     h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
     geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
     settings = dataclasses.replace(
-        settings, backend="xla", partition=False, kahan=False
+        settings, backend="xla", kahan=False
     )
 
     nr, K = env.c_cheb.shape

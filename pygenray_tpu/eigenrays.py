@@ -27,6 +27,7 @@ from .integrate import trace
 from .envdata import host_profile_tables
 from .ops.host import bilinear_np
 from .ray_objects import EigenRays, Ray
+from .rootfind import rootfind_update
 from .shoot import _resolve_env, settings_for
 from .utils.cache import LRUCache, env_struct_key
 
@@ -120,7 +121,7 @@ def find_eigenrays(
         h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
         geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
         s_ad = dataclasses.replace(
-            settings, backend="xla", partition=False, kahan=False
+            settings, backend="xla", kahan=False
         )
 
         def zs_end(p):
@@ -159,10 +160,10 @@ def find_eigenrays(
         hs_, sps_s, nseg_s = _plan(float(x0), float(x1), int(num_range_save), settings.dx)
         geom_save = (float(x0), float(x1), float(hs_), int(sps_s), int(nseg_s))
         s_it = dataclasses.replace(
-            settings, backend="xla", partition=False,
+            settings, backend="xla",
             kahan=settings.kahan and not use_newton,
         )
-        s_full = dataclasses.replace(settings, partition=False)
+        s_full = settings
 
         from .ops.pallas_stepper import (
             pallas_supported, tangent_supported, trace_pallas,
@@ -234,7 +235,7 @@ def find_eigenrays(
                             )
                         dz_dth = -dz_ode * (-jnp.cos(theta * deg) * deg * inv_csrc)
                     elif use_kernel:
-                        res, _, _ = trace_pallas(
+                        res = trace_pallas(
                             envarg, source_depth, p0, geom, s_it,
                             interpret=not on_tpu,
                         )
@@ -245,32 +246,13 @@ def find_eigenrays(
                         dz_dth = None
                     z_end = -z_ode
 
-                    active = ~(conv | dead)
-                    dead2 = dead | (active & ~alive)
-                    act = active & alive
-                    hit = act & (jnp.abs(z_end + rd) < ztol)
-                    conv2 = conv | hit
-                    th_hit = jnp.where(hit, theta, th_hit)
-                    iters = iters + active.astype(jnp.int32)
+                    iters = iters + (~(conv | dead)).astype(jnp.int32)
+                    (theta, th1, th2, z1, z2, conv2, dead2, th_hit,
+                     act, _hit) = rootfind_update(
+                        jnp, theta, th1, th2, z1, z2, conv, dead, th_hit,
+                        z_end, alive, dz_dth, rd, ztol, use_newton,
+                    )
                     resid = jnp.where(act, jnp.abs(z_end + rd), resid)
-
-                    upd = act & ~hit
-                    side1 = jnp.sign(z_end + rd) == jnp.sign(z1 + rd)
-                    z1 = jnp.where(upd & side1, z_end, z1)
-                    th1 = jnp.where(upd & side1, theta, th1)
-                    z2 = jnp.where(upd & ~side1, z_end, z2)
-                    th2 = jnp.where(upd & ~side1, theta, th2)
-                    denom = jnp.where(jnp.abs(z2 - z1) > 0, z2 - z1, 1.0)
-                    th_fp = th1 - (z1 + rd) * (th2 - th1) / denom
-                    if use_newton:
-                        th_nw = theta - (z_end + rd) / dz_dth
-                        lo = jnp.minimum(th1, th2)
-                        hi = jnp.maximum(th1, th2)
-                        bad = ~jnp.isfinite(th_nw) | (th_nw <= lo) | (th_nw >= hi)
-                        th_new = jnp.where(bad, th_fp, th_nw)
-                    else:
-                        th_new = th_fp
-                    theta = jnp.where(upd, th_new, theta)
                     return (theta, th1, th2, z1, z2, conv2, dead2, th_hit,
                             iters, resid, it + 1)
 
@@ -286,7 +268,7 @@ def find_eigenrays(
                 th_full = jnp.where(conv, th_hit, packed[0])
                 p_full = jnp.sin(-th_full * deg) * inv_csrc
                 if full_kernel:
-                    res_f, _, _ = trace_pallas(
+                    res_f = trace_pallas(
                         envarg, source_depth, p_full, geom_save, s_full,
                         interpret=not on_tpu,
                     )
@@ -454,37 +436,12 @@ def find_eigenrays(
             z_end = -np.asarray(res.zs, float)[:, -1]  # user convention
             dz_dth = None
 
-        newly_dead = active & ~alive
-        dead |= newly_dead
-        act = active & alive
-        hit = act & (np.abs(z_end + rd_arr) < ztol)
-        converged |= hit
-        theta_hit = np.where(hit, theta, theta_hit)
         iterations += active.astype(np.int32)
+        (theta, th1, th2, z1, z2, converged, dead, theta_hit,
+         act, _hit) = rootfind_update(
+            np, theta, th1, th2, z1, z2, converged, dead, theta_hit,
+            z_end, alive, dz_dth, rd_arr, ztol, use_newton,
+        )
         resid = np.where(act, np.abs(z_end + rd_arr), resid)
-
-        upd = act & ~hit
-        # keep the bracket current regardless of method
-        side1 = np.sign(z_end + rd_arr) == np.sign(z1 + rd_arr)
-        z1 = np.where(upd & side1, z_end, z1)
-        th1 = np.where(upd & side1, theta, th1)
-        z2 = np.where(upd & ~side1, z_end, z2)
-        th2 = np.where(upd & ~side1, theta, th2)
-        denom = np.where(np.abs(z2 - z1) > 1e-300, z2 - z1, 1.0)
-        theta_fp = th1 - (z1 + rd_arr) * (th2 - th1) / denom
-        if use_newton:
-            with np.errstate(divide="ignore", invalid="ignore"):
-                theta_nw = theta - (z_end + rd_arr) / dz_dth
-            lo = np.minimum(th1, th2)
-            hi = np.maximum(th1, th2)
-            bad = (
-                ~np.isfinite(theta_nw)
-                | (theta_nw <= lo)
-                | (theta_nw >= hi)
-            )
-            theta_new = np.where(bad, theta_fp, theta_nw)
-        else:
-            theta_new = theta_fp
-        theta = np.where(upd, theta_new, theta)
 
     return _assemble(theta_hit, converged, dead, iterations, resid)

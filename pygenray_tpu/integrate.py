@@ -57,15 +57,11 @@ class SolverSettings:
     """
 
     dx: float = 50.0
-    interp: str = "auto"  # auto | table | cheb
+    interp: str = "auto"  # auto | table | cheb | seg
     terminate_backwards: bool = True
     vertical_limit_deg: float = 90.0 - 1e-3
     bbox_tol: float = 1e-6
     max_bounces: int = -1  # unlimited; reserved for future use
-    # split provably-ducted rays onto an event-free stepper.  Measured: the
-    # boundary-ray residual trace is latency-bound, so at typical batch
-    # sizes one fused trace wins; keep available for experimentation.
-    partition: bool = False
     # compensated (Kahan) accumulation of T and z: essential in float32,
     # unnecessary in float64 (and its cancellation pattern provokes slow
     # XLA simplifier behavior under autodiff — the adjoint disables it)
@@ -510,285 +506,6 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
     )
 
 
-@partial(jax.jit, static_argnames=("settings", "geom"))
-def _trace_ducted_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
-    """Event-free stepper for rays *provably* confined inside the water
-    column (see ``ducted_mask``): pure RK4 with FSAL carry and Kahan
-    accumulation — no crossing detection, no death logic.  Tracks the
-    trajectory's z-excursion so the caller can audit the classification.
-    """
-    x0, x1, h, sps, nseg = geom
-    dtype = env.c.dtype
-    z0 = jnp.broadcast_to(jnp.asarray(z0, dtype), p0.shape)
-    p0 = jnp.asarray(p0, dtype)
-    B = p0.shape[0]
-
-    use_cheb = _use_cheb(env, settings)
-    use_pow = _use_pow(env, settings, use_cheb)
-    ev, _ = _make_eval(env, use_cheb, use_pow)
-    hs = jnp.asarray(h, dtype)
-    prof = _station_profile(env, use_cheb, jnp.asarray(x0, dtype), use_pow)
-
-    def rhs(z, p):
-        c, cp = ev(prof, z)
-        cp2 = c * p
-        inv_s = lax.rsqrt(jnp.maximum(1.0 - cp2 * cp2, _TINY))
-        invc = 1.0 / c
-        return inv_s * invc, cp2 * inv_s, -cp * inv_s * invc * invc
-
-    kT0, kz0, kp0 = rhs(z0, p0)
-    carry0 = (
-        jnp.zeros(B, dtype), jnp.zeros(B, dtype),  # T, Tc
-        z0, jnp.zeros(B, dtype),  # z, zc
-        p0, kT0, kz0, kp0,
-        z0, z0,  # z_lo, z_hi excursion
-    )
-
-    def step(carry, _):
-        T, Tc, z, zc, p, kT1, kz1, kp1, z_lo, z_hi = carry
-        kT2, kz2, kp2 = rhs(z + 0.5 * hs * kz1, p + 0.5 * hs * kp1)
-        kT3, kz3, kp3 = rhs(z + 0.5 * hs * kz2, p + 0.5 * hs * kp2)
-        kT4, kz4, kp4 = rhs(z + hs * kz3, p + hs * kp3)
-        dT = hs / 6.0 * (kT1 + 2 * kT2 + 2 * kT3 + kT4)
-        dz = hs / 6.0 * (kz1 + 2 * kz2 + 2 * kz3 + kz4)
-        dp = hs / 6.0 * (kp1 + 2 * kp2 + 2 * kp3 + kp4)
-        if settings.kahan:
-            T, Tc = _kahan_add(T, Tc, dT)
-            z, zc = _kahan_add(z, zc, dz)
-        else:
-            T = T + dT
-            z = z + dz
-        p = p + dp
-        kTe, kze, kpe = rhs(z, p)
-        return (T, Tc, z, zc, p, kTe, kze, kpe,
-                jnp.minimum(z_lo, z), jnp.maximum(z_hi, z)), None
-
-    def segment(carry, _):
-        carry, _ = lax.scan(step, carry, None, length=sps)
-        return carry, (carry[0] - carry[1], carry[2] - carry[3], carry[4])
-
-    carry, (ts_seg, zs_seg, ps_seg) = lax.scan(segment, carry0, None, length=nseg)
-
-    rs = x0 + (x1 - x0) * jnp.arange(nseg + 1, dtype=dtype) / nseg
-    ts = jnp.concatenate([jnp.zeros((1, B), dtype), ts_seg], axis=0).T
-    zs = jnp.concatenate([z0[None, :], zs_seg], axis=0).T
-    ps = jnp.concatenate([p0[None, :], ps_seg], axis=0).T
-    return ts, zs, ps, carry[8], carry[9]
-
-
-_DUCTED_HOST_CACHE = {}  # id(env) -> host arrays; evicted when the env is GC'd
-
-
-def _ducted_host(env):
-    """Host float64 copies of (c[0], z, bathy_r, bathy) for the ducted
-    classification and audits — one overlapped device pull per env, with a
-    weakref finalizer evicting the entry (no env reference kept, so device
-    buffers stay collectable and the id() key can never alias)."""
-    import weakref
-
-    k = id(env)
-    host = _DUCTED_HOST_CACHE.get(k)
-    if host is None:
-        c0, zg, br, bv = jax.device_get(
-            (env.c[0], env.z, env.bathy_r, env.bathy)
-        )
-        host = (
-            np.asarray(c0, np.float64), np.asarray(zg, np.float64),
-            np.asarray(br, np.float64), np.asarray(bv, np.float64),
-        )
-        _DUCTED_HOST_CACHE[k] = host
-        weakref.finalize(env, _DUCTED_HOST_CACHE.pop, k, None)
-    return host
-
-
-def _bathy_min_span(env, x0, x1):
-    """Shallowest bottom over the shot's range span (host, cached tables)."""
-    _, _, br, bv = _ducted_host(env)
-    lo, hi = min(x0, x1), max(x0, x1)
-    sel = (br >= lo) & (br <= hi)
-    cand = [np.interp(lo, br, bv), np.interp(hi, br, bv)]
-    if sel.any():
-        cand.append(bv[sel].min())
-    return float(min(cand))
-
-
-def ducted_mask(env: EnvData, z0, p0, x0: float, x1: float, margin: float = 2e-3):
-    """Host-side classification: True for rays that provably never touch a
-    boundary, so the event-free stepper is exact for them.
-
-    Valid only for range-independent environments, where Snell's invariant
-    fixes the turning sound speed at launch: c_turn = c_src / cos θ₀.  A ray
-    is ducted iff the profile exceeds c_turn·(1+margin) both above the
-    source (before the surface) and below it (before the shallowest bottom).
-    Returns None when the environment does not support the classification.
-    """
-    if env.range_dependent:
-        return None
-    c, zg, br, bv = _ducted_host(env)
-    p0 = np.asarray(p0, np.float64)
-    z0v = np.broadcast_to(np.asarray(z0, np.float64), p0.shape)
-
-    if np.ndim(z0) == 0 or np.all(z0v == z0v[0]):
-        c_src = np.full(p0.shape, np.interp(z0v.flat[0], zg, c))
-    else:
-        c_src = np.interp(z0v, zg, c)
-    sinth = c_src * p0
-    steep = np.abs(sinth) >= 0.999
-    cos2 = np.maximum(1.0 - sinth * sinth, 1e-12)
-    c_turn = c_src / np.sqrt(cos2)
-    thr = c_turn * (1.0 + margin)
-
-    # shallowest bottom over the shot's range span (conservative)
-    lo, hi = min(x0, x1), max(x0, x1)
-    sel = (br >= lo) & (br <= hi)
-    cand = [np.interp(lo, br, bv), np.interp(hi, br, bv)]
-    if sel.any():
-        cand.append(bv[sel].min())
-    b_min = min(cand)
-
-    i_src = np.clip(np.searchsorted(zg, z0v, side="right") - 1, 0, len(zg) - 1)
-    cmax_above = np.maximum.accumulate(c)
-    max_above = cmax_above[i_src]
-
-    j_b = int(np.clip(np.searchsorted(zg, b_min, side="right") - 1, 0, len(zg) - 1))
-    below_seg = np.maximum.accumulate(c[: j_b + 1][::-1])[::-1]
-    max_below = below_seg[np.minimum(i_src, j_b)]
-
-    in_domain = (z0v > 0) & (z0v < b_min)
-    return (~steep) & in_domain & (max_above >= thr) & (max_below >= thr)
-
-
-def _span_exits_domain(env, geom, settings) -> bool:
-    """True when any integration step leaves the environment's range domain
-    (computed on the host in float64, like the per-step oob flags)."""
-    x0, x1, h, sps, nseg = geom
-    rlo, rhi = env.r_dom
-    ks64 = np.arange(sps * nseg, dtype=np.float64)
-    return bool(np.any(
-        (x0 + ks64 * h < rlo - settings.bbox_tol)
-        | (x0 + (ks64 + 1.0) * h > rhi + settings.bbox_tol)
-    ))
-
-
-def _bucket(n: int) -> int:
-    """Round a partition size up to a coarse bucket to bound recompiles."""
-    if n <= 256:
-        return 256
-    import math
-
-    gran = 1 << max(8, int(math.floor(math.log2(n))) - 3)
-    return ((n + gran - 1) // gran) * gran
-
-
-def _trace_partitioned(env, z0, p0, geom, settings):
-    """Split the fan into ducted / boundary-capable rays, run the cheap
-    event-free stepper on the former, and merge in the original order.
-    Falls back to the full stepper when classification is unavailable."""
-    x0, x1 = geom[0], geom[1]
-    p0_host = np.asarray(p0)
-    B = p0_host.shape[0]
-    mask = ducted_mask(env, z0, p0_host, x0, x1)
-    if mask is not None and _span_exits_domain(env, geom, settings):
-        # the event-free ducted stepper has no death logic at all, so
-        # x-domain exits (shot span beyond r_dom) would go unkilled
-        mask = None
-    if mask is None or B < 4096 or (~mask).sum() > 0.5 * B:
-        return _trace_impl(env, z0, jnp.asarray(p0), geom, settings)
-
-    idx_d = np.where(mask)[0]
-    idx_f = np.where(~mask)[0]
-    z0_host = np.asarray(z0)
-    per_ray_z0 = z0_host.ndim == 1
-
-    def padded_p0(idx):
-        nb = _bucket(idx.shape[0])
-        pp = np.zeros(nb, p0_host.dtype)
-        pp[: idx.shape[0]] = p0_host[idx]
-        return jnp.asarray(pp)
-
-    def padded_z0(idx):
-        # per-ray source depths must be gathered alongside their p0 subset
-        # (the full z0 array would crash the broadcast or, worse, silently
-        # pair rays with the wrong depths when the bucket size matches B)
-        if not per_ray_z0:
-            return z0
-        nb = _bucket(idx.shape[0])
-        zz = np.zeros(nb, z0_host.dtype)
-        zz[: idx.shape[0]] = z0_host[idx]
-        return jnp.asarray(zz)
-
-    def padded_idx(idx, nb):
-        # padding rows scatter out of range -> dropped (mode="drop")
-        out = np.full(nb, B, np.int32)
-        out[: idx.shape[0]] = idx
-        return jnp.asarray(out)
-
-    ducted_out = None
-    if idx_d.size:
-        pd = padded_p0(idx_d)
-        ts_d, zs_d, ps_d, z_lo, z_hi = _trace_ducted_impl(
-            env, padded_z0(idx_d), pd, geom, settings
-        )
-        # audit: a misclassified ray that actually escaped the water column
-        # is re-run through the full stepper (host check on the small
-        # excursion arrays only; trajectories stay on device).  The scatter
-        # indices stay ALIGNED with the traced rows: a bad row maps to the
-        # out-of-range sentinel (dropped) rather than compacting idx_d,
-        # which would shift every later traced row into the wrong slot.
-        nd = idx_d.shape[0]
-        z_lo = np.asarray(z_lo)[:nd]
-        z_hi = np.asarray(z_hi)[:nd]
-        bad = (z_lo <= 0.0) | (z_hi >= _bathy_min_span(env, x0, x1))
-        gi = np.full(pd.shape[0], B, np.int32)
-        gi[:nd] = np.where(bad, B, idx_d)
-        if bad.any():
-            idx_f = np.sort(np.concatenate([idx_f, idx_d[bad]]))
-        if (~bad).any():
-            ducted_out = (jnp.asarray(gi), ts_d, zs_d, ps_d)
-
-    full_out = None
-    if idx_f.size:
-        pf = padded_p0(idx_f)
-        resf = _trace_impl(env, padded_z0(idx_f), pf, geom, settings)
-        full_out = (padded_idx(idx_f, pf.shape[0]), resf)
-
-    # device-side merge back into original ray order
-    num_save = geom[4] + 1
-    dtype = env.c.dtype
-    ts = jnp.zeros((B, num_save), dtype)
-    zs = jnp.zeros((B, num_save), dtype)
-    ps = jnp.zeros((B, num_save), dtype)
-    n_bott = jnp.zeros(B, jnp.int32)
-    n_surf = jnp.zeros(B, jnp.int32)
-    alive = jnp.ones(B, bool)
-    alive_save = jnp.ones((B, num_save), bool)
-    death = jnp.zeros(B, jnp.int32)
-    if ducted_out is not None:
-        gi, ts_d, zs_d, ps_d = ducted_out
-        ts = ts.at[gi].set(ts_d, mode="drop")
-        zs = zs.at[gi].set(zs_d, mode="drop")
-        ps = ps.at[gi].set(ps_d, mode="drop")
-    if full_out is not None:
-        gi, resf = full_out
-        ts = ts.at[gi].set(resf.ts, mode="drop")
-        zs = zs.at[gi].set(resf.zs, mode="drop")
-        ps = ps.at[gi].set(resf.ps, mode="drop")
-        n_bott = n_bott.at[gi].set(resf.n_bott, mode="drop")
-        n_surf = n_surf.at[gi].set(resf.n_surf, mode="drop")
-        alive = alive.at[gi].set(resf.alive, mode="drop")
-        alive_save = alive_save.at[gi].set(resf.alive_save, mode="drop")
-        death = death.at[gi].set(resf.death_code, mode="drop")
-
-    x0f, x1f = geom[0], geom[1]
-    nseg = max(num_save - 1, 1)
-    rs = x0f + (x1f - x0f) * jnp.arange(num_save, dtype=dtype) / nseg
-    return TraceResult(
-        rs=rs, ts=ts, zs=zs, ps=ps,
-        n_bott=n_bott, n_surf=n_surf,
-        alive=alive, alive_save=alive_save, death_code=death,
-    )
-
-
 def trace(
     env: EnvData,
     z0,
@@ -826,15 +543,21 @@ def trace(
         if settings.backend == "pallas" and not pallas_ok:
             raise ValueError("Pallas backend unsupported for this configuration")
         pallas_ok = pallas_ok and (on_tpu or settings.backend == "pallas")
-        if pallas_ok and isinstance(p0, jax.core.Tracer):
-            # differentiating or vmapping through trace(): the kernel has
-            # no jvp/batching rule for its DMA machinery — use the XLA
-            # scan, which transforms fine (same math, interpret-tested
-            # equal).  Plain jit tracing (DynamicJaxprTracer) keeps the
-            # kernel: pallas_call is jit-traceable.
+        if pallas_ok:
+            # differentiating or vmapping through trace() — over p0, z0 OR
+            # any environment leaf: the kernel has no jvp/batching rule for
+            # its DMA machinery — use the XLA scan, which transforms fine
+            # (same math, interpret-tested equal).  Plain jit tracing
+            # (DynamicJaxprTracer) keeps the kernel: pallas_call is
+            # jit-traceable.
             from jax.interpreters.partial_eval import DynamicJaxprTracer
 
-            if not type(p0) is DynamicJaxprTracer:
+            leaves = (p0, z0, *jax.tree_util.tree_leaves(env))
+            if any(
+                isinstance(x, jax.core.Tracer)
+                and type(x) is not DynamicJaxprTracer
+                for x in leaves
+            ):
                 pallas_ok = False
 
     if sharded:
@@ -854,14 +577,10 @@ def trace(
     if pallas_ok:
         from .ops.pallas_stepper import trace_pallas_cached
 
-        # handles the opt-in ducted/boundary partitioning internally
-        # (sorted blocks + in-kernel event-free variant); interpreter mode
-        # off-TPU for testing
+        # interpreter mode off-TPU for testing
         p0 = jnp.atleast_1d(jnp.asarray(p0))
         return trace_pallas_cached(env, z0, p0, geom, settings, interpret=not on_tpu)
 
-    if settings.partition:
-        return _trace_partitioned(env, z0, p0, geom, settings)
     p0 = jnp.atleast_1d(jnp.asarray(p0))
     return _trace_impl_cached(env, z0, p0, geom, settings)
 

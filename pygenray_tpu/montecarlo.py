@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from .envdata import EnvData, make_env_data
 from .integrate import SolverSettings, TraceResult, _plan, _trace_impl
 from .ops.host import bilinear_np
+from .rootfind import rootfind_update
 from .utils.cache import LRUCache, env_struct_key
 
 __all__ = ["make_env_ensemble", "trace_ensemble", "mc_eigenray_times"]
@@ -203,7 +204,7 @@ def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings):
             for e in range(E):
                 env_e = jax.tree_util.tree_map(lambda a: a[e], envs)
                 p_e = p[e] if p_axis == 0 else p
-                res, _, _ = trace_pallas(env_e, zz, p_e, geom, settings)
+                res = trace_pallas(env_e, zz, p_e, geom, settings)
                 outs.append(res)
             return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
 
@@ -270,9 +271,11 @@ def mc_eigenray_times(
     # final evaluation all inside ONE device dispatch and ONE packed fetch
     # (each dispatch costs ~20-30 ms over the axon tunnel).  Falls back to
     # the two-phase flow below if any realization overflows the fixed
-    # bracket capacity.
+    # bracket capacity — reusing the fan's final depths from the one-shot
+    # output, so the fan is never traced twice.
+    z_end = None
     if scalar_depth and fan_angles.size >= 2 and _ensemble_kernel_ok(env_ens, settings):
-        out = _mc_one_shot_device(
+        out, z_end_f = _mc_one_shot_device(
             env_ens, fan_angles, c_src, float(source_depth),
             float(source_range), float(receiver_range),
             float(receiver_depth), float(ztol), int(max_iter), settings,
@@ -290,24 +293,38 @@ def mc_eigenray_times(
                 "n_surf": np.where(conv, out[4, :, :M].astype(np.int64), -1),
                 "n_bott": np.where(conv, out[5, :, :M].astype(np.int64), -1),
                 "valid": conv,
+                "path": "one-shot",
             }
+        if out.shape[2]:
+            import warnings
 
-    # 1. fan through every realization.  Bracketing only needs the final
+            warnings.warn(
+                f"a realization has more than MC_BRACKET_CAP={MC_BRACKET_CAP} "
+                "arrival brackets; falling back to the two-phase solve "
+                "(raise pygenray_tpu.montecarlo.MC_BRACKET_CAP to keep the "
+                "one-dispatch path)",
+                stacklevel=2,
+            )
+            z_end = z_end_f  # the one-shot already traced the fan
+
+    # 1. fan through every realization (unless the overflowed one-shot
+    # already returned its final depths).  Bracketing only needs the final
     # depth and aliveness, so on kernel-supported configurations the whole
     # fan is ONE ensemble-kernel launch (block e = realization e) and one
     # packed fetch, instead of E sequential mega-kernel launches.
-    p0 = angles_to_p0(np.broadcast_to(fan_angles, (E, fan_angles.size)))
-    if _ensemble_kernel_ok(env_ens, settings):
-        z_ode, alive_f = _fan_final_state(env_ens, source_depth, p0,
-                                          source_range, receiver_range,
-                                          settings)
-        z_end = np.where(alive_f, -z_ode, np.nan)
-    else:
-        fan = trace_ensemble(
-            env_ens, source_depth, p0, source_range, receiver_range, 2, settings
-        )
-        z_end = -np.asarray(fan.zs, float)[..., -1]  # (E, B) user convention
-        z_end = np.where(np.asarray(fan.alive), z_end, np.nan)
+    if z_end is None:
+        p0 = angles_to_p0(np.broadcast_to(fan_angles, (E, fan_angles.size)))
+        if _ensemble_kernel_ok(env_ens, settings):
+            z_ode, alive_f = _fan_final_state(env_ens, source_depth, p0,
+                                              source_range, receiver_range,
+                                              settings)
+            z_end = np.where(alive_f, -z_ode, np.nan)
+        else:
+            fan = trace_ensemble(
+                env_ens, source_depth, p0, source_range, receiver_range, 2, settings
+            )
+            z_end = -np.asarray(fan.zs, float)[..., -1]  # (E, B) user convention
+            z_end = np.where(np.asarray(fan.alive), z_end, np.nan)
 
     # 2. bracket per (depth × realization); candidates for every depth ride
     # one concatenated (E, Mtot) axis with per-candidate receiver depths
@@ -361,6 +378,7 @@ def mc_eigenray_times(
         "n_surf": np.where(converged, out[4].astype(np.int64), -1),
         "n_bott": np.where(converged, out[5].astype(np.int64), -1),
         "valid": converged,
+        "path": "two-phase",
     }
     if scalar_depth:
         return vals
@@ -377,6 +395,7 @@ def mc_eigenray_times(
             stack[d, :, :M_d] = vals[k][:, lo:lo + M_d]
             lo += M_d
         result[k] = stack
+    result["path"] = "two-phase"
     return result
 
 
@@ -420,7 +439,7 @@ def _fan_final_state(env_ens, source_depth, p0, x0, x1, settings):
     one packed device->host fetch."""
     h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
     geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
-    s_it = dataclasses.replace(settings, backend="xla", partition=False,
+    s_it = dataclasses.replace(settings, backend="xla",
                                kahan=False)
     on_tpu = jax.default_backend() == "tpu"
     key = (env_struct_key(env_ens), geom, s_it, p0.shape, float(source_depth))
@@ -460,7 +479,7 @@ def _mc_one_shot_device(
     """
     h, sps, nseg = _plan(float(source_range), float(receiver_range), 2, settings.dx)
     geom = (float(source_range), float(receiver_range), float(h), int(sps), int(nseg))
-    s_it = dataclasses.replace(settings, backend="xla", partition=False,
+    s_it = dataclasses.replace(settings, backend="xla",
                                kahan=False)
     dt = env_ens.c.dtype
     deg = np.pi / 180.0
@@ -537,11 +556,11 @@ def _mc_one_shot_device(
 
             th_fin = jnp.where(conv, th_hit, 0.0)
             p_fin = jnp.sin(-th_fin * deg) / csrc_d[:, None]
-            s_fin = dataclasses.replace(settings, partition=False)
+            s_fin = settings
             t_rows, z_rows, ns_rows, nb_rows = [], [], [], []
             for e in range(E):
                 env_e = jax.tree_util.tree_map(lambda a: a[e], envs)
-                res_e, _, _ = trace_pallas(
+                res_e = trace_pallas(
                     env_e, source_depth, p_fin[e], geom, s_fin,
                     interpret=not on_tpu,
                 )
@@ -558,15 +577,13 @@ def _mc_one_shot_device(
                 ns.astype(dt), nb.astype(dt),
                 jnp.broadcast_to(count[:, None].astype(dt), (E, M)),
                 jnp.broadcast_to(overflow[:, None].astype(dt), (E, M)),
-            ])
+            ]), z_end
 
         fn = jax.jit(solve)
         _MC_ONESHOT_CACHE.put(key, fn)
 
-    out = np.asarray(
-        fn(env_ens, jnp.asarray(fan_angles, dt), jnp.asarray(c_src, dt)), float
-    )
-    return out
+    out, z_end = fn(env_ens, jnp.asarray(fan_angles, dt), jnp.asarray(c_src, dt))
+    return np.asarray(out, float), np.asarray(z_end, float)
 
 
 def _make_mc_body(zeval, rd, ztol, use_newton):
@@ -577,29 +594,12 @@ def _make_mc_body(zeval, rd, ztol, use_newton):
     def body(st):
         theta, t1, t2, za, zb, conv, dead, th_hit, it = st
         ze, alive, _, _, _, dz_dth = zeval(theta)
-        active = ~(conv | dead)
-        dead2 = dead | (active & ~alive)
-        act = active & alive
-        hit = act & (jnp.abs(ze + rd) < ztol)
-        conv2 = conv | hit
-        th_hit = jnp.where(hit, theta, th_hit)
-        upd = act & ~hit
-        side1 = jnp.sign(ze + rd) == jnp.sign(za + rd)
-        za = jnp.where(upd & side1, ze, za)
-        t1 = jnp.where(upd & side1, theta, t1)
-        zb = jnp.where(upd & ~side1, ze, zb)
-        t2 = jnp.where(upd & ~side1, theta, t2)
-        den = jnp.where(jnp.abs(zb - za) > 0, zb - za, 1.0)
-        th_fp = t1 - (za + rd) * (t2 - t1) / den
-        if use_newton:
-            th_nw = theta - (ze + rd) / dz_dth
-            lo = jnp.minimum(t1, t2)
-            hi = jnp.maximum(t1, t2)
-            bad = ~jnp.isfinite(th_nw) | (th_nw <= lo) | (th_nw >= hi)
-            th_new = jnp.where(bad, th_fp, th_nw)
-        else:
-            th_new = th_fp
-        theta = jnp.where(upd, th_new, theta)
+        (theta, t1, t2, za, zb, conv2, dead2, th_hit, _act, _hit) = (
+            rootfind_update(
+                jnp, theta, t1, t2, za, zb, conv, dead, th_hit,
+                ze, alive, dz_dth, rd, ztol, use_newton,
+            )
+        )
         return (theta, t1, t2, za, zb, conv2, dead2, th_hit, it + 1)
 
     return body
@@ -630,7 +630,7 @@ def _solve_ensemble_device(
     on_tpu = jax.default_backend() == "tpu"
     use_kernel = _ensemble_kernel_ok(env_ens, settings)
     s_it = dataclasses.replace(
-        settings, backend="xla", partition=False,
+        settings, backend="xla",
         kahan=settings.kahan and not use_kernel,
     )
 
@@ -687,8 +687,7 @@ def _solve_ensemble_device(
             # tangent convention; reported times must not)
             th_fin = jnp.where(conv, th_hit, 0.0)
             p_fin = jnp.sin(-th_fin * deg) / c_src_d[:, None]
-            s_fin = dataclasses.replace(settings, backend="xla",
-                                        partition=False)
+            s_fin = dataclasses.replace(settings, backend="xla")
             res_f = jax.vmap(
                 lambda e, p: _trace_impl(e, source_depth, p, geom, s_fin)
             )(envs, p_fin)

@@ -37,6 +37,11 @@ from ..utils.cache import LRUCache, env_struct_key
 
 _TINY = 1e-30
 
+# station-table DMA block width (steps per DMA): producer padding
+# (_station_rows callers) and consumer slicing (_station_step_handles)
+# MUST use this one constant — a desync presents as a hardware hang.
+ST_BLOCK_W = 8
+
 
 def pallas_supported(env, settings, use_cheb: bool) -> bool:
     return (
@@ -153,7 +158,7 @@ def _station_step_handles(k, STW, nblk, st_dma_blk, st_handle, KP):
     return st_handle(slot, row, 0), st_handle(slot, row, 2 * KP)
 
 
-def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
+def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
      b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan) = consts
@@ -164,9 +169,8 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
         xoob_ref, st_tab_ref,
         ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out, dseg_out,
-        zlo_out, zhi_out,
         T_s, Tc_s, z_s, zc_s, p_s, kT_s, kz_s, kp_s, al_s, ns_s, nb_s, de_s,
-        ds_s, bd_s, zel_s, zeh_s, stage_s, st_s, sti_s, sem, stsem, stisem,
+        ds_s, bd_s, stage_s, st_s, sti_s, sem, stsem, stisem,
     ):
         ib = pl.program_id(0)
 
@@ -236,8 +240,6 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
         ns_s[...] = jnp.zeros_like(z0, dtype=jnp.int32)
         nb_s[...] = jnp.zeros_like(z0, dtype=jnp.int32)
         de_s[...] = jnp.where(alive0, 0, 2).astype(jnp.int32)
-        zel_s[...] = z0
-        zeh_s[...] = z0
 
         def save(row, a, b, c):
             stage_s[0] = a
@@ -431,79 +433,12 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, ducted_blocks, STW=8):
             save(seg + 1, T_s[...] - Tc_s[...], z_s[...] - zc_s[...], p_s[...])
             return 0
 
-        # event-free variant for blocks of provably-ducted rays (no boundary
-        # contact, no deaths): pure RK4 + Kahan + z-excursion tracking for
-        # the host-side soundness audit
-        def step_body_ducted(k, _):
-            T = T_s[...]
-            Tc = Tc_s[...]
-            z = z_s[...]
-            zc = zc_s[...]
-            p = p_s[...]
-            kT1 = kT_s[...]
-            kz1 = kz_s[...]
-            kp1 = kp_s[...]
-
-            if rd:
-                st_m, st_1 = _station_step_handles(
-                    k, STW, _nblk, st_dma_blk, st_handle, KP
-                )
-            else:
-                st_m = st_1 = (_vmem_reader(ccoef_ref), _vmem_reader(cpcoef_ref))
-
-            kT2, kz2, kp2, _ = rhs(st_m, z + 0.5 * hs * kz1, p + 0.5 * hs * kp1)
-            kT3, kz3, kp3, _ = rhs(st_m, z + 0.5 * hs * kz2, p + 0.5 * hs * kp2)
-            kT4, kz4, kp4, _ = rhs(st_1, z + hs * kz3, p + hs * kp3)
-            dT = hs / 6.0 * (kT1 + 2 * kT2 + 2 * kT3 + kT4)
-            dz = hs / 6.0 * (kz1 + 2 * kz2 + 2 * kz3 + kz4)
-            dp = hs / 6.0 * (kp1 + 2 * kp2 + 2 * kp3 + kp4)
-            if use_kahan:
-                yk = dT - Tc
-                T_n = T + yk
-                Tc_s[...] = (T_n - T) - yk
-                T_s[...] = T_n
-                yz = dz - zc
-                z_n = z + yz
-                zc_s[...] = (z_n - z) - yz
-                z_s[...] = z_n
-            else:
-                T_n = T + dT
-                T_s[...] = T_n
-                z_n = z + dz
-                z_s[...] = z_n
-            p_n = p + dp
-            p_s[...] = p_n
-            kTe, kze, kpe, _ = rhs(st_1, z_n, p_n)
-            kT_s[...] = kTe
-            kz_s[...] = kze
-            kp_s[...] = kpe
-            zel_s[...] = jnp.minimum(zel_s[...], z_n)
-            zeh_s[...] = jnp.maximum(zeh_s[...], z_n)
-            return 0
-
-        def seg_body_ducted(seg, _):
-            lax.fori_loop(seg * sps, (seg + 1) * sps, step_body_ducted, 0)
-            # compensated readout: val - comp (comp = overshoot)
-            save(seg + 1, T_s[...] - Tc_s[...], z_s[...] - zc_s[...], p_s[...])
-            return 0
-
-        if ducted_blocks > 0:
-            @pl.when(ib < ducted_blocks)
-            def _():
-                lax.fori_loop(0, nseg, seg_body_ducted, 0)
-
-            @pl.when(ib >= ducted_blocks)
-            def _():
-                lax.fori_loop(0, nseg, seg_body, 0)
-        else:
-            lax.fori_loop(0, nseg, seg_body, 0)
+        lax.fori_loop(0, nseg, seg_body, 0)
 
         nsurf_out[0] = ns_s[...]
         nbott_out[0] = nb_s[...]
         death_out[0] = de_s[...]
         dseg_out[0] = ds_s[...]
-        zlo_out[0] = zel_s[...]
-        zhi_out[0] = zeh_s[...]
 
     return kernel
 
@@ -634,8 +569,8 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
      b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan) = consts
 
-    _nblk = -(-nsteps // 8)
-    STW = 8
+    STW = ST_BLOCK_W
+    _nblk = -(-nsteps // STW)
 
     def kernel(
         p0_ref, dp0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
@@ -838,8 +773,10 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
     KP = -(-K // 128) * 128
     if rd:
         st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow)
-        nblk = -(-nsteps // 8)
-        st_tab = jnp.pad(st_tab, ((0, 1 + nblk * 8 - st_tab.shape[0]), (0, 0), (0, 0)))
+        nblk = -(-nsteps // ST_BLOCK_W)
+        st_tab = jnp.pad(
+            st_tab, ((0, 1 + nblk * ST_BLOCK_W - st_tab.shape[0]), (0, 0), (0, 0))
+        )
     else:
         st_tab = jnp.zeros((1, 1, 4 * KP), dtype)
 
@@ -861,7 +798,7 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
         [pltpu.VMEM((R, 128), dtype) for _ in range(12)]
         + [pltpu.VMEM((R, 128), dtype)]  # alive (f32)
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
-        + [pltpu.SMEM((2, 8, 1, 4 * KP), dtype),
+        + [pltpu.SMEM((2, ST_BLOCK_W, 1, 4 * KP), dtype),
            pltpu.SMEM((1, 4 * KP), dtype),
            pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA]
     )
@@ -944,9 +881,10 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
     st_tab = jax.vmap(
         lambda e: _station_rows(e, dtype, K, KP, x0, xsm, xs1, use_pow)
     )(env_ens)
-    nblk = -(-nsteps // 8)
+    nblk = -(-nsteps // ST_BLOCK_W)
     st_tab = jnp.pad(
-        st_tab, ((0, 0), (0, 1 + nblk * 8 - st_tab.shape[1]), (0, 0), (0, 0))
+        st_tab,
+        ((0, 0), (0, 1 + nblk * ST_BLOCK_W - st_tab.shape[1]), (0, 0), (0, 0)),
     )
 
     consts, xoob64 = _launch_consts(env0, settings, x0, h, nsteps, True, use_pow)
@@ -967,7 +905,7 @@ def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
         [pltpu.VMEM((R, 128), dtype) for _ in range(12)]
         + [pltpu.VMEM((R, 128), dtype)]  # alive (f32)
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
-        + [pltpu.SMEM((2, 8, 1, 4 * KP), dtype),
+        + [pltpu.SMEM((2, ST_BLOCK_W, 1, 4 * KP), dtype),
            pltpu.SMEM((1, 4 * KP), dtype),
            pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA]
     )
@@ -1252,36 +1190,15 @@ def _layout(B: int):
 _JIT_CACHE = LRUCache(256)
 
 
-def _get_fn(env, geom, settings, p_shape, z_shape, ducted_blocks, permuted, interpret=False):
-    key = (env_struct_key(env), geom, settings, p_shape, z_shape, ducted_blocks, permuted, interpret)
+def _get_fn(env, geom, settings, p_shape, z_shape, interpret=False):
+    key = (env_struct_key(env), geom, settings, p_shape, z_shape, interpret)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        if permuted:
-
-            def fn(envarg, p, z, order, inv):
-                zp = z[order] if z.ndim else z
-                res, zlo, zhi = trace_pallas(
-                    envarg, zp, p[order], geom, settings,
-                    ducted_blocks=ducted_blocks, interpret=interpret,
-                )
-                from ..integrate import TraceResult
-
-                unp = TraceResult(
-                    rs=res.rs, ts=res.ts[inv], zs=res.zs[inv], ps=res.ps[inv],
-                    n_bott=res.n_bott[inv], n_surf=res.n_surf[inv],
-                    alive=res.alive[inv], alive_save=res.alive_save[inv],
-                    death_code=res.death_code[inv],
-                )
-                return unp, zlo, zhi
-
-            fn = jax.jit(fn)
-        else:
-            fn = jax.jit(
-                lambda envarg, p, z: trace_pallas(
-                    envarg, z, p, geom, settings,
-                    ducted_blocks=ducted_blocks, interpret=interpret,
-                )
+        fn = jax.jit(
+            lambda envarg, p, z: trace_pallas(
+                envarg, z, p, geom, settings, interpret=interpret
             )
+        )
         _JIT_CACHE.put(key, fn)
     return fn
 
@@ -1290,63 +1207,10 @@ def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False):
     """Memoized jitted kernel launcher keyed on the environment *structure*
     (shapes/dtypes/static metadata), so traces over same-shaped environments
     — eigenray iterations, Monte-Carlo realizations — reuse one executable.
-
-    With ``settings.partition`` (off by default), concrete
-    range-independent batches are reordered ducted-first so whole blocks run
-    the event-free kernel variant (provable Snell-invariant classification,
-    audited post-hoc via the tracked z excursions; misclassification
-    triggers a safe re-run).  Measured on v5e: the kernel is
-    dependency-latency-bound, so the event-free variant saves little, while
-    the host-side classification/audit pays tunnel transfer costs — hence
-    opt-in.
     """
-    import numpy as np
-
     z0a = jnp.asarray(z0, env.c.dtype)
-
-    concrete = not isinstance(p0, jax.core.Tracer)
-    order = None
-    db = 0
-    if (settings.partition and concrete and not env.range_dependent
-            and p0.shape[0] >= 4096):
-        from ..integrate import _span_exits_domain, ducted_mask
-
-        p0_host = np.asarray(p0)
-        z0_host = np.asarray(z0a) if z0a.ndim else float(z0a)
-        mask = ducted_mask(env, z0_host, p0_host, geom[0], geom[1])
-        if mask is not None and _span_exits_domain(env, geom, settings):
-            mask = None  # ducted kernel variant has no x-domain death logic
-        if mask is not None and mask.any():
-            B = p0.shape[0]
-            nblocks, R, Bb, _ = _layout(B)
-            nd = int(mask.sum())
-            db = nblocks if nd == B else nd // Bb
-            if db > 0:
-                order = np.argsort(~mask, kind="stable").astype(np.int32)
-
-    if order is None:
-        fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, 0, False, interpret)
-        res, _, _ = fn(env, p0, z0a)
-        return res
-
-    inv = np.empty_like(order)
-    inv[order] = np.arange(order.shape[0], dtype=np.int32)
-    fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, db, True, interpret)
-    res, zlo, zhi = fn(env, p0, z0a, jnp.asarray(order), jnp.asarray(inv))
-
-    # soundness audit on the ducted blocks' z excursions (still in sorted
-    # order: first db blocks of the padded batch). Clamp to the real batch
-    # size: when every ray is ducted the last block carries zero-padded
-    # lanes whose excursions must not trip the audit.
-    _, _, Bb, _ = _layout(p0.shape[0])
-    nd_pad = min(db * Bb, p0.shape[0])
-    zlo_d = np.asarray(zlo[:nd_pad])
-    zhi_d = np.asarray(zhi[:nd_pad])
-    b_min = _bathy_min_over_span(env, geom[0], geom[1])
-    if (zlo_d <= 0.0).any() or (zhi_d >= b_min).any():
-        fn0 = _get_fn(env, geom, settings, p0.shape, z0a.shape, 0, False, interpret)
-        res, _, _ = fn0(env, p0, z0a)
-    return res
+    fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, interpret)
+    return fn(env, p0, z0a)
 
 
 _SHARD_CACHE = LRUCache(64)
@@ -1399,8 +1263,8 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False):
     if fn is None:
 
         def local(envarg, zz, pp):
-            res, _, _ = trace_pallas(envarg, zz, pp, geom, settings,
-                                     interpret=interpret)
+            res = trace_pallas(envarg, zz, pp, geom, settings,
+                               interpret=interpret)
             return (res.ts, res.zs, res.ps, res.alive_save,
                     res.n_bott, res.n_surf, res.alive, res.death_code)
 
@@ -1426,19 +1290,6 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False):
         n_bott=n_bott, n_surf=n_surf,
         alive=alive, alive_save=alive_save, death_code=death,
     )
-
-
-def _bathy_min_over_span(env, x0, x1):
-    import numpy as np
-
-    br = np.asarray(env.bathy_r, np.float64)
-    bv = np.asarray(env.bathy, np.float64)
-    lo, hi = min(x0, x1), max(x0, x1)
-    sel = (br >= lo) & (br <= hi)
-    cand = [np.interp(lo, br, bv), np.interp(hi, br, bv)]
-    if sel.any():
-        cand.append(bv[sel].min())
-    return float(min(cand))
 
 
 def _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow=False):
@@ -1479,7 +1330,7 @@ def _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow=False):
     return jnp.concatenate([init_row, step_rows], axis=0)[:, None, :]
 
 
-def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_blocks: int = 0):
+def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
     """Run the mega-kernel; returns a TraceResult (ODE convention).
 
     ``p0`` is (B,); B is padded internally to a multiple of the lane block.
@@ -1519,7 +1370,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
     b1s = jnp.broadcast_to(b1s[:, None], (nsteps, 128))
 
     KP = -(-K // 128) * 128  # station rows padded to the lane tile for DMA
-    STW = 8  # steps per station-DMA block
+    STW = ST_BLOCK_W  # steps per station-DMA block
     if rd:
         st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow)
         nblk = -(-nsteps // STW)
@@ -1536,8 +1387,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         if any_x_oob else jnp.zeros((1, 128), dtype)
     )
 
-    kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps,
-                          ducted_blocks, STW)
+    kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps, STW)
 
     num_save = nseg + 1
     out_shape = [
@@ -1548,11 +1398,9 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # n_bott
         jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # death
         jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32),  # first-dead save idx
-        jax.ShapeDtypeStruct((nblocks, R, 128), dtype),  # z excursion lo
-        jax.ShapeDtypeStruct((nblocks, R, 128), dtype),  # z excursion hi
     ]
     # T, Tc, z, zc, p, kT, kz, kp, alive(f32) | ns, nb, death, first-dead idx
-    # | backwards-dead mask | z excursions | save staging
+    # | backwards-dead mask | save staging
     # | RD station SMEM W-step block double-buffer + init row
     # | save sems | station sems | init sem
     scratch = (
@@ -1560,8 +1408,6 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(4)]
         + [
             pltpu.VMEM((R, 128), dtype),  # backwards-dead mask (f32 0/1)
-            pltpu.VMEM((R, 128), dtype),  # z excursion lo
-            pltpu.VMEM((R, 128), dtype),  # z excursion hi
             pltpu.VMEM((3, R, 128), dtype),
             pltpu.SMEM((2, STW, 1, 4 * KP), dtype),
             pltpu.SMEM((1, 4 * KP), dtype),  # init (x0) station row
@@ -1593,11 +1439,9 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
         blocked,
         blocked,
         blocked,
-        blocked,
-        blocked,
     ]
 
-    ts, zs, ps, n_surf, n_bott, death, dseg, z_lo, z_hi = pl.pallas_call(
+    ts, zs, ps, n_surf, n_bott, death, dseg = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=grid,
@@ -1624,11 +1468,10 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False, ducted_bl
     death = unblock1(death)
     alive = death == 0
     rs = x0 + (x1 - x0) * jnp.arange(num_save, dtype=dtype) / nseg
-    result = TraceResult(
+    return TraceResult(
         rs=rs, ts=ts, zs=zs, ps=ps,
         n_bott=n_bott, n_surf=n_surf,
         alive=alive,
         alive_save=alive_save,
         death_code=death,
     )
-    return result, unblock1(z_lo), unblock1(z_hi)

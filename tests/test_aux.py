@@ -280,32 +280,6 @@ class TestReviewRegressions:
         assert len(fan + empty) == len(fan)
         np.testing.assert_array_equal((empty + fan).thetas, fan.thetas)
 
-    def test_partition_per_ray_source_depths(self):
-        """partition=True with a per-ray z0 array must pair every ray with
-        its own source depth (regression: padded subsets got the full
-        array, crashing or silently mispairing)."""
-        from pygenray_tpu.integrate import SolverSettings, trace
-        from pygenray_tpu.models import munk_env
-
-        env = munk_env(r_max=50e3, nr=30, nz=400)
-        envd = env.env_data(flatearth=False, interp="table", dtype="float64")
-        B = 4608
-        angles = np.linspace(-16, 16, B)
-        c_src = np.interp(1300.0, np.asarray(envd.z), np.asarray(envd.c[0]))
-        p0 = np.sin(np.radians(-angles)) / c_src
-        z0 = np.full(B, 1300.0)
-        z0[::7] = 900.0  # mixed depths, same classification validity
-        s_part = SolverSettings(dx=500.0, partition=True, backend="xla")
-        s_ref = SolverSettings(dx=500.0, partition=False, backend="xla")
-        rp = trace(envd, z0, p0, 0.0, 50e3, 3, s_part)
-        rf = trace(envd, z0, p0, 0.0, 50e3, 3, s_ref)
-        np.testing.assert_allclose(
-            np.asarray(rp.ts), np.asarray(rf.ts), rtol=2e-6, atol=1e-7
-        )
-        np.testing.assert_array_equal(
-            np.asarray(rp.n_bott), np.asarray(rf.n_bott)
-        )
-
     def test_received_angle_uses_positive_depth(self):
         """EigenRays received angles must interpolate c at the positive-down
         receiver depth — a linear-gradient profile makes the reference's

@@ -231,3 +231,31 @@ class TestCacheIsolation:
         # 2% faster medium -> ~2% earlier arrivals
         ratio = t2[0] / t1[0]
         assert abs(ratio - 1 / 1.02) < 2e-3, f"arrival ratio {ratio}"
+
+
+class TestVerboseDeviceParity:
+    """The verbose host loop and the device while_loop share ONE update
+    implementation (``pygenray_tpu.rootfind.rootfind_update``); this pins
+    that they produce identical hit angles and iteration counts on a Munk
+    multipath case, for both methods."""
+
+    @pytest.mark.parametrize("method", ["newton", "regula_falsi"])
+    def test_verbose_matches_device(self, method):
+        env = munk_env(r_max=40e3, nr=16, nz=400)
+        angles = np.linspace(-10, 10, 61)
+        fan = pr.shoot_rays(1000.0, 0.0, angles, 40e3, 10, env,
+                            flatearth=False, dx=200.0, dtype="float64")
+        kw = dict(ztol=0.5, flatearth=False, dx=200.0, dtype="float64")
+        er_d = pr.find_eigenrays(fan, [1200.0, 3000.0], 1000.0, 0.0, 40e3,
+                                 10, env, method=method, verbose=False, **kw)
+        er_v = pr.find_eigenrays(fan, [1200.0, 3000.0], 1000.0, 0.0, 40e3,
+                                 10, env, method=method, verbose=True, **kw)
+        assert er_d.num_eigenrays_found == er_v.num_eigenrays_found
+        assert er_d.num_eigenrays_found[0] >= 2  # real multipath case
+        d_d, d_v = er_d.diagnostics, er_v.diagnostics
+        np.testing.assert_array_equal(d_d["converged"], d_v["converged"])
+        np.testing.assert_array_equal(d_d["iterations"], d_v["iterations"])
+        for rd_idx in (0, 1):
+            la_d = np.sort(np.asarray(er_d.launch_angles[rd_idx]))
+            la_v = np.sort(np.asarray(er_v.launch_angles[rd_idx]))
+            np.testing.assert_allclose(la_d, la_v, rtol=0, atol=1e-12)

@@ -240,59 +240,6 @@ class TestPowPath:
         np.testing.assert_array_equal(np.asarray(rp.n_bott), np.asarray(rc.n_bott))
 
 
-class TestSortedDispatch:
-    def test_partitioned_sorted_dispatch_cpu(self):
-        """backend='pallas' + partition=True on CPU exercises the full
-        sorted/audited launcher in interpreter mode."""
-        from pygenray_tpu.integrate import trace
-
-        env = _env()
-        s_part = SolverSettings(dx=500.0, backend="pallas", partition=True)
-        s_ref = SolverSettings(dx=500.0, backend="xla", partition=False)
-        angles = np.linspace(-18, 18, 4352)  # mixed ducted/boundary, >4096
-        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
-        p0 = np.sin(np.radians(-angles)) / c_src
-        rp = trace(env, 1300.0, p0, 0.0, 50e3, 5, s_part)
-        rf = trace(env, 1300.0, p0, 0.0, 50e3, 5, s_ref)
-        np.testing.assert_allclose(
-            np.asarray(rp.ts), np.asarray(rf.ts), rtol=2e-6, atol=1e-7
-        )
-        np.testing.assert_array_equal(np.asarray(rp.n_surf), np.asarray(rf.n_surf))
-        np.testing.assert_array_equal(np.asarray(rp.n_bott), np.asarray(rf.n_bott))
-        np.testing.assert_array_equal(
-            np.asarray(rp.death_code), np.asarray(rf.death_code)
-        )
-
-    def test_all_ducted_nonmultiple_batch_no_audit_false_positive(self):
-        """When every ray is ducted and B doesn't fill the last block, the
-        zero-padded lanes must not trip the soundness audit (which would
-        silently re-run the whole batch through the event kernel)."""
-        import pygenray_tpu.ops.pallas_stepper as ps
-        from pygenray_tpu.integrate import trace
-
-        env = _env()
-        s = SolverSettings(dx=500.0, backend="pallas", partition=True)
-        angles = np.linspace(-8, 8, 4500)  # all ducted at z0=1300; pads to 4608
-        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
-        p0 = np.sin(np.radians(-angles)) / c_src
-
-        calls = []
-        orig = ps._get_fn
-
-        def counting_get_fn(*args, **kw):
-            calls.append(args[5:7])  # (ducted_blocks, permuted)
-            return orig(*args, **kw)
-
-        ps._get_fn = counting_get_fn
-        try:
-            res = trace(env, 1300.0, p0, 0.0, 50e3, 5, s)
-        finally:
-            ps._get_fn = orig
-        assert len(calls) == 1, f"audit re-ran the batch: {calls}"
-        assert calls[0][0] > 0  # dispatched with ducted blocks
-        assert bool(np.asarray(res.alive).all())
-
-
 class TestTangentKernel:
     """Forward-tangent final-state kernel vs the XLA scan and its jvp."""
 
