@@ -30,14 +30,24 @@ import jax.numpy as jnp
 
 from .ops.cheb import fit_profile_cheb, fit_series_cheb
 from .ops.interp import cubic_spline_coeffs
+from .ops.seg import SEG_S, fit_profile_seg
 
-__all__ = ["EnvData", "make_env_data", "with_spectral", "mirror_env_arrays", "host_profile_tables"]
+__all__ = ["EnvData", "make_env_data", "with_spectral", "mirror_env_arrays",
+           "mirror_env_data", "host_profile_tables"]
 
 # fit-acceptance tolerances for the spectral fast path; exceeded → the engine
-# silently falls back to exact table interpolation
+# falls back to the piecewise-SEGMENT fast path (rough fields), and only
+# then to exact table interpolation
 C_FIT_TOL = 2e-3  # [m/s] systematic sound-speed error << 0.1 ms travel-time budget
 CP_FIT_TOL = 5e-4  # [1/s]
 BANGLE_FIT_TOL = 1e-3  # [deg]
+# segment-fit gates: the window-MEAN residual (systematic, accumulates into
+# travel times) meets the spectral tolerance; the pointwise residual — the
+# oscillatory smooth-vs-piecewise-linear gap, which cancels along rays —
+# gets a looser cap (see ops/seg.py)
+C_SEG_MAX_TOL = 0.1  # [m/s]
+CP_SEG_MAX_TOL = 0.05  # [1/s]
+SEG_ORDER_LADDER = (7, 11, 15, 23)  # K=32 monomial conversion is f32-hostile
 
 
 def _is_uniform(g: np.ndarray) -> bool:
@@ -63,6 +73,8 @@ def _is_uniform(g: np.ndarray) -> bool:
         "bangle_cheb",
         "c_pow",
         "dcdz_pow",
+        "c_seg",
+        "dcdz_seg",
     ],
     meta_fields=[
         "range_dependent",
@@ -76,6 +88,7 @@ def _is_uniform(g: np.ndarray) -> bool:
         "r_dom",
         "bathy_r_dom",
         "poly_ok",
+        "has_seg",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -97,6 +110,11 @@ class EnvData:
     # zeros unless poly_ok) — Horner on these is the fastest hot path
     c_pow: jax.Array  # (nr, K)
     dcdz_pow: jax.Array  # (nr, K)
+    # piecewise-segment representation for rough fields (ops/seg.py):
+    # monomial coefficients per uniform depth segment, lane = segment
+    # (zeros when has_seg is False)
+    c_seg: jax.Array  # (nr, Ks, SEG_S)
+    dcdz_seg: jax.Array  # (nr, Ks, SEG_S)
     # static metadata
     range_dependent: bool
     uniform_z: bool
@@ -112,6 +130,9 @@ class EnvData:
     # evaluate (f32 Horner) within tolerance — the engine then uses Horner
     # (1 fma/term) instead of Clenshaw (2 ops/term) on the hot path
     poly_ok: bool = False
+    # True when the piecewise-segment fit met its gates (used by the
+    # engine only when the global spectral fit is absent)
+    has_seg: bool = False
 
     @property
     def nz(self):
@@ -133,6 +154,8 @@ def make_env_data(
     interp: str = "auto",
     cheb_order: int = 47,
     cheb_exact_order: bool = False,
+    seg_order: int = 23,
+    seg_exact_order: bool = False,
     force_range_dependent: bool = False,
     dtype=None,
 ) -> EnvData:
@@ -145,8 +168,10 @@ def make_env_data(
     ``bottom_angle`` defaults to ``degrees(arctan(gradient(bathy)))``.
 
     ``interp`` selects the profile backend: "table" (exact reference
-    semantics), "cheb" (spectral fast path; raises if the fit is poor), or
-    "auto" (fit and keep the spectral path only if within tolerance).
+    semantics), "cheb" (global spectral fast path; raises if the fit is
+    poor), "seg" (piecewise-segment fast path for rough fields; raises if
+    its gates fail), or "auto" (global fit → segment fit → table, first
+    acceptable wins).
     """
     c = np.asarray(c, np.float64)
     if c.ndim == 1:
@@ -184,13 +209,18 @@ def make_env_data(
         bottom_angle = np.asarray(bottom_angle, np.float64)
 
     range_dependent = force_range_dependent or not bool(np.all(c == c[:1]))
+    if interp == "seg":
+        force_seg = True
+        interp = "auto"
+    else:
+        force_seg = False
 
     # spectral fit: pick the smallest order meeting tolerance (Clenshaw cost
     # on the hot path is linear in the order)
     has_cheb = False
     c_cheb = np.zeros((c.shape[0], 8))
     dcdz_cheb = np.zeros((c.shape[0], 8))
-    if interp in ("auto", "cheb"):
+    if interp in ("auto", "cheb") and not force_seg:
         c_res = cp_res = np.inf
         if cheb_exact_order:
             orders = [cheb_order]
@@ -226,6 +256,34 @@ def make_env_data(
             M = cheb2poly_matrix(c_cheb.shape[1])
             c_pow = c_cheb @ M.T
             dcdz_pow = dcdz_cheb @ M.T
+
+    # piecewise-segment fit: the rough-field fast path, tried only when the
+    # global fit is absent (it is strictly more expressive but its readers
+    # cost a lane gather per coefficient where the global path reads free
+    # SMEM scalars)
+    has_seg = False
+    c_seg = np.zeros((c.shape[0], 1, SEG_S))
+    dcdz_seg = np.zeros((c.shape[0], 1, SEG_S))
+    if not has_cheb and (interp == "auto" or force_seg):
+        if seg_exact_order:
+            orders = [seg_order]
+        else:
+            orders = [o for o in SEG_ORDER_LADDER if o <= seg_order] or [seg_order]
+        c_mr = cp_mr = c_xr = cp_xr = np.inf
+        for order in orders:
+            c_seg_f, c_mr, c_xr = fit_profile_seg(c, z, order=order)
+            cp_seg_f, cp_mr, cp_xr = fit_profile_seg(dcdz, z, order=order)
+            if (c_mr < C_FIT_TOL and cp_mr < CP_FIT_TOL
+                    and c_xr < C_SEG_MAX_TOL and cp_xr < CP_SEG_MAX_TOL):
+                has_seg = True
+                c_seg, dcdz_seg = c_seg_f, cp_seg_f
+                break
+        if force_seg and not has_seg:
+            raise ValueError(
+                f"segment profile fit residuals too large (c: mean "
+                f"{c_mr:.2e}/max {c_xr:.2e} m/s, dc/dz: mean {cp_mr:.2e}/"
+                f"max {cp_xr:.2e} 1/s); use interp='table' or 'auto'."
+            )
 
     # bottom angle representation
     if bathy_r.shape[0] >= 2:
@@ -271,6 +329,8 @@ def make_env_data(
         bangle_cheb=dev(bangle_cheb),
         c_pow=dev(c_pow),
         dcdz_pow=dev(dcdz_pow),
+        c_seg=dev(c_seg),
+        dcdz_seg=dev(dcdz_seg),
         range_dependent=range_dependent,
         uniform_z=_is_uniform(z),
         uniform_r=_is_uniform(r),
@@ -282,6 +342,7 @@ def make_env_data(
         r_dom=(float(r[0]), float(r[-1])),
         bathy_r_dom=(float(bathy_r[0]), float(bathy_r[-1])),
         poly_ok=pow_ok,
+        has_seg=has_seg,
     )
 
 
@@ -332,6 +393,78 @@ def mirror_env_arrays(c, dcdz, r, bathy, bathy_r, bottom_angle):
         -bathy_r[::-1],
         -bottom_angle[::-1],
     )
+
+
+_MIRROR_CACHE = {}  # id(env) -> mirrored EnvData; evicted when env is GC'd
+
+
+def mirror_env_data(env: EnvData) -> EnvData:
+    """Mirror a device-resident ``EnvData`` about the range axis (x' = -x)
+    so a backwards shot integrates forward in the mirrored frame.
+
+    Device-pytree counterpart of ``mirror_env_arrays`` (reference behavior:
+    `/root/reference/src/pygenray/launch_rays.py:684-714`): coordinates
+    negate and reverse, fields reverse along range, bottom angles flip
+    sign.  The spectral/segment coefficient tables are DEPTH representations
+    — mirroring only reverses their station order — while the bottom-angle
+    Chebyshev series transforms as β'(u) = -β(-u) (``cheb_mirror``) and the
+    spline coefficients are re-expanded about the mirrored knots.  Memoized
+    per environment object (weakref-evicted), so repeated backwards shots
+    reuse one mirrored pytree.
+    """
+    import weakref
+
+    k = id(env)
+    got = _MIRROR_CACHE.get(k)
+    if got is not None:
+        return got
+
+    from .ops.cheb import cheb_mirror
+
+    flip_r = lambda a: a[::-1]
+    # not-a-knot spline coefficients about mirrored knots: with
+    # L_i = x_{i+1} - x_i and s'(dt') = -s(L_i - dt'), per interval
+    # c0' = -(c0 + c1 L + c2 L^2 + c3 L^3), c1' = c1 + 2 c2 L + 3 c3 L^2,
+    # c2' = -(c2 + 3 c3 L), c3' = c3 — then reverse the interval order.
+    coef = env.bangle_coef
+    if env.bathy_r.shape[0] >= 2 and coef.shape[0] == env.bathy_r.shape[0] - 1:
+        L = env.bathy_r[1:] - env.bathy_r[:-1]
+        c0, c1, c2, c3 = coef[:, 0], coef[:, 1], coef[:, 2], coef[:, 3]
+        mirrored_coef = jnp.stack(
+            [
+                -(c0 + c1 * L + c2 * L * L + c3 * L * L * L),
+                c1 + 2.0 * c2 * L + 3.0 * c3 * L * L,
+                -(c2 + 3.0 * c3 * L),
+                c3,
+            ],
+            axis=1,
+        )[::-1]
+    else:
+        mirrored_coef = -coef
+
+    got = dataclasses.replace(
+        env,
+        c=env.c[::-1],
+        dcdz=env.dcdz[::-1],
+        r=-flip_r(env.r),
+        bathy=flip_r(env.bathy),
+        bathy_r=-flip_r(env.bathy_r),
+        bottom_angle=-flip_r(env.bottom_angle),
+        bangle_coef=mirrored_coef,
+        c_cheb=env.c_cheb[::-1],
+        dcdz_cheb=env.dcdz_cheb[::-1],
+        bangle_cheb=-cheb_mirror(env.bangle_cheb),
+        c_pow=env.c_pow[::-1],
+        dcdz_pow=env.dcdz_pow[::-1],
+        c_seg=env.c_seg[::-1],
+        dcdz_seg=env.dcdz_seg[::-1],
+        bangle_const=-env.bangle_const,
+        r_dom=(-env.r_dom[1], -env.r_dom[0]),
+        bathy_r_dom=(-env.bathy_r_dom[1], -env.bathy_r_dom[0]),
+    )
+    _MIRROR_CACHE[k] = got
+    weakref.finalize(env, _MIRROR_CACHE.pop, k, None)
+    return got
 
 
 _HOST_TABLE_CACHE = {}  # id(env) -> (r, z, c); evicted when the env is GC'd

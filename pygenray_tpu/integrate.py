@@ -98,13 +98,24 @@ class TraceResult:
 
 
 def _use_cheb(env: EnvData, settings: SolverSettings) -> bool:
-    if settings.interp == "table":
+    if settings.interp in ("table", "seg"):
         return False
     if settings.interp == "cheb":
         if not env.has_cheb:
             raise ValueError("environment has no Chebyshev fit; use interp='auto'/'table'")
         return True
     return env.has_cheb
+
+
+def _use_seg(env: EnvData, settings: SolverSettings) -> bool:
+    """Piecewise-segment profile backend (ops/seg.py): the rough-field
+    fast path, used when the global spectral fit is absent."""
+    if settings.interp == "seg":
+        if not getattr(env, "has_seg", False):
+            raise ValueError("environment has no segment fit; use interp='auto'/'table'")
+        return True
+    return (settings.interp == "auto" and not env.has_cheb
+            and bool(getattr(env, "has_seg", False)))
 
 
 def _use_pow(env: EnvData, settings: SolverSettings, use_cheb: bool) -> bool:
@@ -121,10 +132,46 @@ def _spectral_tabs(env: EnvData, use_pow: bool):
     return env.c_cheb, env.dcdz_cheb
 
 
-def _make_eval(env: EnvData, use_cheb: bool, use_pow: bool = False):
+def _profile_tabs(env: EnvData, use_cheb: bool, use_pow: bool, use_seg: bool):
+    """Per-station tables for the active profile backend: (nr, K) spectral
+    coefficients, (nr, Ks, S) segment tiles, or (nr, nz) raw columns."""
+    if use_cheb:
+        return _spectral_tabs(env, use_pow)
+    if use_seg:
+        return env.c_seg, env.dcdz_seg
+    return env.c, env.dcdz
+
+
+def _make_eval(env: EnvData, use_cheb: bool, use_pow: bool = False,
+               use_seg: bool = False):
     """Returns ``(ev, ev_c)``: full ``(c, dcdz)`` and c-only evaluation of a
     station profile at batched depths."""
     zlo, zhi = env.z_dom
+
+    if use_seg:
+        # piecewise-segment backend: per-lane segment pick + local-u Horner
+        # (the Pallas kernel mirrors these expressions with in-kernel lane
+        # gathers; keep the arithmetic in lockstep)
+        S = env.c_seg.shape[-1]
+        S_f = float(S)
+        hinv = S_f / (zhi - zlo)
+
+        def _seg_u(z):
+            t = jnp.clip((z - zlo) * hinv, 0.0, S_f)
+            segf = jnp.minimum(jnp.floor(t), S_f - 1.0)
+            return segf.astype(jnp.int32), 2.0 * (t - segf) - 1.0
+
+        def ev(prof, z):
+            seg, u = _seg_u(z)
+            c = horner(u, jnp.swapaxes(prof[0], -1, -2)[seg])
+            cp = horner(u, jnp.swapaxes(prof[1], -1, -2)[seg])
+            return c, cp
+
+        def ev_c(prof, z):
+            seg, u = _seg_u(z)
+            return horner(u, jnp.swapaxes(prof[0], -1, -2)[seg])
+
+        return ev, ev_c
 
     if use_cheb:
         sc = 2.0 / (zhi - zlo)
@@ -160,16 +207,15 @@ def _make_eval(env: EnvData, use_cheb: bool, use_pow: bool = False):
     return ev, ev_c
 
 
-def _station_profile(env: EnvData, use_cheb: bool, x, use_pow: bool = False):
+def _station_profile(env: EnvData, use_cheb: bool, x, use_pow: bool = False,
+                     use_seg: bool = False):
     """Profile data at a scalar range station ``x`` (host of dynamic slices).
 
     Returns a pair ``(c_repr, dcdz_repr)``: spectral coefficient vectors
-    (K,) (monomial when ``use_pow``) or blended table columns (nz,).
+    (K,) (monomial when ``use_pow``), segment tiles (Ks, S), or blended
+    table columns (nz,).
     """
-    if use_cheb:
-        ctab, cptab = _spectral_tabs(env, use_pow)
-    else:
-        ctab, cptab = env.c, env.dcdz
+    ctab, cptab = _profile_tabs(env, use_cheb, use_pow, use_seg)
     if not env.range_dependent:
         return (ctab[0], cptab[0])
     i = interval_index(x, env.r, env.uniform_r)
@@ -280,7 +326,8 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
 
     use_cheb = _use_cheb(env, settings)
     use_pow = _use_pow(env, settings, use_cheb)
-    ev, ev_c = _make_eval(env, use_cheb, use_pow)
+    use_seg = _use_seg(env, settings)
+    ev, ev_c = _make_eval(env, use_cheb, use_pow, use_seg)
     sincos2b = _make_bangle(env)
     zlo, zhi = env.z_dom
     rlo, rhi = env.r_dom
@@ -315,14 +362,12 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
 
     data = {"x0": xs0, "b0": b0s, "b1": b1s, "oob": oob_step}
     if env.range_dependent:
-        if use_cheb:
-            ctab, cptab = _spectral_tabs(env, use_pow)
-        else:
-            ctab, cptab = env.c, env.dcdz
+        ctab, cptab = _profile_tabs(env, use_cheb, use_pow, use_seg)
 
         def blend_rows(x):
             i = interval_index(x, env.r, env.uniform_r)
-            w = ((x - env.r[i]) / (env.r[i + 1] - env.r[i]))[:, None]
+            w = (x - env.r[i]) / (env.r[i + 1] - env.r[i])
+            w = w.reshape(w.shape + (1,) * (ctab.ndim - 1))
             return (
                 (1.0 - w) * ctab[i] + w * ctab[i + 1],
                 (1.0 - w) * cptab[i] + w * cptab[i + 1],
@@ -336,10 +381,12 @@ def _trace_impl(env: EnvData, z0, p0, geom, settings: SolverSettings):
 
     data = jax.tree_util.tree_map(seg_reshape, data)
 
-    prof_static = None if env.range_dependent else _station_profile(env, use_cheb, jnp.asarray(x0, dtype), use_pow)
+    prof_static = None if env.range_dependent else _station_profile(
+        env, use_cheb, jnp.asarray(x0, dtype), use_pow, use_seg)
 
     # ---- initial state ---------------------------------------------------
-    prof0 = prof_static if prof_static is not None else _station_profile(env, use_cheb, jnp.asarray(x0, dtype), use_pow)
+    prof0 = prof_static if prof_static is not None else _station_profile(
+        env, use_cheb, jnp.asarray(x0, dtype), use_pow, use_seg)
     kT0, kz0, kp0, c_src = rhs(prof0, z0, p0)
     alive0 = (z0 >= zlo - btol) & (z0 <= zhi + btol)
     death0 = jnp.where(alive0, 0, 2).astype(jnp.int32)

@@ -47,30 +47,58 @@ def make_env_ensemble(
         make_env_data(c_ens[e], r, z, bathy, bathy_r, interp=interp, dtype=dtype, **kw)
         for e in range(E)
     ]
-    if interp != "table" and not all(p.has_cheb for p in probes):
+    kw2 = {k: v for k, v in kw.items()
+           if k not in ("cheb_order", "cheb_exact_order",
+                        "seg_order", "seg_exact_order")}
+    if interp not in ("table", "seg") and not all(p.has_cheb for p in probes):
         if interp == "cheb":
             raise ValueError(
                 "some realizations fail the Chebyshev fit guard; "
-                "use interp='table' for rough ensembles"
+                "use interp='seg' or 'table' for rough ensembles"
             )
-        interp = "table"  # auto mode: fall back uniformly
-        import warnings
+        # auto mode: piecewise-segment fast path before the gather cliff
+        try:
+            probes = [
+                make_env_data(c_ens[e], r, z, bathy, bathy_r, interp="seg",
+                              dtype=dtype, **kw2)
+                for e in range(E)
+            ]
+            interp = "seg"
+        except ValueError:
+            interp = "table"  # even the segment gates fail: exact tables
+            import warnings
 
-        warnings.warn(
-            "ensemble fell back to table interpolation; the vmapped "
-            "gather path is slow on TPU — consider raising cheb_order "
-            "or smoothing the realizations",
-            stacklevel=2,
-        )
+            warnings.warn(
+                "ensemble fell back to table interpolation (global AND "
+                "segment fit gates failed); the vmapped gather path is "
+                "slow on TPU — consider smoothing the realizations",
+                stacklevel=2,
+            )
+            probes = [
+                make_env_data(c_ens[e], r, z, bathy, bathy_r, interp="table", dtype=dtype, **kw)
+                for e in range(E)
+            ]
+    elif interp == "seg":
         probes = [
-            make_env_data(c_ens[e], r, z, bathy, bathy_r, interp="table", dtype=dtype, **kw)
+            make_env_data(c_ens[e], r, z, bathy, bathy_r, interp="seg",
+                          dtype=dtype, **kw2)
             for e in range(E)
         ]
-    if interp == "table" or not probes[0].has_cheb:
+
+    if probes[0].has_seg:
+        # align the per-realization segment orders so the pytrees stack
+        ks = max(p.c_seg.shape[1] for p in probes) - 1
+        envs = [
+            p if p.c_seg.shape[1] - 1 == ks else make_env_data(
+                c_ens[e], r, z, bathy, bathy_r, interp="seg", dtype=dtype,
+                seg_order=ks, seg_exact_order=True, **kw2,
+            )
+            for e, p in enumerate(probes)
+        ]
+    elif interp == "table" or not probes[0].has_cheb:
         envs = probes
     else:
         order = max(p.c_cheb.shape[1] for p in probes) - 1
-        kw2 = {k: v for k, v in kw.items() if k not in ("cheb_order", "cheb_exact_order")}
         # only refit members whose adaptive order differs from the shared
         # target (refitting everything doubled ensemble build time)
         envs = [
@@ -123,11 +151,12 @@ def trace_ensemble(
     p0 = jnp.asarray(p0)
     p_axis = 0 if p0.ndim == 2 else None
 
-    from .integrate import _use_cheb
+    from .integrate import _use_cheb, _use_seg
 
     E = env_ens.c.shape[0]
     B = p0.shape[-1]
-    if not _use_cheb(env_ens, settings) and E * B > TABLE_GATHER_RAY_CAP:
+    if (not _use_cheb(env_ens, settings) and not _use_seg(env_ens, settings)
+            and E * B > TABLE_GATHER_RAY_CAP):
         import warnings
 
         nchunks = -(-(E * B) // TABLE_GATHER_RAY_CAP)

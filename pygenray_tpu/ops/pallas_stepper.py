@@ -8,6 +8,12 @@ This kernel runs *every* step of *every* segment inside a single
 work is pure VPU arithmetic, and segment-boundary saves are DMA'd to HBM.
 
 Supported configurations (falls back to the XLA path otherwise):
+- piecewise-SEGMENT profiles (rough fields, ``ops/seg.py``): per-lane
+  segment pick + local Horner via Mosaic's single-tile lane gather
+  (``take_along_axis``) — range-independent via (K, 128) VMEM tables,
+  range-dependent by keeping the full (nr, K, 128) station tables in VMEM
+  and blending the two bracketing stations into a scratch tile once per
+  step (station index/weights ride in SMEM),
 - spectral (Chebyshev) profiles, range-independent or range-dependent —
   for the latter the per-step blended station coefficients are precomputed
   outside the kernel (same values as the XLA path's scan inputs), packed
@@ -33,6 +39,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.seg import SEG_S
 from ..utils.cache import LRUCache, env_struct_key
 
 _TINY = 1e-30
@@ -43,9 +50,28 @@ _TINY = 1e-30
 ST_BLOCK_W = 8
 
 
+def seg_kernel_ok(env, settings) -> bool:
+    """True when the piecewise-segment kernel mode can run this env:
+    the segment fit exists and is selected, and (range-dependent case)
+    the full station tables fit comfortably in VMEM alongside the ray
+    state, with the per-step index/weight rows within SMEM reach."""
+    from ..integrate import _use_seg
+
+    try:
+        if not _use_seg(env, settings):
+            return False
+    except ValueError:
+        return False
+    if env.range_dependent:
+        nr, Ks, S = env.c_seg.shape
+        if 2 * nr * Ks * S * 4 > 6 * 1024 * 1024:  # c + dcdz tables in VMEM
+            return False
+    return True
+
+
 def pallas_supported(env, settings, use_cheb: bool) -> bool:
     return (
-        use_cheb
+        (use_cheb or seg_kernel_ok(env, settings))
         and env.bangle_mode in ("const", "cheb")
         and env.c.dtype == jnp.float32  # Mosaic has no f64 path
     )
@@ -103,11 +129,28 @@ def _poly_fn(use_pow: bool):
     return _horner if use_pow else _clenshaw
 
 
+def _seg_horner(read, K, seg, u):
+    """Local-u Horner with per-lane segment coefficient picks.
+
+    ``read(k)`` returns the (128,) lane=segment coefficient row; each term
+    costs one single-tile ``take_along_axis`` (Mosaic dynamic_gather —
+    measured at scalar-Horner throughput) plus one fma."""
+    def pick(k):
+        row = jnp.broadcast_to(read(k)[None, :], seg.shape)
+        return jnp.take_along_axis(row, seg, axis=-1)
+
+    acc = jnp.zeros_like(u) + pick(K - 1)
+    for k in range(K - 2, -1, -1):
+        acc = acc * u + pick(k)
+    return acc
+
+
 def _vmem_reader(ref, pre=()):
     return lambda k: ref[(*pre, k)]
 
 
-def _launch_consts(env, settings, x0, h, nsteps, rd, use_pow):
+def _launch_consts(env, settings, x0, h, nsteps, rd, use_pow,
+                   use_seg=False):
     """The static per-launch constants tuple shared by every kernel, plus
     the per-step x-out-of-domain flags precomputed on the host in float64
     (on-device f32 x0 + k*h arithmetic carries ~mm of rounding over 100 km
@@ -132,7 +175,7 @@ def _launch_consts(env, settings, x0, h, nsteps, rd, use_pow):
         math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
         env.bathy_r_dom[0], env.bathy_r_dom[1],
         settings.terminate_backwards, any_x_oob, rd, use_pow,
-        bool(settings.kahan),
+        bool(settings.kahan), bool(use_seg),
     )
     return consts, xoob
 
@@ -161,32 +204,68 @@ def _station_step_handles(k, STW, nblk, st_dma_blk, st_handle, KP):
 def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan,
+     use_seg) = consts
 
     _nblk = -(-(nseg * sps) // STW)
 
     def kernel(
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
-        xoob_ref, st_tab_ref,
+        xoob_ref, st_tab_ref, stiw_ref,
         ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out, dseg_out,
         T_s, Tc_s, z_s, zc_s, p_s, kT_s, kz_s, kp_s, al_s, ns_s, nb_s, de_s,
-        ds_s, bd_s, stage_s, st_s, sti_s, sem, stsem, stisem,
+        ds_s, bd_s, stage_s, st_s, sti_s, sem, stsem, stisem, stb_s,
     ):
         ib = pl.program_id(0)
 
         # station handle: (read_c, read_cp) coefficient readers; the
-        # evaluator is Horner on monomial rows when poly_ok, else Clenshaw
+        # evaluator is Horner on monomial rows when poly_ok, Clenshaw
+        # otherwise — or, in segment mode, per-lane gathered local Horner
+        # (readers then return lane=segment rows; keep the arithmetic in
+        # lockstep with integrate._make_eval's seg branch)
         _poly = _poly_fn(use_pow)
 
-        def ev(st, zq):
-            rc, rcp = st
-            u = jnp.clip(sc * zq - off, -1.0, 1.0)
-            return _poly(u, rc, K), _poly(u, rcp, K)
+        if use_seg:
+            S_f = float(SEG_S)
+            seg_hinv = S_f / (zhi - zlo)
 
-        def ev_c(st, zq):
-            rc, _ = st
-            u = jnp.clip(sc * zq - off, -1.0, 1.0)
-            return _poly(u, rc, K)
+            def _seg_coords(zq):
+                t = jnp.clip((zq - zlo) * seg_hinv, 0.0, S_f)
+                segf = jnp.minimum(jnp.floor(t), S_f - 1.0)
+                return segf.astype(jnp.int32), 2.0 * (t - segf) - 1.0
+
+            def ev(st, zq):
+                rc, rcp = st
+                seg, u = _seg_coords(zq)
+                return (_seg_horner(rc, K, seg, u),
+                        _seg_horner(rcp, K, seg, u))
+
+            def ev_c(st, zq):
+                rc, _ = st
+                seg, u = _seg_coords(zq)
+                return _seg_horner(rc, K, seg, u)
+
+            def blend_station(dst, i, w):
+                # blend the two bracketing station tiles into the scratch
+                # planes once per step (dst, dst+1 = c, dcdz); dynamic
+                # leading-dim VMEM reads of the resident (nr, K, 128)
+                # tables
+                for kk in range(K):
+                    stb_s[dst, kk] = ((1.0 - w) * ccoef_ref[i, kk]
+                                      + w * ccoef_ref[i + 1, kk])
+                    stb_s[dst + 1, kk] = ((1.0 - w) * cpcoef_ref[i, kk]
+                                          + w * cpcoef_ref[i + 1, kk])
+        else:
+
+            def ev(st, zq):
+                rc, rcp = st
+                u = jnp.clip(sc * zq - off, -1.0, 1.0)
+                return _poly(u, rc, K), _poly(u, rcp, K)
+
+            def ev_c(st, zq):
+                rc, _ = st
+                u = jnp.clip(sc * zq - off, -1.0, 1.0)
+                return _poly(u, rc, K)
 
         def rhs(st, zq, pq):
             c, cp = ev(st, zq)
@@ -213,7 +292,10 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
             )
 
         # ---- init -------------------------------------------------------
-        if rd:
+        if rd and use_seg:
+            blend_station(0, stiw_ref[0, 0].astype(jnp.int32), stiw_ref[0, 1])
+            st_init = (lambda j: stb_s[0, j], lambda j: stb_s[1, j])
+        elif rd:
             cp0 = pltpu.make_async_copy(st_tab_ref.at[0], sti_s, stisem)
             cp0.start()
             cp0.wait()
@@ -277,7 +359,14 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
             kp1 = kp_s[...]
             alive = al_s[...] > 0.5
 
-            if rd:
+            if rd and use_seg:
+                blend_station(0, stiw_ref[1 + k, 0].astype(jnp.int32),
+                              stiw_ref[1 + k, 1])
+                blend_station(2, stiw_ref[1 + k, 2].astype(jnp.int32),
+                              stiw_ref[1 + k, 3])
+                st_m = (lambda j: stb_s[0, j], lambda j: stb_s[1, j])
+                st_1 = (lambda j: stb_s[2, j], lambda j: stb_s[3, j])
+            elif rd:
                 st_m, st_1 = _station_step_handles(
                     k, STW, _nblk, st_dma_blk, st_handle, KP
                 )
@@ -475,7 +564,8 @@ def _make_step_math(consts, K, Kb, hs):
     mega-kernel's step_body; jax.jvp is applied OVER this function, so the
     tangent arithmetic can never drift from the primal."""
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan,
+     use_seg) = consts
 
     def step_math(rhs, ev, bacoef_read, st_m, st_1, b0, b1, x0f, upd,
                   T, z, p, kT1, kz1, kp1):
@@ -567,7 +657,8 @@ def _make_step_math(consts, K, Kb, hs):
 def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan,
+     use_seg) = consts
 
     STW = ST_BLOCK_W
     _nblk = -(-nsteps // STW)
@@ -937,7 +1028,8 @@ def _make_coef_kernel(geom, consts, K, KP, Kb, nsteps):
     domain, see adjoint.travel_time_jacobian)."""
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
-     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan) = consts
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan,
+     use_seg) = consts
     assert not rd
 
     def kernel(
@@ -1338,6 +1430,8 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
     from ..integrate import TraceResult
     from ..ops.interp import interval_index, linear_interp
 
+    from ..integrate import _use_cheb, _use_seg
+
     x0, x1, h, sps, nseg = geom
     nsteps = sps * nseg
     dtype = jnp.float32
@@ -1350,13 +1444,26 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
     p0p = jnp.pad(p0, (0, Bpad - B)).reshape(nblocks, R, 128)
     z0p = jnp.pad(z0v, (0, Bpad - B)).reshape(nblocks, R, 128)
 
-    K = env.c_cheb.shape[1]
     rd = bool(env.range_dependent)
-    use_pow = bool(env.poly_ok)
+    use_cheb = _use_cheb(env, settings)
+    use_seg = (not use_cheb) and _use_seg(env, settings)
+    use_pow = use_cheb and bool(env.poly_ok)
     rep = lambda a: jnp.broadcast_to(a.astype(dtype)[:, None], (a.shape[0], 128))
-    ctab0, cptab0 = (env.c_pow, env.dcdz_pow) if use_pow else (env.c_cheb, env.dcdz_cheb)
-    ccoef = rep(ctab0[0])  # (K, 128) lane-replicated
-    cpcoef = rep(cptab0[0])
+    if use_seg:
+        # lane = segment tables: (K, 128) for range-independent, the full
+        # (nr, K, 128) station tables resident in VMEM for range-dependent
+        K = env.c_seg.shape[1]
+        if rd:
+            ccoef = env.c_seg.astype(dtype)
+            cpcoef = env.dcdz_seg.astype(dtype)
+        else:
+            ccoef = env.c_seg[0].astype(dtype)
+            cpcoef = env.dcdz_seg[0].astype(dtype)
+    else:
+        K = env.c_cheb.shape[1]
+        ctab0, cptab0 = (env.c_pow, env.dcdz_pow) if use_pow else (env.c_cheb, env.dcdz_cheb)
+        ccoef = rep(ctab0[0])  # (K, 128) lane-replicated
+        cpcoef = rep(cptab0[0])
     Kb = env.bangle_cheb.shape[0]
     bacoef = rep(env.bangle_cheb)
 
@@ -1371,14 +1478,39 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
 
     KP = -(-K // 128) * 128  # station rows padded to the lane tile for DMA
     STW = ST_BLOCK_W  # steps per station-DMA block
-    if rd:
+    if rd and not use_seg:
         st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow)
         nblk = -(-nsteps // STW)
         st_tab = jnp.pad(st_tab, ((0, 1 + nblk * STW - st_tab.shape[0]), (0, 0), (0, 0)))
     else:
         st_tab = jnp.zeros((1, 1, 4 * KP), dtype)
 
-    consts, xoob64 = _launch_consts(env, settings, x0, h, nsteps, rd, use_pow)
+    if rd and use_seg:
+        # per-step station interval index + blend weight rows for SMEM:
+        # row 0 = the x0 init planes, row 1+k = step k's [i_m, w_m, i_1, w_1]
+        # (indices as floats; nr < 2^24 so the int round-trip is exact)
+        from ..ops.interp import interval_index
+
+        def iw(x):
+            i = interval_index(x, env.r, env.uniform_r)
+            w = (x - env.r[i]) / (env.r[i + 1] - env.r[i])
+            return i.astype(dtype), w.astype(dtype)
+
+        i0_, w0_ = iw(jnp.asarray([x0], dtype))
+        im_, wm_ = iw(xsm)
+        i1_, w1_ = iw(xs1)
+        stiw = jnp.concatenate(
+            [
+                jnp.stack([i0_, w0_, jnp.zeros_like(i0_), jnp.zeros_like(w0_)], 1),
+                jnp.stack([im_, wm_, i1_, w1_], 1),
+            ],
+            axis=0,
+        )
+    else:
+        stiw = jnp.zeros((1, 4), dtype)
+
+    consts, xoob64 = _launch_consts(env, settings, x0, h, nsteps, rd, use_pow,
+                                    use_seg)
     any_x_oob = consts[14]
     xoob = (
         jnp.broadcast_to(
@@ -1414,6 +1546,8 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,  # init-row copy
+            # segment-mode blended station planes [c_m, cp_m, c_1, cp_1]
+            pltpu.VMEM((4, K, 128) if (rd and use_seg) else (1, 1, 128), dtype),
         ]
     )
 
@@ -1430,6 +1564,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
         vmem_full,  # b1s
         vmem_full,  # xoob (host-f64 per-step domain-exit flags)
         pl.BlockSpec(memory_space=pl.ANY),  # st_tab (DMA'd per step)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # stiw (seg station idx/weights)
     ]
     out_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),  # save grids stay off-chip
@@ -1450,7 +1585,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, st_tab)
+    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, st_tab, stiw)
 
     def unblock(a):  # (num_save, nblocks, R, 128) -> (B, num_save)
         return a.reshape(num_save, Bpad).T[:B]

@@ -1,0 +1,159 @@
+"""Piecewise-segment spectral profiles — the TPU fast path for ROUGH fields.
+
+The global Chebyshev representation (``ops.cheb``) covers smooth profiles;
+fields with fine vertical structure (measured/perturbed profiles, the
+Monte-Carlo tomography use case) fail its fit guard and used to fall back
+to exact table interpolation — gather-bound, ~50x slower on TPU and
+chip-faulting above ~131k vmapped rays (reference semantics:
+`/root/reference/src/pygenray/integration_processes.py:101-174`).
+
+This module fits each profile column with an independent low-order
+polynomial per depth SEGMENT: the domain [z0, z1] is split into
+``SEG_S = 128`` uniform segments — exactly one TPU vector lane per segment
+— so the coefficient table of one station is a (K, 128) tile and the
+in-kernel evaluation is pure lane arithmetic:
+
+    seg  = floor((z - z0) / h_seg)             (per-lane integer)
+    u    = local coordinate in [-1, 1]
+    c(z) = Horner_k( coef[k][seg], u )         (K lane-gathers + K fmas)
+
+The per-lane coefficient pick uses Mosaic's single-tile ``take_along_axis``
+(dynamic_gather) — measured at the same throughput as the scalar-broadcast
+Horner of the global spectral path, so rough fields trace at full kernel
+speed.  Effective vertical resolution is 128 x K (up to ~4096 for K = 32),
+~16x the order-255 global fit.
+
+Fits are least squares against the table's piecewise-LINEAR interpolant
+(what the reference actually integrates through), sampled densely per
+segment.  Acceptance is gated on the travel-time-relevant error: the
+residual's MEAN over each table grid interval (what accumulates into
+travel times along a ray) must meet the same tolerance as the global
+spectral guard, while the pointwise oscillatory part — the unavoidable
+within-interval difference between any smooth interpolant and the
+piecewise-linear one, which cancels along a ray crossing many intervals —
+gets a looser cap.  An end-to-end rough-field parity test against the f64
+table path pins the resulting travel-time agreement.  Coefficients are
+stored in the MONOMIAL basis of the local coordinate (1 fma per term);
+the audit evaluates exactly like the device (f32 Horner) so acceptance
+covers device conditioning too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["SEG_S", "fit_profile_seg", "seg_eval_np"]
+
+SEG_S = 128  # depth segments per profile == TPU lane count
+
+
+def _local_nodes(n: int) -> np.ndarray:
+    """Dense local sample pattern in [0, 1]: Chebyshev points plus the
+    endpoints (shared by every segment so one pseudoinverse serves all)."""
+    k = np.arange(n)
+    cheb = 0.5 * (1.0 - np.cos(np.pi * (k + 0.5) / n))
+    return np.unique(np.concatenate([cheb, [0.0, 1.0]]))
+
+
+def fit_profile_seg(c, z, order: int, n_audit: int = 24):
+    """Per-segment monomial fit of every range-station column of c(r, z).
+
+    Parameters
+    ----------
+    c : (nr, nz) table (sound speed or dc/dz)
+    z : (nz,) increasing depth grid
+    order : per-segment polynomial order (K - 1)
+    n_audit : uniform audit points per segment for the residual
+
+    Returns
+    -------
+    coef : (nr, K, SEG_S) float64 — monomial coefficients in the local
+        coordinate u in [-1, 1] of each segment (lane = segment)
+    mean_resid : worst magnitude of the residual averaged over any table
+        grid interval — the systematic component that accumulates into
+        travel times (gate this against the spectral-fit tolerance)
+    max_resid : worst pointwise residual on the audit grid — the
+        oscillatory component (cancels along rays; gate loosely).  Both
+        residuals use the f32 Horner device evaluation, so acceptance
+        covers evaluation conditioning, not just the f64 fit.
+    """
+    c = np.atleast_2d(np.asarray(c, np.float64))
+    z = np.asarray(z, np.float64)
+    nr, nz = c.shape
+    K = order + 1
+    zlo, zhi = z[0], z[-1]
+    h_seg = (zhi - zlo) / SEG_S
+
+    # one design matrix for every segment (same local node pattern);
+    # least squares in the Chebyshev basis (well-conditioned at any K),
+    # converted to local monomials afterwards
+    import numpy.polynomial.chebyshev as ncheb
+
+    tloc = _local_nodes(max(3 * K, 16))  # (nd,) in [0, 1]
+    u = 2.0 * tloc - 1.0
+    A = ncheb.chebvander(u, K - 1)  # (nd, K)
+    pinv = np.linalg.pinv(A)  # (K, nd)
+
+    # sample the piecewise-linear interpolant at every segment's nodes
+    seg_lo = zlo + h_seg * np.arange(SEG_S)  # (S,)
+    zq = (seg_lo[:, None] + h_seg * tloc[None, :]).ravel()  # (S * nd,)
+    ys = np.empty((nr, zq.shape[0]))
+    for i in range(nr):
+        ys[i] = np.interp(zq, z, c[i])
+    ys = ys.reshape(nr, SEG_S, tloc.shape[0])  # (nr, S, nd)
+
+    cheb_coef = np.einsum("kd,rsd->rks", pinv, ys)  # (nr, K, S)
+    M = _cheb2poly_matrix(K)  # poly = M @ cheb
+    coef = np.einsum("jk,rks->rjs", M, cheb_coef)  # (nr, K, S) monomial
+
+    # audit on a dense uniform grid, evaluated exactly the way the device
+    # will: f32 Horner on f32 coefficients
+    ta = (np.arange(SEG_S * n_audit) + 0.5) / (n_audit * SEG_S)  # in (0,1)
+    za = zlo + (zhi - zlo) * ta
+    ref = np.empty((nr, za.shape[0]))
+    for i in range(nr):
+        ref[i] = np.interp(za, z, c[i])
+    got32 = seg_eval_np(coef.astype(np.float32), za.astype(np.float32),
+                        zlo, zhi, np.float32)
+    resid = got32.astype(np.float64) - ref  # (nr, nq)
+    max_resid = float(np.max(np.abs(resid)))
+
+    # segment-window mean residual: what a ray crossing (or lingering in)
+    # a ~h_seg depth window accumulates into its travel time.  The
+    # sub-window oscillatory part — any smooth interpolant vs the
+    # piecewise-linear one — cancels along rays and is gated only by
+    # max_resid.
+    mean_resid = float(
+        np.max(np.abs(resid.reshape(nr, SEG_S, n_audit).mean(axis=2)))
+    )
+    return coef, mean_resid, max_resid
+
+
+def _cheb2poly_matrix(K: int) -> np.ndarray:
+    import numpy.polynomial.chebyshev as ncheb
+
+    M = np.zeros((K, K))
+    for k in range(K):
+        e = np.zeros(K)
+        e[k] = 1.0
+        p = ncheb.cheb2poly(e)
+        M[: len(p), k] = p
+    return M
+
+
+def seg_eval_np(coef, zq, zlo, zhi, dtype=np.float64):
+    """Host evaluation of a segment fit — mirrors the device arithmetic
+    (clamped segment pick, local-u Horner).  ``coef`` is (..., K, S)."""
+    coef = np.asarray(coef, dtype)
+    zq = np.asarray(zq, dtype)
+    S = coef.shape[-1]
+    K = coef.shape[-2]
+    hinv = dtype(S / (zhi - zlo))
+    t = np.clip((zq - dtype(zlo)) * hinv, dtype(0.0), dtype(S))
+    segf = np.minimum(np.floor(t), dtype(S - 1))
+    u = dtype(2.0) * (t - segf) - dtype(1.0)
+    seg = segf.astype(np.int32)
+    acc = coef[..., K - 1, :][..., seg].astype(dtype)
+    for k in range(K - 2, -1, -1):
+        acc = acc * u + coef[..., k, :][..., seg]
+    return acc

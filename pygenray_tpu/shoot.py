@@ -47,10 +47,11 @@ def settings_for(rtol=1e-9, dx=None, interp="auto", terminate_backwards=True,
 def _resolve_env(environment, flatearth, mirrored, interp, dtype):
     if isinstance(environment, EnvData):
         if mirrored:
-            raise ValueError(
-                "backwards shots need a host environment to mirror; pass an "
-                "OceanEnvironment2D"
-            )
+            # device-pytree mirror (memoized per env object); matches the
+            # reference's host-array mirroring, launch_rays.py:684-714
+            from .envdata import mirror_env_data
+
+            return mirror_env_data(environment)
         return environment
     return environment.env_data(
         flatearth=flatearth, mirrored=mirrored, interp=interp, dtype=dtype

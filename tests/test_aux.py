@@ -304,3 +304,87 @@ class TestReviewRegressions:
             expect = np.degrees(np.arcsin(np.clip(
                 er.ps[0][k, -1] * c_rcv, -1, 1)))
             assert abs(er.received_angles[0][k] - expect) < 0.05
+
+
+class TestEnvDataBackwards:
+    """Bare-EnvData backwards shots: the device pytree is mirrored directly
+    (``mirror_env_data``) — must match the host-array mirroring used by
+    OceanEnvironment2D inputs (reference: launch_rays.py:684-714)."""
+
+    def _rd_env_arrays(self, bangle_rough=False):
+        z = np.linspace(0, 5000, 300)
+        r = np.linspace(0, 40e3, 24)
+        c = np.outer(1.0 + 1e-3 * np.linspace(0, 1, 24), pr.munk_ssp(z))
+        if bangle_rough:
+            # forces bangle_mode="spline" (cubic spline too wiggly for cheb)
+            rng = np.random.RandomState(3)
+            bathy = 4500.0 + 150.0 * np.cumsum(rng.randn(24)) / 5.0
+        else:
+            bathy = np.linspace(4400.0, 4800.0, 24)
+        return c, r, z, bathy
+
+    @pytest.mark.parametrize("bangle_rough", [False, True])
+    def test_mirror_env_data_matches_host_mirror(self, bangle_rough):
+        from pygenray_tpu.envdata import make_env_data, mirror_env_arrays, mirror_env_data
+
+        c, r, z, bathy = self._rd_env_arrays(bangle_rough)
+        env = make_env_data(c, r, z, bathy, r, dtype="float64")
+        dev = mirror_env_data(env)
+        ci, cpi, ri, bi, bri, bai = mirror_env_arrays(
+            np.asarray(env.c), np.asarray(env.dcdz), np.asarray(env.r),
+            np.asarray(env.bathy), np.asarray(env.bathy_r),
+            np.asarray(env.bottom_angle),
+        )
+        host = make_env_data(ci, ri, z, bi, bri, bottom_angle=bai,
+                             dcdz=cpi, dtype="float64")
+        assert dev.bangle_mode == host.bangle_mode
+        np.testing.assert_allclose(np.asarray(dev.c), np.asarray(host.c))
+        np.testing.assert_allclose(np.asarray(dev.r), np.asarray(host.r))
+        np.testing.assert_allclose(np.asarray(dev.bottom_angle),
+                                   np.asarray(host.bottom_angle))
+        assert dev.r_dom == host.r_dom and dev.bathy_r_dom == host.bathy_r_dom
+        # bottom-angle model evaluates identically in the mirrored frame
+        from pygenray_tpu.integrate import _make_bangle
+
+        xq = np.linspace(dev.bathy_r_dom[0], dev.bathy_r_dom[1], 64)
+        sd, cd = _make_bangle(dev)(xq)
+        sh, ch = _make_bangle(host)(xq)
+        np.testing.assert_allclose(np.asarray(sd), np.asarray(sh),
+                                   rtol=0, atol=5e-8)
+        np.testing.assert_allclose(np.asarray(cd), np.asarray(ch),
+                                   rtol=0, atol=5e-8)
+
+    def test_backwards_shot_bare_envdata(self):
+        """shoot_rays with receiver < source now accepts a bare EnvData and
+        matches the OceanEnvironment2D backwards path exactly."""
+        from pygenray_tpu.envdata import make_env_data
+
+        c, r, z, bathy = self._rd_env_arrays()
+        env = make_env_data(c, r, z, bathy, r, dtype="float64")
+        angles = np.linspace(-8, 8, 17)
+        fan = pr.shoot_rays(1200.0, 40e3, angles, 0.0, 8, env,
+                            flatearth=False, dx=200.0, dtype="float64")
+        assert len(fan) == 17
+        # forward shot in the manually mirrored env must agree
+        from pygenray_tpu.envdata import mirror_env_data
+
+        fan_f = pr.shoot_rays(1200.0, -40e3, angles, 0.0, 8,
+                              mirror_env_data(env), flatearth=False,
+                              dx=200.0, dtype="float64")
+        np.testing.assert_allclose(fan.ts, fan_f.ts, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(fan.zs, fan_f.zs, rtol=0, atol=1e-12)
+        np.testing.assert_array_equal(fan.n_botts, fan_f.n_botts)
+
+    def test_backwards_eigenrays_bare_envdata(self):
+        from pygenray_tpu.envdata import make_env_data
+
+        c, r, z, bathy = self._rd_env_arrays()
+        env = make_env_data(c, r, z, bathy, r, dtype="float64")
+        angles = np.linspace(-10, 10, 41)
+        fan = pr.shoot_rays(1200.0, 40e3, angles, 0.0, 8, env,
+                            flatearth=False, dx=200.0, dtype="float64")
+        er = pr.find_eigenrays(fan, [1200.0], 1200.0, 40e3, 0.0, 8, env,
+                               ztol=1.0, flatearth=False, dx=200.0,
+                               dtype="float64")
+        assert er.num_eigenrays_found[0] >= 1
+        assert np.all(np.abs(er.zs[0][:, -1] + 1200.0) < 1.0)
