@@ -177,22 +177,28 @@ def travel_time_jacobian_2d(
     x0: float,
     x1: float,
     settings: SolverSettings = SolverSettings(),
+    mode: str = "auto",
 ):
     """∂T_end/∂(c coefficients) for a *range-dependent* field: (B, nr, K).
 
     Differentiates through the per-range-station spectral coefficients —
-    the full 2D tomography forward operator.  Cost: nr·K forward tangents;
-    use small eigenray batches and modest grids.  The dc/dz coefficients
-    are chained consistently per station.
+    the full 2D tomography forward operator, with the dc/dz coefficients
+    chained consistently per station.
+
+    ``mode``: "auto" (default) runs the whole (B, nr, K) Jacobian as ONE
+    Pallas launch on supported configurations (range-dependent f32
+    spectral fits on TPU) — grid block (j, k) advances the forward tangent
+    along station j's coefficient direction k, with the tangent station
+    rows synthesized in-kernel from scalar hat weights — and otherwise
+    falls back to "fwd" (jax.jacfwd through the XLA scan; nr·K tangent
+    passes).
     """
     if not _use_cheb(env, settings):
         raise ValueError("travel_time_jacobian_2d requires a spectral environment")
 
     h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
     geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
-    settings = dataclasses.replace(
-        settings, backend="xla", kahan=False
-    )
+    settings_x = dataclasses.replace(settings, backend="xla", kahan=False)
 
     nr, K = env.c_cheb.shape
     zlo, zhi = env.z_dom
@@ -202,15 +208,65 @@ def travel_time_jacobian_2d(
     cc0 = env.c_cheb
     cp_offset = env.dcdz_cheb - cc0 @ D.T
 
+    if mode in ("auto", "kernel"):
+        from .ops.pallas_stepper import tangent_supported
+
+        on_tpu = jax.default_backend() == "tpu"
+        s_k = dataclasses.replace(settings_x, kahan=False)
+        kernel_ok = (
+            settings.backend != "xla"
+            and env.range_dependent
+            and tangent_supported(env, s_k, True)
+            and (on_tpu or settings.backend == "pallas" or mode == "kernel")
+        )
+        if kernel_ok:
+            T_end, dT = _coef_kernel_rd_cached(
+                env, z0, p0,
+                jnp.eye(K, dtype=jnp.float32),
+                D.T.astype(jnp.float32),  # row k = D @ e_k
+                geom, s_k, not on_tpu,
+            )
+            return T_end, jnp.moveaxis(dT, -1, 0)  # (B, nr, K)
+        if mode == "kernel":
+            raise ValueError("RD coefficient-tangent kernel unsupported here")
+
     def T_of(cc):
         env2 = dataclasses.replace(env, c_cheb=cc, dcdz_cheb=cp_offset + cc @ D.T,
                                    poly_ok=False)
-        res = _trace_impl(env2, z0, p0, geom, settings)
+        res = _trace_impl(env2, z0, p0, geom, settings_x)
         return res.ts[:, -1]
 
     T_end = T_of(cc0)
     jac = jax.jit(jax.jacfwd(T_of))(cc0)  # (B, nr, K)
     return T_end, jac
+
+
+_COEF_RD_CACHE = None
+
+
+def _coef_kernel_rd_cached(env, z0, p0, dcoef, dcpcoef, geom, settings, interpret):
+    """Memoized jitted launcher for the RD coefficient-tangent kernel."""
+    global _COEF_RD_CACHE
+    from .utils.cache import LRUCache, env_struct_key
+
+    if _COEF_RD_CACHE is None:
+        _COEF_RD_CACHE = LRUCache(64)
+    from .ops.pallas_stepper import trace_pallas_coef_tangent_rd
+
+    def run(envarg, zz, p, dc, dcp):
+        outs = trace_pallas_coef_tangent_rd(
+            envarg, zz, p, dc, dcp, geom, settings, interpret=interpret
+        )
+        return outs[0], outs[3]  # T_end (B,), dT (nr, Dk, B)
+
+    z0a = jnp.asarray(z0, jnp.float32)
+    key = (env_struct_key(env), geom, settings, p0.shape, dcoef.shape,
+           z0a.shape, bool(interpret))
+    fn = _COEF_RD_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(run)
+        _COEF_RD_CACHE.put(key, fn)
+    return fn(env, z0a, p0, dcoef, dcpcoef)
 
 
 def fermat_jacobian(

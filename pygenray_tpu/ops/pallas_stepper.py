@@ -1270,6 +1270,317 @@ def trace_pallas_coef_tangent(env, z0, p0, dcoef, dcpcoef, geom, settings,
             first(ns), first(nb), first(dc))
 
 
+
+def _make_coef_kernel_rd(geom, consts, K, KP, Kb, nsteps, STW=ST_BLOCK_W):
+    """Forward tangent along a RANGE-DEPENDENT coefficient direction:
+    grid block d = (station j, coefficient k) advances the primal and the
+    tangent d(state)/d(alpha) where station j's sound-speed Chebyshev
+    coefficients are perturbed c_cheb[j] + alpha * e_k (dcdz chained).
+
+    The per-step blended profile is (1-w) ctab[i] + w ctab[i+1], so the
+    tangent station row is hat_j(step) * e_k with the scalar hat weight
+    hat_j = (1-w)[i==j] + w[i+1==j] computed from the SMEM station
+    index/weight rows — no per-direction station tables, just the one
+    primal SMEM-DMA stream every block shares plus one (2 KP) direction
+    row per block.  This is the engine of the 2D (range-dependent)
+    spectral travel-time Jacobian (adjoint.travel_time_jacobian_2d).
+    Chebyshev evaluation only: unit coefficient directions are
+    f32-catastrophic in the monomial basis (see trace_pallas_coef_tangent).
+    """
+    x0g, x1g, h = geom
+    (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
+     b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan,
+     use_seg) = consts
+    assert rd and not use_pow and not use_seg
+
+    _nblk = -(-nsteps // STW)
+
+    def kernel(
+        nkd_ref, p0_ref, z0_ref, bacoef_ref, b0s_ref, b1s_ref, xoob_ref,
+        st_tab_ref, stiw_ref, dtab_ref,
+        T_out, z_out, p_out, dT_out, dz_out, dp_out,
+        nsurf_out, nbott_out, death_out,
+        T_s, z_s, p_s, kT_s, kz_s, kp_s,
+        dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
+        al_s, ns_s, nb_s, de_s, st_s, sti_s, dt_s,
+        stsem, stisem, dtsem,
+    ):
+        ib = pl.program_id(0)
+        nkd = nkd_ref[0]
+        j_st = lax.div(ib, nkd)  # perturbed station
+        k_dir = lax.rem(ib, nkd)  # coefficient direction
+
+        # direction row [e_k | D @ e_k] into SMEM
+        cpd = pltpu.make_async_copy(dtab_ref.at[k_dir], dt_s, dtsem)
+        cpd.start()
+        cpd.wait()
+
+        def st_dma_blk(jb, slot):
+            return pltpu.make_async_copy(
+                st_tab_ref.at[pl.ds(1 + jb * STW, STW)],
+                st_s.at[slot], stsem.at[slot],
+            )
+
+        def st_handle(slot, row, base):
+            return (
+                lambda kk: st_s[slot, row, 0, base + kk],
+                lambda kk: st_s[slot, row, 0, base + KP + kk],
+            )
+
+        def hat(i, w):
+            # d(blended row)/d(station j): (1-w) on i==j, w on i+1==j
+            return jnp.where(i == j_st, 1.0 - w,
+                             jnp.where(i == j_st - 1, w, 0.0))
+
+        def perturbed(st, hatv, eps):
+            rc, rcp = st
+            return (
+                lambda kk: rc(kk) + (eps * hatv) * dt_s[0, kk],
+                lambda kk: rcp(kk) + (eps * hatv) * dt_s[0, KP + kk],
+            )
+
+        def ev(st, zq):
+            rc, rcp = st
+            u = jnp.clip(sc * zq - off, -1.0, 1.0)
+            return _clenshaw(u, rc, K), _clenshaw(u, rcp, K)
+
+        def rhs(st, zq, pq):
+            c, cp = ev(st, zq)
+            q = c * pq
+            inv_s = lax.rsqrt(jnp.maximum(1.0 - q * q, _TINY))
+            invc = 1.0 / c
+            return inv_s * invc, q * inv_s, -cp * inv_s * invc * invc, c
+
+        hs = jnp.float32(h)
+        step_math = _make_step_math(consts, K, Kb, hs)
+
+        # ---- init: primal station row + hat-weighted direction tangent ---
+        cp0 = pltpu.make_async_copy(st_tab_ref.at[0], sti_s, stisem)
+        cp0.start()
+        cp0.wait()
+        st_dma_blk(0, 0).start()  # prefetch the first W-step block
+
+        z0 = z0_ref[0]
+        p0 = p0_ref[0]
+        zeros = jnp.zeros_like(z0)
+        ones = jnp.ones_like(z0)
+        hat0 = hat(stiw_ref[0, 0].astype(jnp.int32), stiw_ref[0, 1])
+
+        def handles0(eps):
+            return perturbed(
+                (lambda kk: sti_s[0, kk], lambda kk: sti_s[0, KP + kk]),
+                hat0, eps,
+            )
+
+        def rhs3(zq, pq, eps):
+            fT, fz, fp, _ = rhs(handles0(eps), zq, pq)
+            return fT, fz, fp
+
+        (kT0, kz0, kp0), (dkT0, dkz0, dkp0) = jax.jvp(
+            rhs3, (z0, p0, zeros), (zeros, zeros, ones)
+        )
+        T_s[...] = zeros
+        z_s[...] = z0
+        p_s[...] = p0
+        kT_s[...] = kT0
+        kz_s[...] = kz0
+        kp_s[...] = kp0
+        dT_s[...] = zeros
+        dz_s[...] = zeros
+        dp_s[...] = zeros
+        dkT_s[...] = dkT0
+        dkz_s[...] = dkz0
+        dkp_s[...] = dkp0
+        alive0 = (z0 >= zlo - btol) & (z0 <= zhi + btol)
+        al_s[...] = alive0.astype(jnp.float32)
+        ns_s[...] = jnp.zeros_like(z0, dtype=jnp.int32)
+        nb_s[...] = jnp.zeros_like(z0, dtype=jnp.int32)
+        de_s[...] = jnp.where(alive0, 0, 2).astype(jnp.int32)
+
+        def body(k, _):
+            st_m_p, st_1_p = _station_step_handles(
+                k, STW, _nblk, st_dma_blk, st_handle, KP
+            )
+            hat_m = hat(stiw_ref[1 + k, 0].astype(jnp.int32),
+                        stiw_ref[1 + k, 1])
+            hat_1 = hat(stiw_ref[1 + k, 2].astype(jnp.int32),
+                        stiw_ref[1 + k, 3])
+            b0 = b0s_ref[k]
+            b1 = b1s_ref[k]
+            kf = k.astype(jnp.float32)
+            x0f = x0g + kf * hs
+            alive = al_s[...] > 0.5
+            upd = alive
+
+            def smath(T, z, p, kT1, kz1, kp1, eps):
+                st_m = perturbed(st_m_p, hat_m, eps)
+                st_1 = perturbed(st_1_p, hat_1, eps)
+                return step_math(
+                    rhs, ev, _vmem_reader(bacoef_ref), st_m, st_1,
+                    b0, b1, x0f, upd, T, z, p, kT1, kz1, kp1,
+                )
+
+            prim_in = (T_s[...], z_s[...], p_s[...],
+                       kT_s[...], kz_s[...], kp_s[...], zeros)
+            tang_in = (dT_s[...], dz_s[...], dp_s[...],
+                       dkT_s[...], dkz_s[...], dkp_s[...], ones)
+            prim, tang = jax.jvp(smath, prim_in, tang_in)
+            (T_n, z_n, p_n, kTe, kze, kpe, sin_e, cs_f, cb_f, bd_f) = prim
+            (dT_n, dz_n, dp_n, dkTe, dkze, dkpe, *_unused) = tang
+
+            vert = jnp.abs(sin_e) > sin_lim
+            oob = (z_n > zhi + btol) | (z_n < zlo - btol)
+            if any_x_oob:
+                oob = oob | (xoob_ref[k] > 0.5)
+            back_dead = bd_f > 0.5
+            alive_n = alive & ~(vert | oob | back_dead)
+            death = de_s[...]
+            de_s[...] = jnp.where(
+                alive & back_dead, 3,
+                jnp.where(alive & vert, 1, jnp.where(alive & oob, 2, death)),
+            ).astype(jnp.int32)
+
+            T_s[...] = T_n
+            z_s[...] = z_n
+            p_s[...] = p_n
+            kT_s[...] = kTe
+            kz_s[...] = kze
+            kp_s[...] = kpe
+            dT_s[...] = dT_n
+            dz_s[...] = dz_n
+            dp_s[...] = dp_n
+            dkT_s[...] = dkTe
+            dkz_s[...] = dkze
+            dkp_s[...] = dkpe
+            al_s[...] = alive_n.astype(jnp.float32)
+            ns_s[...] = ns_s[...] + (cs_f > 0.5).astype(jnp.int32)
+            nb_s[...] = nb_s[...] + (cb_f > 0.5).astype(jnp.int32)
+            return 0
+
+        lax.fori_loop(0, nsteps, body, 0)
+
+        T_out[0] = T_s[...]
+        z_out[0] = z_s[...]
+        p_out[0] = p_s[...]
+        dT_out[0] = dT_s[...]
+        dz_out[0] = dz_s[...]
+        dp_out[0] = dp_s[...]
+        nsurf_out[0] = ns_s[...]
+        nbott_out[0] = nb_s[...]
+        death_out[0] = de_s[...]
+
+    return kernel
+
+
+def trace_pallas_coef_tangent_rd(env, z0, p0, dcoef, dcpcoef, geom, settings,
+                                 interpret: bool = False):
+    """Final-state trace with one forward tangent per (station, coefficient)
+    direction of a RANGE-DEPENDENT spectral field.
+
+    ``dcoef``/``dcpcoef`` are (Dk, K): Dk coefficient directions applied at
+    every station in turn — grid block j*Dk + d perturbs station j along
+    direction d.  Returns ``(T, z, p, dT, dz, dp, n_surf, n_bott, death)``
+    with primal fields (B,) (block 0's copy) and tangents (nr, Dk, B).
+    One launch for the whole (B, nr, Dk) range-dependent Jacobian —
+    replaces nr*Dk jacfwd tangent passes through the XLA scan.
+    """
+    from ..ops.interp import linear_interp
+
+    x0, x1, h, sps, nseg = geom
+    nsteps = sps * nseg
+    dtype = jnp.float32
+    if not env.range_dependent:
+        raise ValueError("use trace_pallas_coef_tangent for range-independent fits")
+    p0 = jnp.asarray(p0, dtype)
+    B = p0.shape[0]
+    dcoef = jnp.asarray(dcoef, dtype)
+    dcpcoef = jnp.asarray(dcpcoef, dtype)
+    Dk = dcoef.shape[0]
+    nr = env.c_cheb.shape[0]
+    D = nr * Dk
+    z0v = jnp.broadcast_to(jnp.asarray(z0, dtype), (B,))
+
+    R = max(1, -(-B // 128))
+    Bpad = R * 128
+    pad = lambda a: jnp.pad(a, (0, Bpad - B)).reshape(1, R, 128)
+    p0p, z0p = pad(p0), pad(z0v)
+
+    K = env.c_cheb.shape[1]
+    KP = -(-K // 128) * 128
+    rep = lambda a: jnp.broadcast_to(a.astype(dtype)[:, None], (a.shape[0], 128))
+    Kb = env.bangle_cheb.shape[0]
+    bacoef = rep(env.bangle_cheb)
+
+    padk = lambda a: jnp.pad(a, ((0, 0), (0, KP - K)))
+    dtab = jnp.concatenate([padk(dcoef), padk(dcpcoef)], axis=1)[:, None, :]
+
+    ks = jnp.arange(nsteps, dtype=dtype)
+    xs0 = x0 + ks * h
+    xsm = xs0 + 0.5 * h
+    xs1 = x0 + (ks + 1.0) * h
+    b0s = linear_interp(xs0, env.bathy_r, env.bathy, env.uniform_bathy_r).astype(dtype)
+    b1s = linear_interp(xs1, env.bathy_r, env.bathy, env.uniform_bathy_r).astype(dtype)
+    b0s = jnp.broadcast_to(b0s[:, None], (nsteps, 128))
+    b1s = jnp.broadcast_to(b1s[:, None], (nsteps, 128))
+
+    # Clenshaw-only primal station rows (direction conditioning; see
+    # trace_pallas_coef_tangent) + per-step index/weight rows for the hats
+    st_tab = _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow=False)
+    nblk = -(-nsteps // ST_BLOCK_W)
+    st_tab = jnp.pad(
+        st_tab, ((0, 1 + nblk * ST_BLOCK_W - st_tab.shape[0]), (0, 0), (0, 0))
+    )
+    stiw = _station_iw_rows(env, dtype, x0, xsm, xs1)
+
+    consts, xoob64 = _launch_consts(env, settings, x0, h, nsteps, True, False)
+    any_x_oob = consts[14]
+    xoob = (
+        jnp.broadcast_to(
+            jnp.asarray(xoob64, dtype)[:, None], (nsteps, 128)
+        )
+        if any_x_oob else jnp.zeros((1, 128), dtype)
+    )
+
+    kernel = _make_coef_kernel_rd((x0, x1, h), consts, K, KP, Kb, nsteps)
+
+    fvec = jax.ShapeDtypeStruct((D, R, 128), dtype)
+    ivec = jax.ShapeDtypeStruct((D, R, 128), jnp.int32)
+    out_shape = [fvec] * 6 + [ivec] * 3
+    scratch = (
+        [pltpu.VMEM((R, 128), dtype) for _ in range(12)]
+        + [pltpu.VMEM((R, 128), dtype)]  # alive (f32)
+        + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
+        + [pltpu.SMEM((2, ST_BLOCK_W, 1, 4 * KP), dtype),
+           pltpu.SMEM((1, 4 * KP), dtype),
+           pltpu.SMEM((1, 2 * KP), dtype),
+           pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA,
+           pltpu.SemaphoreType.DMA]
+    )
+    shared = pl.BlockSpec((1, R, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nkd = jnp.asarray([Dk], jnp.int32)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(D,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), shared, shared]
+        + [vmem_full] * 4
+        + [pl.BlockSpec(memory_space=pl.ANY),
+           pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[blocked] * 9,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(nkd, p0p, z0p, bacoef, b0s, b1s, xoob, st_tab, stiw, dtab)
+
+    first = lambda a: a[0].reshape(Bpad)[:B]
+    alld = lambda a: a.reshape(nr, Dk, Bpad)[:, :, :B]
+    (T, zf, pf, dT, dz, dp, ns, nb, dc) = outs
+    return (first(T), first(zf), first(pf), alld(dT), alld(dz), alld(dp),
+            first(ns), first(nb), first(dc))
+
+
 def _layout(B: int):
     """Ray-block layout: (nblocks, rows, block size, padded batch)."""
     BB_MAX = 16384
@@ -1384,6 +1695,29 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False):
     )
 
 
+def _station_iw_rows(env, dtype, x0, xsm, xs1):
+    """Per-step station interval index + blend weight rows for SMEM:
+    row 0 = the x0 init values, row 1+k = step k's [i_m, w_m, i_1, w_1]
+    (indices as floats; nr < 2^24 so the int round-trip is exact)."""
+    from ..ops.interp import interval_index
+
+    def iw(x):
+        i = interval_index(x, env.r, env.uniform_r)
+        w = (x - env.r[i]) / (env.r[i + 1] - env.r[i])
+        return i.astype(dtype), w.astype(dtype)
+
+    i0_, w0_ = iw(jnp.asarray([x0], dtype))
+    im_, wm_ = iw(xsm)
+    i1_, w1_ = iw(xs1)
+    return jnp.concatenate(
+        [
+            jnp.stack([i0_, w0_, jnp.zeros_like(i0_), jnp.zeros_like(w0_)], 1),
+            jnp.stack([im_, wm_, i1_, w1_], 1),
+        ],
+        axis=0,
+    )
+
+
 def _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow=False):
     """Per-step blended station coefficients packed as SMEM-DMA rows.
 
@@ -1486,26 +1820,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
         st_tab = jnp.zeros((1, 1, 4 * KP), dtype)
 
     if rd and use_seg:
-        # per-step station interval index + blend weight rows for SMEM:
-        # row 0 = the x0 init planes, row 1+k = step k's [i_m, w_m, i_1, w_1]
-        # (indices as floats; nr < 2^24 so the int round-trip is exact)
-        from ..ops.interp import interval_index
-
-        def iw(x):
-            i = interval_index(x, env.r, env.uniform_r)
-            w = (x - env.r[i]) / (env.r[i + 1] - env.r[i])
-            return i.astype(dtype), w.astype(dtype)
-
-        i0_, w0_ = iw(jnp.asarray([x0], dtype))
-        im_, wm_ = iw(xsm)
-        i1_, w1_ = iw(xs1)
-        stiw = jnp.concatenate(
-            [
-                jnp.stack([i0_, w0_, jnp.zeros_like(i0_), jnp.zeros_like(w0_)], 1),
-                jnp.stack([im_, wm_, i1_, w1_], 1),
-            ],
-            axis=0,
-        )
+        stiw = _station_iw_rows(env, dtype, x0, xsm, xs1)
     else:
         stiw = jnp.zeros((1, 4), dtype)
 

@@ -177,6 +177,39 @@ class TestTravelTimeJacobian2D:
         assert j[:4].sum() > 0
         np.testing.assert_allclose(j[5:], 0.0, atol=1e-12)
 
+    def test_rd_kernel_matches_jacfwd(self):
+        """The one-launch RD coefficient-tangent kernel (grid block =
+        (station, coefficient) direction, tangent station rows synthesized
+        from scalar hat weights) must reproduce the jacfwd-through-XLA-scan
+        Jacobian (f32, interpret mode on CPU)."""
+        import jax.numpy as jnp
+
+        from pygenray_tpu.adjoint import travel_time_jacobian_2d
+
+        z = np.linspace(0, 6000, 500)
+        r = np.linspace(0, 20e3, 4)
+        c = np.array([munk_ssp(z, sofar_depth=1300 + 0.01 * ri) for ri in r])
+        env = make_env_data(c, r, z, np.full(4, 5500.0), r, dtype=jnp.float32)
+        assert env.range_dependent
+        s = SolverSettings(dx=200.0, interp="cheb", backend="pallas",
+                           kahan=False)
+        c_src = np.interp(1300.0, z, c[0])
+        p0 = np.float32(np.sin(np.radians(-np.array([-8.0, 6.0]))) / c_src)
+
+        T_k, jac_k = travel_time_jacobian_2d(env, 1300.0, p0, 0.0, 20e3, s,
+                                             mode="kernel")
+        T_f, jac_f = travel_time_jacobian_2d(env, 1300.0, p0, 0.0, 20e3, s,
+                                             mode="fwd")
+        assert jac_k.shape == jac_f.shape
+        np.testing.assert_allclose(np.asarray(T_k), np.asarray(T_f),
+                                   atol=1e-4)
+        # f32 forward-tangent accumulation noise (same budget as the 1D
+        # coefficient-tangent kernel comparison)
+        scale = np.abs(np.asarray(jac_f)).max()
+        np.testing.assert_allclose(
+            np.asarray(jac_k), np.asarray(jac_f), atol=3e-3 * scale
+        )
+
 
 class TestFermatJacobian:
     def test_fermat_ad_endpoint_identity(self):
