@@ -21,7 +21,7 @@ from .environment import (
 from .envdata import EnvData, make_env_data, with_spectral
 from .integrate import DEATH_CODES, SolverSettings, TraceResult, trace
 from .shoot import shoot_ray, shoot_rays, settings_for
-from .eigenrays import find_eigenrays
+from .eigenrays import find_eigenrays, find_eigenrays_batch
 from .montecarlo import make_env_ensemble, mc_eigenray_times, trace_ensemble
 from .adjoint import (
     fermat_jacobian,
@@ -66,6 +66,7 @@ __all__ = [
     "shoot_rays",
     "settings_for",
     "find_eigenrays",
+    "find_eigenrays_batch",
     "make_env_ensemble",
     "trace_ensemble",
     "mc_eigenray_times",

@@ -130,10 +130,16 @@ def trace_ensemble(
     x1: float,
     num_save: int,
     settings: SolverSettings = SolverSettings(),
+    mesh=None,
 ) -> TraceResult:
     """Trace a (possibly per-realization) angle batch through every
     realization: ``p0`` is (B,) shared or (E, B) per-realization; returns a
     TraceResult with leading ensemble axis (E, B, ...).
+
+    ``mesh``: an optional 1D ``jax.sharding.Mesh`` — realizations are
+    embarrassingly parallel (the TPU-native replacement for the reference's
+    per-realization process fan), so the ensemble axis shards across the
+    mesh with zero collectives; E must divide the device count evenly.
 
     On TPU, table-interpolation ensembles above ``TABLE_GATHER_RAY_CAP``
     total rays are traced in sequential ray-axis chunks: the vmapped gather
@@ -155,6 +161,10 @@ def trace_ensemble(
 
     E = env_ens.c.shape[0]
     B = p0.shape[-1]
+    if mesh is not None:
+        return _trace_ensemble_sharded(
+            env_ens, z0, p0, p_axis, geom, settings, mesh
+        )
     if (not _use_cheb(env_ens, settings) and not _use_seg(env_ens, settings)
             and E * B > TABLE_GATHER_RAY_CAP):
         import warnings
@@ -197,14 +207,17 @@ def trace_ensemble(
     # unrolled loop of per-realization launches inside ONE jit still wins
     # (~3x) over the vmapped XLA scan — and costs a single host dispatch
     # (the axon tunnel charges ~20-30 ms per dispatch; E eager launches
-    # used to pay it E times).
-    if settings.backend != "xla" and jax.default_backend() == "tpu":
+    # used to pay it E times).  backend="pallas" forces the interpreted
+    # kernel off-TPU (same policy as trace()).
+    on_tpu = jax.default_backend() == "tpu"
+    if settings.backend != "xla" and (on_tpu or settings.backend == "pallas"):
         from .integrate import _use_cheb
         from .ops.pallas_stepper import pallas_supported
 
         env0 = jax.tree_util.tree_map(lambda a: a[0], env_ens)
         if pallas_supported(env0, settings, _use_cheb(env0, settings)):
-            return _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings)
+            return _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom,
+                                          settings, interpret=not on_tpu)
 
     fn = lambda env, p: _trace_impl(env, z0, p, geom, settings)
     return jax.vmap(fn, in_axes=(0, p_axis))(env_ens, p0)
@@ -213,7 +226,8 @@ def trace_ensemble(
 _ENS_PALLAS_CACHE = LRUCache(32)
 
 
-def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings):
+def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings,
+                           interpret=False):
     """All E per-realization mega-kernel launches unrolled inside one
     jitted call — one host dispatch for the whole ensemble trace."""
     from .ops.pallas_stepper import trace_pallas
@@ -221,7 +235,7 @@ def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings):
     E = env_ens.c.shape[0]
     z0a = jnp.asarray(z0, env_ens.c.dtype)
     key = (env_struct_key(env_ens), geom, settings, p0.shape, p_axis,
-           z0a.shape)
+           z0a.shape, bool(interpret))
     fn = _ENS_PALLAS_CACHE.get(key)
     if fn is None:
 
@@ -233,12 +247,80 @@ def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings):
             for e in range(E):
                 env_e = jax.tree_util.tree_map(lambda a: a[e], envs)
                 p_e = p[e] if p_axis == 0 else p
-                res = trace_pallas(env_e, zz, p_e, geom, settings)
+                res = trace_pallas(env_e, zz, p_e, geom, settings,
+                                   interpret=interpret)
                 outs.append(res)
             return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
 
         fn = jax.jit(run)
         _ENS_PALLAS_CACHE.put(key, fn)
+    return fn(env_ens, p0, z0a)
+
+
+_ENS_SHARD_CACHE = LRUCache(16)
+
+
+def _trace_ensemble_sharded(env_ens, z0, p0, p_axis, geom, settings, mesh):
+    """Realization-sharded ensemble trace: ``jax.shard_map`` over the
+    ensemble axis — each device runs the single-chip path (per-realization
+    mega-kernel launches when supported, the vmapped XLA scan otherwise) on
+    its local realizations.  Realizations never communicate, so there are
+    no collectives at all — this is the TPU-native replacement for the
+    reference's per-realization process fan
+    (`/root/reference/src/pygenray/eigenrays.py:122-157`)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .integrate import _use_cheb
+    from .ops.pallas_stepper import pallas_supported, trace_pallas
+
+    E = env_ens.c.shape[0]
+    if len(mesh.axis_names) != 1:
+        raise ValueError("trace_ensemble expects a 1D mesh")
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    if E % n_dev != 0:
+        raise ValueError(
+            f"ensemble size {E} must divide evenly over the {n_dev}-device mesh"
+        )
+    E_loc = E // n_dev
+    on_tpu = jax.default_backend() == "tpu"
+    env0 = jax.tree_util.tree_map(lambda a: a[0], env_ens)
+    use_kernel = (
+        settings.backend != "xla"
+        and pallas_supported(env0, settings, _use_cheb(env0, settings))
+        and (on_tpu or settings.backend == "pallas")
+    )
+    z0a = jnp.asarray(z0, env_ens.c.dtype)
+    key = (env_struct_key(env_ens), geom, settings, p0.shape, p_axis,
+           z0a.shape, mesh, bool(use_kernel))
+    fn = _ENS_SHARD_CACHE.get(key)
+    if fn is None:
+
+        def local(envs, p, zz):
+            if use_kernel:
+                outs = []
+                for e in range(E_loc):
+                    env_e = jax.tree_util.tree_map(lambda a: a[e], envs)
+                    p_e = p[e] if p_axis == 0 else p
+                    outs.append(
+                        trace_pallas(env_e, zz, p_e, geom, settings,
+                                     interpret=not on_tpu)
+                    )
+                return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+            fni = lambda env, pp: _trace_impl(env, zz, pp, geom, settings)
+            return jax.vmap(fni, in_axes=(0, p_axis))(envs, p)
+
+        ens = P(axis)
+        fn = jax.jit(
+            jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(ens, ens if p_axis == 0 else P(), P()),
+                out_specs=ens,
+                # pallas_call out_shapes carry no varying-mesh-axes metadata
+                check_vma=False,
+            )
+        )
+        _ENS_SHARD_CACHE.put(key, fn)
     return fn(env_ens, p0, z0a)
 
 
@@ -252,6 +334,7 @@ def mc_eigenray_times(
     ztol: float = 1.0,
     max_iter: int = 20,
     settings: SolverSettings = SolverSettings(),
+    mesh=None,
 ):
     """Eigenray travel times across an ensemble of environments.
 
@@ -267,6 +350,11 @@ def mc_eigenray_times(
     - array of n depths: the SAME fan serves every depth and all
       (depth × realization × bracket) candidates solve in one device call;
       returns (n, E, M) arrays.
+
+    ``mesh``: optional 1D device mesh — the realization axis (the natural
+    multi-chip axis of a Monte-Carlo ensemble) shards across it for the fan,
+    the Newton iterations, and the final evaluation; E must divide the
+    device count evenly.
     """
     fan_angles = np.asarray(fan_angles, float)
     E = env_ens.c.shape[0]
@@ -308,6 +396,7 @@ def mc_eigenray_times(
             env_ens, fan_angles, c_src, float(source_depth),
             float(source_range), float(receiver_range),
             float(receiver_depth), float(ztol), int(max_iter), settings,
+            mesh=mesh,
         )
         if out.shape[2] and not (out[7] > 0.5).any():  # no capacity overflow
             counts = out[6, :, 0].astype(int)
@@ -346,11 +435,12 @@ def mc_eigenray_times(
         if _ensemble_kernel_ok(env_ens, settings):
             z_ode, alive_f = _fan_final_state(env_ens, source_depth, p0,
                                               source_range, receiver_range,
-                                              settings)
+                                              settings, mesh=mesh)
             z_end = np.where(alive_f, -z_ode, np.nan)
         else:
             fan = trace_ensemble(
-                env_ens, source_depth, p0, source_range, receiver_range, 2, settings
+                env_ens, source_depth, p0, source_range, receiver_range, 2,
+                settings, mesh=mesh,
             )
             z_end = -np.asarray(fan.zs, float)[..., -1]  # (E, B) user convention
             z_end = np.where(np.asarray(fan.alive), z_end, np.nan)
@@ -397,7 +487,7 @@ def mc_eigenray_times(
     out = _solve_ensemble_device(
         env_ens, theta0, th1, th2, z1, z2, ~valid, c_src,
         float(source_depth), float(source_range), float(receiver_range),
-        rd_arr, float(ztol), int(max_iter), settings,
+        rd_arr, float(ztol), int(max_iter), settings, mesh=mesh,
     )
     converged = out[1] > 0.5
     vals = {
@@ -463,15 +553,43 @@ def _ensemble_kernel_ok(env_ens, settings) -> bool:
 _MC_FAN_CACHE = LRUCache(32)
 
 
-def _fan_final_state(env_ens, source_depth, p0, x0, x1, settings):
+def _ens_shard_wrap(solve, mesh, E, in_axes, out_axes):
+    """Wrap a device solve in ``jax.shard_map`` over the realization axis.
+
+    ``in_axes``/``out_axes`` give each argument's/result's E-axis position
+    (None = replicated).  Realizations never communicate, so the wrapped
+    program has zero collectives."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    if len(mesh.axis_names) != 1 or E % n_dev != 0:
+        raise ValueError(
+            f"ensemble size {E} must divide evenly over a 1D "
+            f"{n_dev}-device mesh"
+        )
+    spec = lambda ax: P() if ax is None else P(*([None] * ax), axis)
+    out = (tuple(spec(a) for a in out_axes) if isinstance(out_axes, tuple)
+           else spec(out_axes))
+    return jax.shard_map(
+        solve, mesh=mesh,
+        in_specs=tuple(spec(a) for a in in_axes),
+        out_specs=out,
+        # pallas_call out_shapes carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+
+
+def _fan_final_state(env_ens, source_depth, p0, x0, x1, settings, mesh=None):
     """(z_end_ode, alive) of an (E, B) fan — one ensemble-kernel launch and
-    one packed device->host fetch."""
+    one packed device->host fetch (sharded over realizations on a mesh)."""
     h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
     geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
     s_it = dataclasses.replace(settings, backend="xla",
                                kahan=False)
     on_tpu = jax.default_backend() == "tpu"
-    key = (env_struct_key(env_ens), geom, s_it, p0.shape, float(source_depth))
+    key = (env_struct_key(env_ens), geom, s_it, p0.shape, float(source_depth),
+           mesh)
     fn = _MC_FAN_CACHE.get(key)
     if fn is None:
         from .ops.pallas_stepper import trace_pallas_tangent_ensemble
@@ -483,6 +601,9 @@ def _fan_final_state(env_ens, source_depth, p0, x0, x1, settings):
             )
             return jnp.stack([z_ode, (dcode == 0).astype(z_ode.dtype)])
 
+        if mesh is not None:
+            run = _ens_shard_wrap(run, mesh, env_ens.c.shape[0],
+                                  (0, 0), 1)
         fn = jax.jit(run)
         _MC_FAN_CACHE.put(key, fn)
     out = np.asarray(fn(env_ens, p0), float)
@@ -495,7 +616,7 @@ MC_BRACKET_CAP = 24  # fixed per-realization bracket capacity of the one-shot pa
 
 def _mc_one_shot_device(
     env_ens, fan_angles, c_src, source_depth, source_range, receiver_range,
-    rd, ztol, max_iter, settings,
+    rd, ztol, max_iter, settings, mesh=None,
 ):
     """Fan + bracketing + all Newton iterations + the final evaluation in
     ONE device dispatch and ONE packed fetch.
@@ -520,11 +641,13 @@ def _mc_one_shot_device(
     from .ops.pallas_stepper import trace_pallas_tangent_ensemble
 
     key = (env_struct_key(env_ens), geom, s_it, E, B, M,
-           float(rd), float(ztol), int(max_iter), float(source_depth))
+           float(rd), float(ztol), int(max_iter), float(source_depth), mesh)
     fn = _MC_ONESHOT_CACHE.get(key)
     if fn is None:
 
         def solve(envs, angles_d, csrc_d):
+            El = envs.c.shape[0]  # E locally (E/n_dev under shard_map)
+
             def zeval(theta):
                 p0 = jnp.sin(-theta * deg) / csrc_d[:, None]
                 (T, z_ode, _, _, dz_ode, _, ns, nb, dcode) = (
@@ -537,7 +660,7 @@ def _mc_one_shot_device(
                 return -z_ode, dcode == 0, T, ns, nb, dz_dth
 
             # fan + bracket (device-side fixed-capacity compaction)
-            p0f = jnp.sin(-jnp.broadcast_to(angles_d, (E, B)) * deg) / csrc_d[:, None]
+            p0f = jnp.sin(-jnp.broadcast_to(angles_d, (El, B)) * deg) / csrc_d[:, None]
             (_, z_ode_f, _, _, _, _, _, _, dcode_f) = (
                 trace_pallas_tangent_ensemble(
                     envs, source_depth, p0f, jnp.zeros_like(p0f), geom,
@@ -569,8 +692,8 @@ def _mc_one_shot_device(
             st0 = (
                 theta0.astype(dt), th1.astype(dt), th2.astype(dt),
                 z1.astype(dt), z2.astype(dt),
-                jnp.zeros((E, M), bool), ~valid,
-                jnp.full((E, M), jnp.nan, dt), jnp.asarray(0, jnp.int32),
+                jnp.zeros((El, M), bool), ~valid,
+                jnp.full((El, M), jnp.nan, dt), jnp.asarray(0, jnp.int32),
             )
             st = jax.lax.while_loop(cond, body, st0)
             conv, th_hit = st[5], st[7]
@@ -587,7 +710,7 @@ def _mc_one_shot_device(
             p_fin = jnp.sin(-th_fin * deg) / csrc_d[:, None]
             s_fin = settings
             t_rows, z_rows, ns_rows, nb_rows = [], [], [], []
-            for e in range(E):
+            for e in range(El):
                 env_e = jax.tree_util.tree_map(lambda a: a[e], envs)
                 res_e = trace_pallas(
                     env_e, source_depth, p_fin[e], geom, s_fin,
@@ -604,10 +727,12 @@ def _mc_one_shot_device(
             return jnp.stack([
                 th_hit, conv.astype(dt), t_end, z_res,
                 ns.astype(dt), nb.astype(dt),
-                jnp.broadcast_to(count[:, None].astype(dt), (E, M)),
-                jnp.broadcast_to(overflow[:, None].astype(dt), (E, M)),
+                jnp.broadcast_to(count[:, None].astype(dt), (El, M)),
+                jnp.broadcast_to(overflow[:, None].astype(dt), (El, M)),
             ]), z_end
 
+        if mesh is not None:
+            solve = _ens_shard_wrap(solve, mesh, E, (0, None, 0), (1, 0))
         fn = jax.jit(solve)
         _MC_ONESHOT_CACHE.put(key, fn)
 
@@ -637,6 +762,7 @@ def _make_mc_body(zeval, rd, ztol, use_newton):
 def _solve_ensemble_device(
     env_ens, theta0, th1, th2, z1, z2, dead0, c_src,
     source_depth, source_range, receiver_range, rd, ztol, max_iter, settings,
+    mesh=None,
 ):
     """Root-finding over all (realization × bracket) candidates plus the
     final converged-angle evaluation in a single jitted device call: one
@@ -665,7 +791,7 @@ def _solve_ensemble_device(
 
     key = (
         env_struct_key(env_ens), geom, s_it, theta0.shape,
-        ztol, max_iter, source_depth, use_kernel,
+        ztol, max_iter, source_depth, use_kernel, mesh,
     )
     fn = _MC_SOLVE_CACHE.get(key)
     if fn is None:
@@ -727,6 +853,9 @@ def _solve_ensemble_device(
                 res_f.n_surf.astype(dt), res_f.n_bott.astype(dt),
             ])
 
+        if mesh is not None:
+            solve = _ens_shard_wrap(solve, mesh, env_ens.c.shape[0],
+                                    (0, 1, 0), 1)
         fn = jax.jit(solve)
         _MC_SOLVE_CACHE.put(key, fn)
 

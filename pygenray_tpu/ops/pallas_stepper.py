@@ -1272,20 +1272,24 @@ def trace_pallas_coef_tangent(env, z0, p0, dcoef, dcpcoef, geom, settings,
 
 
 def _make_coef_kernel_rd(geom, consts, K, KP, Kb, nsteps, STW=ST_BLOCK_W):
-    """Forward tangent along a RANGE-DEPENDENT coefficient direction:
-    grid block d = (station j, coefficient k) advances the primal and the
-    tangent d(state)/d(alpha) where station j's sound-speed Chebyshev
-    coefficients are perturbed c_cheb[j] + alpha * e_k (dcdz chained).
+    """Forward tangents along RANGE-DEPENDENT coefficient directions:
+    grid block j perturbs station j — every lane of the block is a
+    (direction g, ray b) pair advancing the primal and the tangent
+    d(state)/d(alpha) where station j's sound-speed Chebyshev coefficients
+    are perturbed c_cheb[j] + alpha * dcoef[g] (dcdz chained).
 
     The per-step blended profile is (1-w) ctab[i] + w ctab[i+1], so the
-    tangent station row is hat_j(step) * e_k with the scalar hat weight
-    hat_j = (1-w)[i==j] + w[i+1==j] computed from the SMEM station
-    index/weight rows — no per-direction station tables, just the one
-    primal SMEM-DMA stream every block shares plus one (2 KP) direction
-    row per block.  This is the engine of the 2D (range-dependent)
-    spectral travel-time Jacobian (adjoint.travel_time_jacobian_2d).
-    Chebyshev evaluation only: unit coefficient directions are
-    f32-catastrophic in the monomial basis (see trace_pallas_coef_tangent).
+    tangent station row is hat_j(step) * dcoef[g] with the scalar hat
+    weight hat_j = (1-w)[i==j] + w[i+1==j] computed from the SMEM station
+    index/weight rows.  The direction dependence rides as K host-packed
+    VMEM planes dcpl[i][lane] = dcoef[g(lane), i] added to the scalar
+    Clenshaw reads — so all Dk directions of a station share one block's
+    (R, 128) vregs at full sublane occupancy (one direction per block
+    measured 8x slower: (1, 128) vectors waste 7/8 of the VPU).  This is
+    the engine of the 2D (range-dependent) spectral travel-time Jacobian
+    (adjoint.travel_time_jacobian_2d).  Chebyshev evaluation only: unit
+    coefficient directions are f32-catastrophic in the monomial basis
+    (see trace_pallas_coef_tangent).
     """
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
@@ -1296,24 +1300,16 @@ def _make_coef_kernel_rd(geom, consts, K, KP, Kb, nsteps, STW=ST_BLOCK_W):
     _nblk = -(-nsteps // STW)
 
     def kernel(
-        nkd_ref, p0_ref, z0_ref, bacoef_ref, b0s_ref, b1s_ref, xoob_ref,
-        st_tab_ref, stiw_ref, dtab_ref,
+        p0_ref, z0_ref, bacoef_ref, b0s_ref, b1s_ref, xoob_ref,
+        st_tab_ref, stiw_ref, dcpl_ref, dcppl_ref,
         T_out, z_out, p_out, dT_out, dz_out, dp_out,
         nsurf_out, nbott_out, death_out,
         T_s, z_s, p_s, kT_s, kz_s, kp_s,
         dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
-        al_s, ns_s, nb_s, de_s, st_s, sti_s, dt_s,
-        stsem, stisem, dtsem,
+        al_s, ns_s, nb_s, de_s, st_s, sti_s,
+        stsem, stisem,
     ):
-        ib = pl.program_id(0)
-        nkd = nkd_ref[0]
-        j_st = lax.div(ib, nkd)  # perturbed station
-        k_dir = lax.rem(ib, nkd)  # coefficient direction
-
-        # direction row [e_k | D @ e_k] into SMEM
-        cpd = pltpu.make_async_copy(dtab_ref.at[k_dir], dt_s, dtsem)
-        cpd.start()
-        cpd.wait()
+        j_st = pl.program_id(0)  # perturbed station
 
         def st_dma_blk(jb, slot):
             return pltpu.make_async_copy(
@@ -1334,9 +1330,10 @@ def _make_coef_kernel_rd(geom, consts, K, KP, Kb, nsteps, STW=ST_BLOCK_W):
 
         def perturbed(st, hatv, eps):
             rc, rcp = st
+            s = eps * hatv  # scalar; the direction planes carry g(lane)
             return (
-                lambda kk: rc(kk) + (eps * hatv) * dt_s[0, kk],
-                lambda kk: rcp(kk) + (eps * hatv) * dt_s[0, KP + kk],
+                lambda kk: rc(kk) + s * dcpl_ref[kk],
+                lambda kk: rcp(kk) + s * dcppl_ref[kk],
             )
 
         def ev(st, zq):
@@ -1472,17 +1469,22 @@ def _make_coef_kernel_rd(geom, consts, K, KP, Kb, nsteps, STW=ST_BLOCK_W):
     return kernel
 
 
+COEF_RD_LANES_MAX = 16384  # per-block (direction x ray) lane budget
+
+
 def trace_pallas_coef_tangent_rd(env, z0, p0, dcoef, dcpcoef, geom, settings,
                                  interpret: bool = False):
     """Final-state trace with one forward tangent per (station, coefficient)
     direction of a RANGE-DEPENDENT spectral field.
 
     ``dcoef``/``dcpcoef`` are (Dk, K): Dk coefficient directions applied at
-    every station in turn — grid block j*Dk + d perturbs station j along
-    direction d.  Returns ``(T, z, p, dT, dz, dp, n_surf, n_bott, death)``
-    with primal fields (B,) (block 0's copy) and tangents (nr, Dk, B).
-    One launch for the whole (B, nr, Dk) range-dependent Jacobian —
-    replaces nr*Dk jacfwd tangent passes through the XLA scan.
+    every station in turn — grid block j perturbs station j, with all Dk
+    directions x B rays packed into the block's lane axis (lane = g*B + b).
+    Returns ``(T, z, p, dT, dz, dp, n_surf, n_bott, death)`` with primal
+    fields (B,) and tangents (nr, Dk, B).  One launch for the whole
+    (B, nr, Dk) range-dependent Jacobian — replaces nr*Dk jacfwd tangent
+    passes through the XLA scan.  Ray batches whose Dk*B exceeds the
+    per-block lane budget are split into chunked launches (still one jit).
     """
     from ..ops.interp import linear_interp
 
@@ -1497,13 +1499,18 @@ def trace_pallas_coef_tangent_rd(env, z0, p0, dcoef, dcpcoef, geom, settings,
     dcpcoef = jnp.asarray(dcpcoef, dtype)
     Dk = dcoef.shape[0]
     nr = env.c_cheb.shape[0]
-    D = nr * Dk
     z0v = jnp.broadcast_to(jnp.asarray(z0, dtype), (B,))
 
-    R = max(1, -(-B // 128))
-    Bpad = R * 128
-    pad = lambda a: jnp.pad(a, (0, Bpad - B)).reshape(1, R, 128)
-    p0p, z0p = pad(p0), pad(z0v)
+    Bc = max(1, COEF_RD_LANES_MAX // max(Dk, 1))
+    if B > Bc:  # chunk the ray axis; each chunk is its own launch
+        outs = [
+            trace_pallas_coef_tangent_rd(
+                env, z0v[lo:lo + Bc], p0[lo:lo + Bc], dcoef, dcpcoef,
+                geom, settings, interpret=interpret,
+            )
+            for lo in range(0, B, Bc)
+        ]
+        return tuple(jnp.concatenate(parts, axis=-1) for parts in zip(*outs))
 
     K = env.c_cheb.shape[1]
     KP = -(-K // 128) * 128
@@ -1511,8 +1518,19 @@ def trace_pallas_coef_tangent_rd(env, z0, p0, dcoef, dcpcoef, geom, settings,
     Kb = env.bangle_cheb.shape[0]
     bacoef = rep(env.bangle_cheb)
 
-    padk = lambda a: jnp.pad(a, ((0, 0), (0, KP - K)))
-    dtab = jnp.concatenate([padk(dcoef), padk(dcpcoef)], axis=1)[:, None, :]
+    # (direction, ray)-packed lane layout: lane l = g*B + b
+    L = Dk * B
+    R = max(1, -(-L // 128))
+    Lpad = R * 128
+    g_of_l = np.minimum(np.arange(Lpad) // B, Dk - 1)
+    live = (np.arange(Lpad) < L).astype(np.float32)
+    packl = lambda a: jnp.tile(a, -(-Lpad // B))[:Lpad].reshape(1, R, 128)
+    p0p, z0p = packl(p0), packl(z0v)
+    # K Clenshaw-iteration direction planes: dcpl[i][lane] = dcoef[g(lane), i]
+    mk_planes = lambda dtab: (
+        dtab[g_of_l, :] * jnp.asarray(live)[:, None]
+    ).T.reshape(K, R, 128)
+    dcpl, dcppl = mk_planes(dcoef), mk_planes(dcpcoef)
 
     ks = jnp.arange(nsteps, dtype=dtype)
     xs0 = x0 + ks * h
@@ -1543,8 +1561,8 @@ def trace_pallas_coef_tangent_rd(env, z0, p0, dcoef, dcpcoef, geom, settings,
 
     kernel = _make_coef_kernel_rd((x0, x1, h), consts, K, KP, Kb, nsteps)
 
-    fvec = jax.ShapeDtypeStruct((D, R, 128), dtype)
-    ivec = jax.ShapeDtypeStruct((D, R, 128), jnp.int32)
+    fvec = jax.ShapeDtypeStruct((nr, R, 128), dtype)
+    ivec = jax.ShapeDtypeStruct((nr, R, 128), jnp.int32)
     out_shape = [fvec] * 6 + [ivec] * 3
     scratch = (
         [pltpu.VMEM((R, 128), dtype) for _ in range(12)]
@@ -1552,30 +1570,27 @@ def trace_pallas_coef_tangent_rd(env, z0, p0, dcoef, dcpcoef, geom, settings,
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
         + [pltpu.SMEM((2, ST_BLOCK_W, 1, 4 * KP), dtype),
            pltpu.SMEM((1, 4 * KP), dtype),
-           pltpu.SMEM((1, 2 * KP), dtype),
-           pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA,
-           pltpu.SemaphoreType.DMA]
+           pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA]
     )
     shared = pl.BlockSpec((1, R, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    nkd = jnp.asarray([Dk], jnp.int32)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(D,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), shared, shared]
+        grid=(nr,),
+        in_specs=[shared, shared]
         + [vmem_full] * 4
         + [pl.BlockSpec(memory_space=pl.ANY),
            pl.BlockSpec(memory_space=pltpu.SMEM),
-           pl.BlockSpec(memory_space=pl.ANY)],
+           vmem_full, vmem_full],
         out_specs=[blocked] * 9,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(nkd, p0p, z0p, bacoef, b0s, b1s, xoob, st_tab, stiw, dtab)
+    )(p0p, z0p, bacoef, b0s, b1s, xoob, st_tab, stiw, dcpl, dcppl)
 
-    first = lambda a: a[0].reshape(Bpad)[:B]
-    alld = lambda a: a.reshape(nr, Dk, Bpad)[:, :, :B]
+    first = lambda a: a[0].reshape(Lpad)[:B]
+    alld = lambda a: a.reshape(nr, Lpad)[:, :L].reshape(nr, Dk, B)
     (T, zf, pf, dT, dz, dp, ns, nb, dc) = outs
     return (first(T), first(zf), first(pf), alld(dT), alld(dz), alld(dp),
             first(ns), first(nb), first(dc))

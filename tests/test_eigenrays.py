@@ -259,3 +259,51 @@ class TestVerboseDeviceParity:
             la_d = np.sort(np.asarray(er_d.launch_angles[rd_idx]))
             la_v = np.sort(np.asarray(er_v.launch_angles[rd_idx]))
             np.testing.assert_allclose(la_d, la_v, rtol=0, atol=1e-12)
+
+
+class TestFindEigenraysBatch:
+    """find_eigenrays_batch solves C (source, receiver-array) problems in
+    one batched fan trace + one device solve, matching per-config
+    find_eigenrays exactly (same update math, per-candidate c_src/z0)."""
+
+    def test_matches_per_config_calls(self):
+        env = munk_env(r_max=40e3, nr=16, nz=400)
+        angles = np.linspace(-10, 10, 41)
+        sds = [1000.0, 1400.0, 2000.0]
+        rds = [900.0, 1300.0]
+        kw = dict(ztol=0.5, flatearth=False, dx=200.0, dtype="float64")
+        ers_b = pr.find_eigenrays_batch(angles, rds, sds, 0.0, 40e3, 10,
+                                        env, **kw)
+        assert len(ers_b) == 3
+        for c, sd in enumerate(sds):
+            fan = pr.shoot_rays(sd, 0.0, angles, 40e3, 10, env,
+                                flatearth=False, dx=200.0, dtype="float64")
+            er = pr.find_eigenrays(fan, rds, sd, 0.0, 40e3, 10, env, **kw)
+            assert ers_b[c].num_eigenrays_found == er.num_eigenrays_found
+            for d in range(2):
+                np.testing.assert_allclose(
+                    np.sort(ers_b[c].launch_angles[d]),
+                    np.sort(er.launch_angles[d]), rtol=0, atol=1e-10,
+                )
+                np.testing.assert_allclose(
+                    np.sort(ers_b[c].ts[d][:, -1]),
+                    np.sort(er.ts[d][:, -1]), rtol=1e-11,
+                )
+
+    def test_empty_and_per_config_depths(self):
+        env = munk_env(r_max=40e3, nr=16, nz=400)
+        # receiver below every ray: no brackets anywhere
+        ers = pr.find_eigenrays_batch(
+            np.linspace(-3, 3, 9), [5800.0], [1300.0, 1500.0], 0.0, 40e3,
+            10, env, ztol=0.5, flatearth=False, dx=200.0, dtype="float64",
+        )
+        assert [e.num_eigenrays_found for e in ers] == [{0: 0}, {0: 0}]
+        # per-config receiver arrays of different lengths
+        ers2 = pr.find_eigenrays_batch(
+            np.linspace(-10, 10, 41), [[1300.0], [900.0, 1300.0]],
+            [1300.0, 1000.0], 0.0, 40e3, 10, env,
+            ztol=0.5, flatearth=False, dx=200.0, dtype="float64",
+        )
+        assert len(ers2[0].num_eigenrays_found) == 1
+        assert len(ers2[1].num_eigenrays_found) == 2
+        assert ers2[0].num_eigenrays_found[0] >= 1

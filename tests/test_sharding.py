@@ -63,6 +63,120 @@ def test_pad_to_multiple():
     assert n == 13
 
 
+class TestEnsembleMesh:
+    """Realization-axis sharding of the Monte-Carlo solvers: sharded and
+    unsharded results agree (bitwise on the f64 XLA path; f32-rounding on
+    the interpreted kernel path, whose FMA contraction depends on the
+    surrounding graph off-TPU)."""
+
+    E = 8
+
+    def _ensemble(self, dtype):
+        from pygenray_tpu.models.internal_waves import perturbed_munk_tables
+        from pygenray_tpu.montecarlo import make_env_ensemble
+
+        c_ens, r, z = perturbed_munk_tables(
+            self.E, r_max=30e3, nr=16, nz=300, seed=3
+        )
+        return make_env_ensemble(
+            c_ens, r, z, np.full(16, 5000.0), r, dtype=dtype
+        )
+
+    def test_sharded_ensemble_matches_unsharded_xla(self):
+        from pygenray_tpu.integrate import SolverSettings
+        from pygenray_tpu.montecarlo import trace_ensemble
+
+        env_ens = self._ensemble("float64")
+        mesh = make_mesh()
+        angles = np.linspace(-10, 10, 8)
+        p0 = np.sin(np.radians(-angles)) / 1500.0
+        s = SolverSettings(dx=500.0)
+        res0 = trace_ensemble(env_ens, 1300.0, p0, 0.0, 30e3, 5, s)
+        res1 = trace_ensemble(env_ens, 1300.0, p0, 0.0, 30e3, 5, s, mesh=mesh)
+        assert len(res1.ts.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(res0.ts), np.asarray(res1.ts),
+                                   rtol=1e-13)
+        np.testing.assert_array_equal(np.asarray(res0.n_surf),
+                                      np.asarray(res1.n_surf))
+        np.testing.assert_array_equal(np.asarray(res0.n_bott),
+                                      np.asarray(res1.n_bott))
+
+    def test_sharded_ensemble_kernel_path(self):
+        """backend='pallas' forces the per-device interpreted mega-kernel
+        under shard_map (the multi-chip MC fast path)."""
+        import pygenray_tpu.montecarlo as mc
+        from pygenray_tpu.integrate import SolverSettings
+
+        env_ens = self._ensemble("float32")
+        mesh = make_mesh()
+        angles = np.linspace(-10, 10, 8)
+        p0 = (np.sin(np.radians(-angles)) / 1500.0).astype(np.float32)
+        s = SolverSettings(dx=500.0, backend="pallas")
+        res0 = mc.trace_ensemble(env_ens, 1300.0, p0, 0.0, 30e3, 5, s)
+        res1 = mc.trace_ensemble(env_ens, 1300.0, p0, 0.0, 30e3, 5, s,
+                                 mesh=mesh)
+        np.testing.assert_allclose(np.asarray(res0.ts), np.asarray(res1.ts),
+                                   rtol=2e-6)
+        np.testing.assert_array_equal(np.asarray(res0.n_surf),
+                                      np.asarray(res1.n_surf))
+        np.testing.assert_array_equal(np.asarray(res0.death_code),
+                                      np.asarray(res1.death_code))
+
+    def test_mc_eigenray_times_mesh(self):
+        from pygenray_tpu.integrate import SolverSettings
+        from pygenray_tpu.montecarlo import mc_eigenray_times
+
+        env_ens = self._ensemble("float32")
+        mesh = make_mesh()
+        s = SolverSettings(dx=500.0, backend="pallas")
+        fan = np.linspace(-12, 12, 32)
+        out0 = mc_eigenray_times(env_ens, fan, 1300.0, 1300.0, 0.0, 30e3,
+                                 ztol=1.0, settings=s)
+        out1 = mc_eigenray_times(env_ens, fan, 1300.0, 1300.0, 0.0, 30e3,
+                                 ztol=1.0, settings=s, mesh=mesh)
+        assert out0["path"] == out1["path"] == "one-shot"
+        assert out0["valid"].sum() > 0
+        np.testing.assert_array_equal(out0["valid"], out1["valid"])
+        m = out0["valid"]
+        np.testing.assert_allclose(out0["t"][m], out1["t"][m], rtol=2e-6)
+        np.testing.assert_allclose(out0["theta"][m], out1["theta"][m],
+                                   atol=1e-3)
+
+    def test_mesh_divisibility_error(self):
+        from pygenray_tpu.integrate import SolverSettings
+        from pygenray_tpu.models.internal_waves import perturbed_munk_tables
+        from pygenray_tpu.montecarlo import make_env_ensemble, trace_ensemble
+
+        c_ens, r, z = perturbed_munk_tables(3, r_max=30e3, nr=16, nz=300,
+                                            seed=5)
+        env_ens = make_env_ensemble(c_ens, r, z, np.full(16, 5000.0), r,
+                                    dtype="float64")
+        p0 = np.sin(np.radians(-np.linspace(-5, 5, 4))) / 1500.0
+        with pytest.raises(ValueError, match="divide evenly"):
+            trace_ensemble(env_ens, 1300.0, p0, 0.0, 30e3, 5,
+                           SolverSettings(dx=500.0), mesh=make_mesh())
+
+
+def test_find_eigenrays_mesh_matches_unsharded(env):
+    """Candidate-axis sharding of the eigenray device solve (candidates are
+    padded to the device count with duplicates and sliced away)."""
+    import pygenray_tpu as pr
+
+    angles = np.linspace(-12, 12, 33)
+    rays = pr.shoot_rays(1300.0, 0.0, angles, 40e3, 20, env,
+                         flatearth=False, interp="cheb", dtype="float64")
+    kw = dict(ztol=0.5, flatearth=False, interp="cheb", dtype="float64")
+    er0 = pr.find_eigenrays(rays, [1000.0, 1300.0], 1300.0, 0.0, 40e3, 20,
+                            env, **kw)
+    er1 = pr.find_eigenrays(rays, [1000.0, 1300.0], 1300.0, 0.0, 40e3, 20,
+                            env, mesh=make_mesh(), **kw)
+    assert er0.num_eigenrays_found == er1.num_eigenrays_found
+    for d in range(2):
+        np.testing.assert_allclose(er0.launch_angles[d],
+                                   er1.launch_angles[d], rtol=1e-12)
+        np.testing.assert_allclose(er0.ts[d], er1.ts[d], rtol=1e-12)
+
+
 def test_sharded_pallas_dispatch_matches_unsharded_kernel():
     """A sharded fan on a supported (spectral f32) environment must go
     through the per-device mega-kernel (shard_map) and agree with the
