@@ -264,7 +264,7 @@ def bench_extra_configs():
             acc = jnp.zeros((), jnp.float32)
             pin = p
             for _ in range(n):
-                acc = acc + trace_pallas(e, SRC_DEPTH, pin, geom_rd, s)[0].ts.sum()
+                acc = acc + trace_pallas(e, SRC_DEPTH, pin, geom_rd, s).ts.sum()
                 pin = _lax.optimization_barrier(p)
             return acc
 
@@ -443,6 +443,112 @@ def bench_extra_configs():
             "vs_baseline": None,
             "config": f"{E} realizations, 512-angle fans, ensemble-kernel Newton at 1300 m",
             "arrivals_found": int(arr["valid"].sum()),
+        }
+    )
+
+    # -- extra: rough-field (piecewise-segment) ensemble ---------------------
+    # the configuration that used to take 358 s (or fault the chip) on the
+    # exact-table gather fallback: 16 internal-wave-rough realizations x
+    # 65,536 rays, served by the piecewise-segment spectral kernel
+    rng_sg = np.random.RandomState(0)
+    z_sg = np.linspace(0.0, 6000.0, 2001)
+    r_sg = np.linspace(0.0, R_MAX, 16)
+    rough = sum(
+        a * np.sin(2 * np.pi * z_sg / lam + ph)
+        for a, lam, ph in zip(rng_sg.uniform(0.05, 0.3, 8),
+                              rng_sg.uniform(15, 60, 8),
+                              rng_sg.uniform(0, 7, 8))
+    )
+    cramp_sg = 1.0 + 2e-3 * np.linspace(0, 1, 16)
+    c_ens_sg = np.array([
+        np.outer(cramp_sg, munk_ssp(z_sg) + np.roll(rough, 37 * e))
+        for e in range(16)
+    ])
+    env_sg = make_env_ensemble(c_ens_sg, r_sg, z_sg, np.full(16, 5000.0),
+                               r_sg, dtype=jnp.float32)
+    env_sg0 = jax.tree_util.tree_map(lambda a: a[0], env_sg)
+    assert env_sg0.has_seg and not env_sg0.has_cheb, "rough field must take the seg path"
+    B_sg = 65_536
+    p0_sg = jnp.asarray(
+        np.sin(np.radians(-np.linspace(-ANGLE_SPAN, ANGLE_SPAN, B_sg))) / c_src,
+        jnp.float32,
+    )
+    s_sg = SolverSettings(dx=100.0)
+
+    def run_sg():
+        res = trace_ensemble(env_sg, SRC_DEPTH, p0_sg, 0.0, R_MAX, 2, s_sg)
+        return float(jnp.asarray(res.ts)[..., -1].mean())  # fetch -> faults surface
+
+    best = timeit(run_sg, n=2)
+    nrays_sg = 16 * B_sg
+    out.append(
+        {
+            "metric": "rough_ensemble_rays_per_sec_chip",
+            "value": round(nrays_sg / best),
+            "unit": "rays/s",
+            "vs_baseline": None,
+            "config": "16 rough (segment-fit) realizations x 65,536 rays, 100 km "
+                      "(the exact-table fallback took 358 s here)",
+            "wall_s": round(best, 3),
+        }
+    )
+
+    # -- extra: range-dependent (2D) spectral Jacobian -----------------------
+    from pygenray_tpu.adjoint import travel_time_jacobian_2d
+
+    z_j = np.linspace(0, 6000, 2000)
+    r_j = np.linspace(0, R_MAX, 32)
+    c_j = np.array([munk_ssp(z_j, sofar_depth=1300 + 0.002 * ri) for ri in r_j])
+    env_j2 = make_env_data(c_j, r_j, z_j, np.full(32, 5500.0), r_j,
+                           dtype=jnp.float32, cheb_order=15)
+    c_src_2 = bilinear_np(0.0, SRC_DEPTH, r_j, z_j, c_j)
+    p0_2 = np.float32(np.sin(np.radians(-np.linspace(-12, 12, 64))) / c_src_2)
+    s_j2 = SolverSettings(dx=100.0, interp="cheb", kahan=False)
+
+    def jac2_run():
+        T, jac = travel_time_jacobian_2d(env_j2, SRC_DEPTH, p0_2, 0.0, R_MAX,
+                                         s_j2)
+        return np.asarray(jac)
+
+    best = timeit(jac2_run, n=2)
+    j2 = jac2_run()
+    out.append(
+        {
+            "metric": "rd_spectral_jacobian_latency",
+            "value": round(best, 4),
+            "unit": "s",
+            "vs_baseline": None,
+            "config": f"dT/dcoef for 64 rays x (nr={j2.shape[1]}, K={j2.shape[2]}) "
+                      "stations (one packed coef-tangent kernel launch)",
+        }
+    )
+
+    # -- extra: batched eigenray configurations ------------------------------
+    from pygenray_tpu.eigenrays import find_eigenrays_batch
+    from pygenray_tpu.models import munk_env as _menv
+
+    env_b = _menv(r_max=R_MAX, nr=8, nz=2000)
+    angles_b = np.linspace(-14.0, 14.0, 1024)
+    sds_b = [800.0, 1100.0, 1300.0, 1600.0]
+
+    def eig_batch():
+        return find_eigenrays_batch(
+            angles_b, [1300.0], sds_b, 0.0, R_MAX, 50, env_b,
+            ztol=1.0, flatearth=False, dtype="float32", dx=50.0,
+        )
+
+    best = timeit(eig_batch, n=2)
+    ers_b = eig_batch()
+    out.append(
+        {
+            "metric": "eigenray_batch4_latency",
+            "value": round(best, 4),
+            "unit": "s",
+            "vs_baseline": None,
+            "config": "4 source-depth configs, 1024-angle fans, one batched fan "
+                      "trace + one device solve",
+            "arrivals_found": int(sum(sum(e.num_eigenrays_found.values())
+                                      for e in ers_b)),
         }
     )
 

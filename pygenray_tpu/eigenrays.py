@@ -575,9 +575,14 @@ def find_eigenrays_batch(
         [np.sin(np.radians(-angle_sets[c])) / c_srcs[c] for c in range(C)]
     )
     z0_all = np.repeat(source_depths, B)
+    # num_range_save (not a final-only 2) so the step plan — and therefore
+    # the brackets — match a user-shot `shoot_rays(..., num_range_save, ...)`
+    # fan bitwise: _plan quantizes h per save segment, and a different h
+    # shifts final depths at truncation level, which moves the solver's
+    # stopping angle by ~1e-9 deg.
     res = trace(
         env, jnp.asarray(z0_all, env.c.dtype), jnp.asarray(p0_all, env.c.dtype),
-        x0, x1, 2, settings,
+        x0, x1, num_range_save, settings,
     )
     # trace() returns ODE-convention depths (positive down); bracketing and
     # _device_solve use the user convention (negative down, like RayFan.zs)

@@ -388,3 +388,84 @@ class TestEnvDataBackwards:
                                dtype="float64")
         assert er.num_eigenrays_found[0] >= 1
         assert np.all(np.abs(er.zs[0][:, -1] + 1200.0) < 1.0)
+
+
+class TestIndicatorsDriveScipy:
+    """The ±1 event indicators' stated purpose is driving external scipy
+    solvers (`ops/host.py:77-84`): run a real reference-style
+    `solve_ivp` event-segmented shoot with them and check travel time and
+    bounce counts against this package's engine."""
+
+    def test_scipy_event_loop_matches_engine(self):
+        from functools import partial
+
+        from scipy.integrate import solve_ivp
+
+        from pygenray_tpu.ops.host import (
+            bilinear_np,
+            bottom_bounce,
+            derivs_np,
+            ray_bounding_box_event,
+            surface_bounce,
+            vertical_ray,
+        )
+
+        # shallow Munk slab with a flat bottom: a steep ray bounces off
+        # both boundaries within 30 km
+        z = np.linspace(0.0, 1200.0, 400)
+        r = np.linspace(0.0, 40e3, 8)
+        c = np.outer(np.ones(8), pr.munk_ssp(z))
+        bathy = np.full(8, 1000.0)
+        x1 = 30e3
+
+        angle = 12.0  # user convention; ODE convention integrates -angle
+        c0 = bilinear_np(0.0, 200.0, r, z, c)
+        p_ode0 = np.sin(np.radians(-angle)) / c0
+        y0 = np.array([0.0, 200.0, p_ode0])
+
+        cp = np.gradient(c, z, axis=1)
+        args = (c, cp, r, z, bathy, r)
+        events = []
+        for f in (surface_bounce, bottom_bounce, vertical_ray,
+                  ray_bounding_box_event):
+            ev = partial(f, **{})
+            ind = lambda x, y, f=f: f(x, y, *args)
+            ind.terminal = True
+            events.append(ind)
+
+        n_surf = n_bott = 0
+        x = 0.0
+        for _ in range(200):
+            sol = solve_ivp(
+                lambda x, y: derivs_np(x, y, c, cp, r, z),
+                (x, x1), y0, rtol=1e-9, atol=1e-9, events=events,
+                dense_output=False, max_step=500.0,
+            )
+            if sol.status != 1:  # reached x1 with no event
+                break
+            hit = [i for i, te in enumerate(sol.t_events) if te.size][0]
+            x = sol.t_events[hit][0]
+            y0 = sol.y_events[hit][0].copy()
+            assert hit in (0, 1), "steep shallow ray must only bounce"
+            y0[2] = -y0[2]  # specular reflection (flat bottom)
+            if hit == 0:
+                n_surf += 1
+                y0[1] = abs(y0[1])
+            else:
+                n_bott += 1
+        else:
+            raise AssertionError("event loop did not terminate")
+        t_scipy = sol.y[0, -1]
+
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.integrate import SolverSettings, trace
+
+        env = make_env_data(c, r, z, bathy, r, dtype="float64")
+        res = trace(env, 200.0, np.array([p_ode0]), 0.0, x1, 2,
+                    SolverSettings(dx=50.0, interp="table"))
+        assert int(res.n_surf[0]) == n_surf > 0
+        assert int(res.n_bott[0]) == n_bott > 0
+        t_engine = float(np.asarray(res.ts)[0, -1])
+        # two different integrators (adaptive RK45 vs fixed RK4) on a
+        # multi-bounce path: agree to ~1e-5 s over ~20 s of travel time
+        assert abs(t_engine - t_scipy) < 2e-5

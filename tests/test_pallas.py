@@ -47,7 +47,7 @@ def _compare(env, angles, x1=50e3, num_save=10, dx=200.0, z0=1300.0, ts_atol=5e-
     c_src = np.interp(z0, np.asarray(env.z), np.asarray(env.c[0]))
     p0 = jnp.asarray(np.sin(np.radians(-np.asarray(angles))) / c_src, jnp.float32)
     ref = _trace_impl(env, z0, p0, geom, s)
-    out, _, _ = trace_pallas(env, z0, p0, geom, s, interpret=True)
+    out = trace_pallas(env, z0, p0, geom, s, interpret=True)
     np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(out.ts), atol=ts_atol)
     np.testing.assert_allclose(np.asarray(ref.zs), np.asarray(out.zs), atol=1e-2)
     np.testing.assert_array_equal(np.asarray(ref.n_surf), np.asarray(out.n_surf))
@@ -89,26 +89,6 @@ class TestPallasEquivalence:
         env = _env()
         _compare(env, np.linspace(-10, 10, 77))
 
-    def test_ducted_blocks_match_full(self):
-        """The event-free block variant must agree with the full variant
-        for rays that never touch a boundary."""
-        env = _env()
-        s = SolverSettings(dx=200.0)
-        h, sps, nseg = _plan(0.0, 50e3, 10, s.dx)
-        geom = (0.0, 50e3, h, sps, nseg)
-        angles = np.linspace(-10, 10, 256)  # all ducted at z0=1300
-        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
-        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, jnp.float32)
-        full, _, _ = trace_pallas(env, 1300.0, p0, geom, s, interpret=True,
-                                  ducted_blocks=0)
-        duct, zlo, zhi = trace_pallas(env, 1300.0, p0, geom, s, interpret=True,
-                                      ducted_blocks=10**6)  # all blocks ducted
-        # 1-ulp level compiler-reassociation differences only
-        np.testing.assert_allclose(np.asarray(full.ts), np.asarray(duct.ts), rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(full.zs), np.asarray(duct.zs), atol=1e-2)
-        assert np.all(np.asarray(zlo) > 0.0)
-        assert np.all(np.asarray(zhi) < 4600.0)
-
     def test_range_dependent_matches_xla(self):
         z = np.linspace(0, 6000, 512)
         r = np.linspace(0, 100e3, 16)
@@ -131,12 +111,12 @@ class TestKernelSettingsParity:
         c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
         p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, jnp.float32)
         ref = _trace_impl(env, 1300.0, p0, geom, s_off)
-        out, _, _ = trace_pallas(env, 1300.0, p0, geom, s_off, interpret=True)
+        out = trace_pallas(env, 1300.0, p0, geom, s_off, interpret=True)
         np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(out.ts), atol=5e-6)
         np.testing.assert_array_equal(np.asarray(ref.n_bott), np.asarray(out.n_bott))
         # and the flag actually matters: kahan on/off differ at f32 ulp level
         s_on = SolverSettings(dx=200.0, kahan=True)
-        on, _, _ = trace_pallas(env, 1300.0, p0, geom, s_on, interpret=True)
+        on = trace_pallas(env, 1300.0, p0, geom, s_on, interpret=True)
         assert not np.array_equal(np.asarray(on.ts), np.asarray(out.ts))
 
     def test_beyond_domain_deaths_match_xla(self):
@@ -151,7 +131,7 @@ class TestKernelSettingsParity:
         c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
         p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, jnp.float32)
         ref = _trace_impl(env, 1300.0, p0, geom, s)
-        out, _, _ = trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
         assert (np.asarray(ref.death_code) == 2).all()  # all exit the domain
         np.testing.assert_array_equal(
             np.asarray(ref.death_code), np.asarray(out.death_code)
@@ -190,7 +170,7 @@ class TestPowPath:
             np.asarray(rp.ts), np.asarray(rc.ts), atol=5e-4
         )
         # Pallas pow kernel: event structure matches the XLA pow path
-        out, _, _ = trace_pallas(env_pow, 1300.0, p0, geom, s, interpret=True)
+        out = trace_pallas(env_pow, 1300.0, p0, geom, s, interpret=True)
         np.testing.assert_array_equal(np.asarray(out.n_surf), np.asarray(rp.n_surf))
         np.testing.assert_array_equal(np.asarray(out.n_bott), np.asarray(rp.n_bott))
         np.testing.assert_array_equal(
