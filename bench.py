@@ -123,6 +123,18 @@ def main():
     def _traces(n):
         from jax import lax
 
+        from pygenray_tpu.integrate import _plan
+        from pygenray_tpu.ops.pallas_stepper import classify_calm
+
+        # classify the calm-block range ONCE on the concrete fan (the
+        # classifier needs concrete launch parameters, so it cannot run on
+        # the traced p inside fn) and thread it through each trace — the
+        # same once-per-fan host step a production pipeline performs
+        h, sps, nseg = _plan(0.0, R_MAX, NUM_SAVE, settings.dx)
+        calm = classify_calm(
+            env, SRC_DEPTH, p0, (0.0, R_MAX, float(h), sps, nseg)
+        )
+
         @jax.jit
         def fn(p):
             # optimization_barrier makes each trace's input DEPEND on the
@@ -133,7 +145,10 @@ def main():
             acc = jnp.zeros((), p.dtype)
             pin = p
             for _ in range(n):
-                r = trace(env, SRC_DEPTH, pin, 0.0, R_MAX, NUM_SAVE, settings)
+                r = trace(
+                    env, SRC_DEPTH, pin, 0.0, R_MAX, NUM_SAVE, settings,
+                    calm=calm,
+                )
                 acc = acc + r.ts.sum()
                 pin = lax.optimization_barrier(p)
             return acc

@@ -41,7 +41,15 @@ from .utils.cache import LRUCache, env_struct_key
 
 __all__ = ["SolverSettings", "TraceResult", "trace", "DEATH_CODES"]
 
-DEATH_CODES = {0: "alive", 1: "vertical", 2: "out_of_domain", 3: "backwards"}
+DEATH_CODES = {
+    0: "alive",
+    1: "vertical",
+    2: "out_of_domain",
+    3: "backwards",
+    5: "calm_guard",  # Pallas calm-block audit: a ray the host classifier
+    #    declared boundary-safe entered the guard band (classifier miss —
+    #    never silent; see ops/pallas_stepper.classify_calm)
+}
 
 _TINY = 1e-30
 
@@ -70,6 +78,13 @@ class SolverSettings:
     # (range-independent spectral profiles; ~1.5x over the XLA scan by
     # eliminating per-step kernel-launch overhead), else the XLA scan.
     backend: str = "auto"  # auto | xla | pallas
+    # Pallas only: host-side Snell classification routes grid blocks whose
+    # rays provably never approach a boundary through an event-free step
+    # body (no per-step any(cross) reduction).  Conservative and audited:
+    # a classifier miss dies with DEATH_CODES[5], never a silent wrong
+    # answer.  The calm range rides as a runtime scalar — per-fan
+    # classification does not recompile.
+    calm: bool = True
 
 
 @partial(
@@ -561,6 +576,7 @@ def trace(
     x1: float,
     num_save: int,
     settings: SolverSettings = SolverSettings(),
+    calm=None,
 ) -> TraceResult:
     """Trace a batch of rays from range ``x0`` to ``x1`` (x1 > x0).
 
@@ -570,6 +586,11 @@ def trace(
     exact end state (the whole grid holds exact integration states here —
     an upgrade over the reference's dense-output interpolation,
     `/root/reference/src/pygenray/launch_rays.py:745-784`).
+
+    ``calm`` optionally supplies a precomputed calm-block range
+    (`ops.pallas_stepper.classify_calm`) for callers that jit around
+    trace() — classification needs concrete launch parameters, so it
+    cannot run on traced ``p0``.
     """
     if not x1 > x0:
         raise ValueError("trace requires x1 > x0; mirror the environment for backwards shots")
@@ -624,9 +645,16 @@ def trace(
     if pallas_ok:
         from .ops.pallas_stepper import trace_pallas_cached
 
-        # interpreter mode off-TPU for testing
-        p0 = jnp.atleast_1d(jnp.asarray(p0))
-        return trace_pallas_cached(env, z0, p0, geom, settings, interpret=not on_tpu)
+        # interpreter mode off-TPU for testing.  Identity-preserving 1-D
+        # coercion: jnp.atleast_1d mints a NEW Array object per call even
+        # for (B,) inputs, which would churn the id-keyed calm-classification
+        # cache (one ~70 ms host reclassify + p0 D2H per trace on the
+        # tunnel); jnp.asarray on a matching jax array is the same object.
+        p0 = jnp.asarray(p0)
+        p0 = p0[None] if p0.ndim == 0 else p0
+        return trace_pallas_cached(
+            env, z0, p0, geom, settings, interpret=not on_tpu, calm=calm
+        )
 
     p0 = jnp.atleast_1d(jnp.asarray(p0))
     return _trace_impl_cached(env, z0, p0, geom, settings)

@@ -210,6 +210,7 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
     _nblk = -(-(nseg * sps) // STW)
 
     def kernel(
+        calm_ref,
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
         xoob_ref, st_tab_ref, stiw_ref,
         ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out, dseg_out,
@@ -348,7 +349,18 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
 
         hs = jnp.float32(h)
 
-        def step_body(k, _):
+        # ``calm`` (static) elides the whole event apparatus: blocks in the
+        # launcher-classified calm range hold only rays whose Snell turning
+        # depths are bounded away from both boundaries, so their steps need
+        # no crossing predicates and — critically — no ``jnp.any(cross)``
+        # vector->scalar reduction, whose per-step sync is what even the
+        # DORMANT event branch costs (measured 24% sustained on an
+        # all-ducted fan: 19.1 vs 15.4M rays/s).  A classifier miss cannot
+        # go silent: calm blocks die with death code 5 the moment a ray
+        # enters the launcher's guard band, which sits strictly inside the
+        # classified-safe region — before any un-reflected step is taken.
+        def _make_step(calm):
+          def step_body(k, _):
             T = T_s[...]
             Tc = Tc_s[...]
             z = z_s[...]
@@ -388,9 +400,10 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
             z1 = z + dz
             p1 = p + dp
 
-            surf = (z1 < 0.0) & (z >= 0.0)
-            bott = (z1 > b1) & (z <= b0)
-            cross = alive & (surf | bott)
+            if not calm:
+                surf = (z1 < 0.0) & (z >= 0.0)
+                bott = (z1 > b1) & (z <= b0)
+                cross = alive & (surf | bott)
             upd = alive
 
             # -- plain update first: valid whenever no lane in the block
@@ -411,103 +424,121 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
                 T_s[...] = T + dT_m
                 z_s[...] = z + dz_m
             p_s[...] = jnp.where(upd, p1, p)
-            bd_s[...] = jnp.zeros_like(T)
+            if not calm:
+                bd_s[...] = jnp.zeros_like(T)
 
-            @pl.when(jnp.any(cross))
-            def _():
-                # crossing localization, reflection and the Heun remainder,
-                # merged into the carried state; identical expressions to the
-                # unconditional form (where() merges reduce to the plain
-                # update on non-crossing lanes, so results are bitwise equal)
-                bnd0 = jnp.where(surf, 0.0, b0)
-                bnd1 = jnp.where(surf, 0.0, b1)
-                db = bnd1 - bnd0
-                mz0 = hs * kz1
-                mz1 = hs * kz4
-                g0 = z - bnd0
-                g1 = z1 - bnd1
-                f = g0 / jnp.where(jnp.abs(g0 - g1) > _TINY, g0 - g1, 1.0)
-                f = jnp.clip(f, 0.0, 1.0)
-                for _i in range(2):
-                    G = _hermite(f, z, z1, mz0, mz1) - (bnd0 + f * db)
-                    Gp = _hermite_d(f, z, z1, mz0, mz1) - db
-                    f = jnp.clip(
-                        f - G / jnp.where(jnp.abs(Gp) > _TINY, Gp, 1.0), 0.0, 1.0
-                    )
+                @pl.when(jnp.any(cross))
+                def _():
+                    # crossing localization, reflection and the Heun remainder,
+                    # merged into the carried state; identical expressions to the
+                    # unconditional form (where() merges reduce to the plain
+                    # update on non-crossing lanes, so results are bitwise equal)
+                    bnd0 = jnp.where(surf, 0.0, b0)
+                    bnd1 = jnp.where(surf, 0.0, b1)
+                    db = bnd1 - bnd0
+                    mz0 = hs * kz1
+                    mz1 = hs * kz4
+                    g0 = z - bnd0
+                    g1 = z1 - bnd1
+                    f = g0 / jnp.where(jnp.abs(g0 - g1) > _TINY, g0 - g1, 1.0)
+                    f = jnp.clip(f, 0.0, 1.0)
+                    for _i in range(2):
+                        G = _hermite(f, z, z1, mz0, mz1) - (bnd0 + f * db)
+                        Gp = _hermite_d(f, z, z1, mz0, mz1) - db
+                        f = jnp.clip(
+                            f - G / jnp.where(jnp.abs(Gp) > _TINY, Gp, 1.0), 0.0, 1.0
+                        )
 
-                t_off = _hermite(f, jnp.zeros_like(dT), dT, hs * kT1, hs * kT4)
-                z_c = _hermite(f, z, z1, mz0, mz1)
-                p_c = _hermite(f, p, p1, hs * kp1, hs * kp4)
-                x_c = x0 + f * hs
+                    t_off = _hermite(f, jnp.zeros_like(dT), dT, hs * kT1, hs * kT4)
+                    z_c = _hermite(f, z, z1, mz0, mz1)
+                    p_c = _hermite(f, p, p1, hs * kp1, hs * kp4)
+                    x_c = x0 + f * hs
 
-                c_c = ev_c(st_m, z_c)
-                sin_th = jnp.clip(p_c * c_c, -1.0, 1.0)
-                cos_th = jnp.sqrt(jnp.maximum(1.0 - sin_th * sin_th, 0.0))
-                if bangle_mode == "const":
-                    s2b = s2b_c
-                    c2b = c2b_c
-                else:
-                    ub = jnp.clip(
-                        (2.0 * x_c - (b_rlo + b_rhi)) / (b_rhi - b_rlo), -1.0, 1.0
-                    )
-                    b2 = 2.0 * jnp.radians(_clenshaw(ub, _vmem_reader(bacoef_ref), Kb))
-                    s2b = jnp.sin(b2)
-                    c2b = jnp.cos(b2)
-                p_ref = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
-                if term_back:
-                    back_dead = cross & bott & (c2b * cos_th + s2b * sin_th < -1e-9)
-                else:
-                    back_dead = jnp.zeros_like(cross)
+                    c_c = ev_c(st_m, z_c)
+                    sin_th = jnp.clip(p_c * c_c, -1.0, 1.0)
+                    cos_th = jnp.sqrt(jnp.maximum(1.0 - sin_th * sin_th, 0.0))
+                    if bangle_mode == "const":
+                        s2b = s2b_c
+                        c2b = c2b_c
+                    else:
+                        ub = jnp.clip(
+                            (2.0 * x_c - (b_rlo + b_rhi)) / (b_rhi - b_rlo), -1.0, 1.0
+                        )
+                        b2 = 2.0 * jnp.radians(_clenshaw(ub, _vmem_reader(bacoef_ref), Kb))
+                        s2b = jnp.sin(b2)
+                        c2b = jnp.cos(b2)
+                    p_ref = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
+                    if term_back:
+                        back_dead = cross & bott & (c2b * cos_th + s2b * sin_th < -1e-9)
+                    else:
+                        back_dead = jnp.zeros_like(cross)
 
-                hr = (1.0 - f) * hs
-                rT1, rz1, rp1, _ = rhs(st_m, z_c, p_ref)
-                rT2, rz2, rp2, _ = rhs(st_1, z_c + hr * rz1, p_ref + hr * rp1)
-                dT_fix = t_off + hr * 0.5 * (rT1 + rT2)
-                z_fix = z_c + hr * 0.5 * (rz1 + rz2)
-                p_fix = p_ref + hr * 0.5 * (rp1 + rp2)
+                    hr = (1.0 - f) * hs
+                    rT1, rz1, rp1, _ = rhs(st_m, z_c, p_ref)
+                    rT2, rz2, rp2, _ = rhs(st_1, z_c + hr * rz1, p_ref + hr * rp1)
+                    dT_fix = t_off + hr * 0.5 * (rT1 + rT2)
+                    z_fix = z_c + hr * 0.5 * (rz1 + rz2)
+                    p_fix = p_ref + hr * 0.5 * (rp1 + rp2)
 
-                use_fix = cross & (~back_dead)
-                dT_tot = jnp.where(use_fix, dT_fix, dT)
-                dz_tot = jnp.where(use_fix, z_fix - z, dz)
-                p_new = jnp.where(use_fix, p_fix, p1)
+                    use_fix = cross & (~back_dead)
+                    dT_tot = jnp.where(use_fix, dT_fix, dT)
+                    dz_tot = jnp.where(use_fix, z_fix - z, dz)
+                    p_new = jnp.where(use_fix, p_fix, p1)
 
-                dT_m = jnp.where(upd, dT_tot, 0.0)
-                dz_m = jnp.where(upd, dz_tot, 0.0)
-                if use_kahan:
-                    yk = dT_m - Tc
-                    T_n = T + yk
-                    Tc_s[...] = (T_n - T) - yk
-                    T_s[...] = T_n
-                    yz = dz_m - zc
-                    z_n = z + yz
-                    zc_s[...] = (z_n - z) - yz
-                    z_s[...] = z_n
-                else:
-                    T_s[...] = T + dT_m
-                    z_s[...] = z + dz_m
-                p_s[...] = jnp.where(upd, p_new, p)
-                bd_s[...] = back_dead.astype(jnp.float32)
-                ns_s[...] = ns_s[...] + (cross & surf & upd).astype(jnp.int32)
-                nb_s[...] = nb_s[...] + (cross & bott & upd).astype(jnp.int32)
+                    dT_m = jnp.where(upd, dT_tot, 0.0)
+                    dz_m = jnp.where(upd, dz_tot, 0.0)
+                    if use_kahan:
+                        yk = dT_m - Tc
+                        T_n = T + yk
+                        Tc_s[...] = (T_n - T) - yk
+                        T_s[...] = T_n
+                        yz = dz_m - zc
+                        z_n = z + yz
+                        zc_s[...] = (z_n - z) - yz
+                        z_s[...] = z_n
+                    else:
+                        T_s[...] = T + dT_m
+                        z_s[...] = z + dz_m
+                    p_s[...] = jnp.where(upd, p_new, p)
+                    bd_s[...] = back_dead.astype(jnp.float32)
+                    ns_s[...] = ns_s[...] + (cross & surf & upd).astype(jnp.int32)
+                    nb_s[...] = nb_s[...] + (cross & bott & upd).astype(jnp.int32)
 
             z_n = z_s[...]
             p_n = p_s[...]
-            back_dead = bd_s[...] > 0.5
             kTe, kze, kpe, c_e = rhs(st_1, z_n, p_n)
             vert = jnp.abs(c_e * p_n) > sin_lim
-            oob = (z_n > zhi + btol) | (z_n < zlo - btol)
-            if any_x_oob:
-                # host-precomputed f64 per-step flags (lockstep with the
-                # XLA scan; on-device f32 range arithmetic must not decide
-                # domain-exit deaths)
-                oob = oob | (xoob_ref[k] > 0.5)
-            newly = alive & (vert | oob | back_dead)
-            alive_n = alive & ~newly
             death = de_s[...]
-            death = jnp.where(
-                alive & back_dead, 3,
-                jnp.where(alive & vert, 1, jnp.where(alive & oob, 2, death)),
-            ).astype(jnp.int32)
+            if calm:
+                # guard-band audit (death code 5) + host x-domain exits;
+                # the z-domain oob check is subsumed by the strictly
+                # tighter guard band
+                guard = (z_n > calm_ref[3]) | (z_n < calm_ref[2])
+                if any_x_oob:
+                    xo = xoob_ref[k] > 0.5
+                else:
+                    xo = jnp.zeros_like(vert)
+                newly = alive & (vert | guard | xo)
+                death = jnp.where(
+                    alive & vert, 1,
+                    jnp.where(alive & xo, 2,
+                              jnp.where(alive & guard, 5, death)),
+                ).astype(jnp.int32)
+            else:
+                back_dead = bd_s[...] > 0.5
+                oob = (z_n > zhi + btol) | (z_n < zlo - btol)
+                if any_x_oob:
+                    # host-precomputed f64 per-step flags (lockstep with
+                    # the XLA scan; on-device f32 range arithmetic must not
+                    # decide domain-exit deaths)
+                    oob = oob | (xoob_ref[k] > 0.5)
+                newly = alive & (vert | oob | back_dead)
+                death = jnp.where(
+                    alive & back_dead, 3,
+                    jnp.where(alive & vert, 1,
+                              jnp.where(alive & oob, 2, death)),
+                ).astype(jnp.int32)
+            alive_n = alive & ~newly
 
             kT_s[...] = jnp.where(upd, kTe, kT1)
             kz_s[...] = jnp.where(upd, kze, kz1)
@@ -516,13 +547,33 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
             de_s[...] = death
             return 0
 
-        def seg_body(seg, _):
-            lax.fori_loop(seg * sps, (seg + 1) * sps, step_body, 0)
-            # compensated readout: val - comp (comp = overshoot)
-            save(seg + 1, T_s[...] - Tc_s[...], z_s[...] - zc_s[...], p_s[...])
-            return 0
+          return step_body
 
-        lax.fori_loop(0, nseg, seg_body, 0)
+        def _make_seg(calm):
+            sb = _make_step(calm)
+
+            def seg_body(seg, _):
+                lax.fori_loop(seg * sps, (seg + 1) * sps, sb, 0)
+                # compensated readout: val - comp (comp = overshoot)
+                save(seg + 1, T_s[...] - Tc_s[...], z_s[...] - zc_s[...],
+                     p_s[...])
+                return 0
+
+            return seg_body
+
+        # one branch per BLOCK (not per step): blocks inside the calm range
+        # run the event-free step, everything else the full event step
+        calm_lo = calm_ref[0].astype(jnp.int32)
+        calm_hi = calm_ref[1].astype(jnp.int32)
+        is_calm = (ib >= calm_lo) & (ib < calm_hi)
+
+        @pl.when(is_calm)
+        def _():
+            lax.fori_loop(0, nseg, _make_seg(True), 0)
+
+        @pl.when(~is_calm)
+        def _():
+            lax.fori_loop(0, nseg, _make_seg(False), 0)
 
         nsurf_out[0] = ns_s[...]
         nbott_out[0] = nb_s[...]
@@ -1607,28 +1658,181 @@ def _layout(B: int):
 
 _JIT_CACHE = LRUCache(256)
 
+CALM_MARGIN_M = 30.0  # classification band (m); guard band audits at M/2
+
+
+def classify_calm(env, z0, p0, geom):
+    """Host-side Snell classification of the calm grid-block range.
+
+    A ray with launch parameter ``a = cos(alpha)/c`` (the horizontally-
+    stratified ray invariant) can only reach depth z where ``a*c(r,z) <= 1``
+    — so a ray satisfying ``a * min c(band) > 1`` for the top
+    ``CALM_MARGIN_M`` meters (resp. the band above the shallowest bathymetry
+    point) can never touch that boundary.  Range dependence drifts the
+    invariant by ``da/dx = -c_x / (cos(alpha) c^2)`` (derived from the
+    `derivsrd` ODE, reference integration_processes.py:176-215), bounded
+    here by the table's worst range gradient.  Blocks whose every (edge-
+    padded) lane passes both bands form the calm range; the kernel audits
+    it at M/2 with death code 5, so a miss is visible, never silent.
+
+    Returns a (4,) float32 ``[blk_lo, blk_hi, guard_lo, guard_hi]``
+    (``blk_lo == blk_hi`` disables), or None when the inputs are traced or
+    the geometry leaves no room for a safe interior.
+    """
+    from ..envdata import host_profile_tables
+
+    leaves = (p0, z0, *jax.tree_util.tree_leaves(env))
+    if any(isinstance(x, jax.core.Tracer) for x in leaves):
+        return None
+    x0, x1, h, sps, nseg = geom
+    M = CALM_MARGIN_M
+    r_h, z_h, c_h = (np.asarray(a, float) for a in host_profile_tables(env))
+    p = np.asarray(p0, float).ravel()
+    z0a = np.broadcast_to(np.asarray(z0, float), p.shape)
+
+    xs = x0 + np.arange(sps * nseg + 1) * h
+    bath = np.interp(xs, np.asarray(env.bathy_r, float),
+                     np.asarray(env.bathy, float))
+    bmin = float(bath.min())
+    if bmin - M <= M:  # no safe interior between the bands
+        return None
+
+    # launch sound speed per ray (station-blended at x0)
+    i = int(np.clip(np.searchsorted(r_h, x0, "right") - 1, 0,
+                    max(len(r_h) - 2, 0)))
+    if len(r_h) > 1 and r_h[i + 1] > r_h[i]:
+        w = float(np.clip((x0 - r_h[i]) / (r_h[i + 1] - r_h[i]), 0.0, 1.0))
+        c_prof0 = (1.0 - w) * c_h[i] + w * c_h[min(i + 1, len(r_h) - 1)]
+    else:
+        c_prof0 = c_h[0]
+    c0 = np.interp(z0a, z_h, c_prof0)
+    s0 = np.clip(c0 * p, -1.0, 1.0)
+    a = np.sqrt(np.maximum(1.0 - s0 * s0, 0.0)) / c0
+
+    # band minima over the traversed station window (one station of slack
+    # each side; one grid node beyond each band edge so interpolated
+    # values inside the band are covered — both only make c_min smaller,
+    # i.e. the test stricter)
+    lo_i = max(0, int(np.searchsorted(r_h, min(x0, x1))) - 1)
+    hi_i = min(len(r_h), int(np.searchsorted(r_h, max(x0, x1))) + 1)
+    c_win = c_h[lo_i:hi_i] if hi_i > lo_i else c_h
+    n_surf = int(np.searchsorted(z_h, M, "right")) + 1
+    c_min_surf = float(c_win[:, :n_surf].min())
+    j0 = max(0, int(np.searchsorted(z_h, bmin - M)) - 1)
+    j1 = min(len(z_h), int(np.searchsorted(z_h, bmin, "right")) + 1)
+    c_min_bott = float(c_win[:, j0:j1].min())
+
+    # range-dependence drift allowance for the invariant
+    c_min_tab = float(c_win.min())
+    if c_win.shape[0] > 1:
+        dr = np.diff(r_h[lo_i:hi_i])
+        cx_max = float((np.abs(np.diff(c_win, axis=0))
+                        / dr[:, None]).max())
+    else:
+        cx_max = 0.0
+    cos_floor = np.maximum(a * c_min_tab, 0.5)
+    da = abs(x1 - x0) * cx_max / (cos_floor * c_min_tab * c_min_tab)
+
+    safe = (((a - da) * c_min_surf > 1.0)
+            & ((a - da) * c_min_bott > 1.0)
+            & np.isfinite(p))
+    B = p.size
+    nblocks, R, Bb, Bpad = _layout(B)
+    safe_p = np.pad(safe, (0, Bpad - B), mode="edge")
+    blk = safe_p.reshape(nblocks, -1).all(axis=1)
+
+    # longest contiguous calm run of blocks
+    best_lo = best_hi = 0
+    run_lo = None
+    for bi, ok in enumerate(list(blk) + [False]):
+        if ok and run_lo is None:
+            run_lo = bi
+        elif not ok and run_lo is not None:
+            if bi - run_lo > best_hi - best_lo:
+                best_lo, best_hi = run_lo, bi
+            run_lo = None
+    if best_hi == best_lo:
+        return None
+    return np.array([best_lo, best_hi, 0.5 * M, bmin - 0.5 * M], np.float32)
+
+
+_CALM_CACHE = {}  # (id(env), id(p0), z0 key, geom) -> (4,) f32 or None
+_CALM_OFF = {}  # backend name -> device-resident all-zeros (disables calm)
+
+
+def _calm_disabled():
+    """Device-resident zeros(4) (calm disabled) — memoized per backend so
+    the per-call H2D transfer (~10-20 ms on the axon tunnel) is paid once."""
+    b = jax.default_backend()
+    got = _CALM_OFF.get(b)
+    if got is None:
+        got = _CALM_OFF[b] = jnp.zeros(4, jnp.float32)
+    return got
+
+
+def _classify_calm_cached(env, z0, p0, geom):
+    """Memoized ``classify_calm`` keyed on the (env, p0, z0) OBJECTS.
+
+    Classification pulls ``p0`` to the host — a ~10-20 ms D2H transfer on
+    the axon tunnel — so repeated traces of the same fan (benchmark loops,
+    eigenray full-save re-traces) must not reclassify.  Entries hold no
+    array references; weakref finalizers evict them when any key object is
+    collected, so an id() can never alias a new array.
+    """
+    import weakref
+
+    leaves = (p0, z0, *jax.tree_util.tree_leaves(env))
+    if any(isinstance(x, jax.core.Tracer) for x in leaves):
+        return None
+    try:
+        z0_key, z0_obj = float(z0), None
+    except (TypeError, ValueError):
+        z0_key, z0_obj = id(z0), z0
+    k = (id(env), id(p0), z0_key, geom)
+    if k in _CALM_CACHE:
+        return _CALM_CACHE[k]
+    calm = classify_calm(env, z0, p0, geom)
+    if calm is not None:
+        calm = jnp.asarray(calm)  # device-resident: one H2D, not per call
+    try:
+        for obj in (env, p0) + ((z0_obj,) if z0_obj is not None else ()):
+            weakref.finalize(obj, _CALM_CACHE.pop, k, None)
+    except TypeError:
+        return calm  # a key object is not weakref-able: do not cache
+    _CALM_CACHE[k] = calm
+    return calm
+
 
 def _get_fn(env, geom, settings, p_shape, z_shape, interpret=False):
     key = (env_struct_key(env), geom, settings, p_shape, z_shape, interpret)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(
-            lambda envarg, p, z: trace_pallas(
-                envarg, z, p, geom, settings, interpret=interpret
+            lambda envarg, p, z, cm: trace_pallas(
+                envarg, z, p, geom, settings, interpret=interpret, calm=cm
             )
         )
         _JIT_CACHE.put(key, fn)
     return fn
 
 
-def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False):
+def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False,
+                        calm=None):
     """Memoized jitted kernel launcher keyed on the environment *structure*
     (shapes/dtypes/static metadata), so traces over same-shaped environments
     — eigenray iterations, Monte-Carlo realizations — reuse one executable.
+    The calm-block range rides as a runtime argument: per-fan classification
+    never recompiles.  ``calm`` overrides the classifier (callers jitting
+    around trace() can classify their concrete fan once on the host and
+    thread the range through the trace).
     """
     z0a = jnp.asarray(z0, env.c.dtype)
+    if calm is None and settings.calm:
+        calm = _classify_calm_cached(env, z0, p0, geom)
+    if calm is None:
+        calm = _calm_disabled()
     fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, interpret)
-    return fn(env, p0, z0a)
+    return fn(env, p0, z0a, jnp.asarray(calm))
 
 
 _SHARD_CACHE = LRUCache(64)
@@ -1771,10 +1975,15 @@ def _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow=False):
     return jnp.concatenate([init_row, step_rows], axis=0)[:, None, :]
 
 
-def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
+def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
+                 calm=None):
     """Run the mega-kernel; returns a TraceResult (ODE convention).
 
     ``p0`` is (B,); B is padded internally to a multiple of the lane block.
+    ``calm`` is an optional runtime (4,) f32 ``[blk_lo, blk_hi, guard_lo,
+    guard_hi]`` from ``classify_calm`` — grid blocks in [blk_lo, blk_hi)
+    take the event-free step path (None disables; the values are runtime
+    scalars, so per-fan calm ranges never recompile).
     """
     from ..integrate import TraceResult
     from ..ops.interp import interval_index, linear_interp
@@ -1788,10 +1997,17 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
     B = p0.shape[0]
     z0v = jnp.broadcast_to(jnp.asarray(z0, dtype), (B,))
 
-    # block layout: rows of 128 lanes
+    # block layout: rows of 128 lanes; padding replicates the edge ray so
+    # padded lanes share its calm classification and never trip the event
+    # branch on their own (a zero-pad lane is a surface-grazing horizontal
+    # ray)
     nblocks, R, Bb, Bpad = _layout(B)
-    p0p = jnp.pad(p0, (0, Bpad - B)).reshape(nblocks, R, 128)
-    z0p = jnp.pad(z0v, (0, Bpad - B)).reshape(nblocks, R, 128)
+    p0p = jnp.pad(p0, (0, Bpad - B), mode="edge").reshape(nblocks, R, 128)
+    z0p = jnp.pad(z0v, (0, Bpad - B), mode="edge").reshape(nblocks, R, 128)
+    if calm is None:
+        calm = jnp.zeros((4,), dtype)
+    else:
+        calm = jnp.asarray(calm, dtype)
 
     rd = bool(env.range_dependent)
     use_cheb = _use_cheb(env, settings)
@@ -1885,6 +2101,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # calm range + guard band
         blocked,  # p0
         blocked,  # z0
         vmem_full,  # ccoef
@@ -1915,7 +2132,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False):
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, st_tab, stiw)
+    )(calm, p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, st_tab, stiw)
 
     def unblock(a):  # (num_save, nblocks, R, 128) -> (B, num_save)
         return a.reshape(num_save, Bpad).T[:B]

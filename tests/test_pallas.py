@@ -357,3 +357,92 @@ class TestTangentKernel:
                 np.abs(np.asarray(ref_t)) + 1e3
             )
             assert rel[alive].max() < 2e-3
+
+
+class TestCalmBlocks:
+    """Calm-block classification: blocks whose rays provably never approach
+    a boundary take the event-free step body; a classifier miss is audited
+    with death code 5 (never a silent wrong answer)."""
+
+    def _fan(self, env, angles, z0=1300.0, x1=50e3, dx=200.0, num_save=10):
+        s = SolverSettings(dx=dx)
+        h, sps, nseg = _plan(0.0, x1, num_save, s.dx)
+        geom = (0.0, x1, h, sps, nseg)
+        c_src = np.interp(z0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = jnp.asarray(
+            np.sin(np.radians(-np.asarray(angles))) / c_src, jnp.float32
+        )
+        return s, geom, p0
+
+    def test_classifier_ducted_vs_bouncing(self):
+        from pygenray_tpu.ops.pallas_stepper import classify_calm
+
+        env = _env()
+        s, geom, p0 = self._fan(env, np.linspace(-8, 8, 64))
+        calm = classify_calm(env, jnp.float32(1300.0), p0, geom)
+        assert calm is not None and calm[1] > calm[0]
+        # guard band sits strictly inside the water column
+        assert 0.0 < calm[2] < calm[3] < 4600.0
+        # a steep fan bounces: the single block cannot be calm
+        s, geom, p_steep = self._fan(env, np.linspace(-30, 30, 64))
+        assert classify_calm(env, jnp.float32(1300.0), p_steep, geom) is None
+        # traced inputs: classification declines (jit-safe)
+        none_under_trace = jax.jit(
+            lambda p: jnp.float32(
+                classify_calm(env, jnp.float32(1300.0), p, geom) is None
+            )
+        )(p0)
+        assert float(none_under_trace) == 1.0
+
+    def test_calm_path_matches_event_path(self):
+        from pygenray_tpu.ops.pallas_stepper import classify_calm
+
+        env = _env()
+        s, geom, p0 = self._fan(env, np.linspace(-8, 8, 96))
+        calm = classify_calm(env, jnp.float32(1300.0), p0, geom)
+        assert calm is not None
+        base = trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True, calm=calm)
+        # no audit deaths, identical event structure, times to interpret ulps
+        assert not np.any(np.asarray(out.death_code) == 5)
+        np.testing.assert_array_equal(
+            np.asarray(base.death_code), np.asarray(out.death_code)
+        )
+        np.testing.assert_array_equal(np.asarray(base.n_surf), np.asarray(out.n_surf))
+        np.testing.assert_array_equal(np.asarray(base.n_bott), np.asarray(out.n_bott))
+        np.testing.assert_allclose(
+            np.asarray(base.ts), np.asarray(out.ts), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(base.zs), np.asarray(out.zs), atol=1e-2
+        )
+
+    def test_calm_guard_audits_classifier_miss(self):
+        env = _env()
+        s, geom, p0 = self._fan(env, np.linspace(-30, 30, 96))
+        # deliberately wrong: declare the (bouncing) block calm
+        bad = np.array([0.0, 1.0, 15.0, 4600.0 - 15.0], np.float32)
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True, calm=bad)
+        dc = np.asarray(out.death_code)
+        # steep rays enter the guard band and die with the audit code —
+        # never silently reflected or silently wrong
+        assert np.any(dc == 5)
+        assert np.asarray(out.n_surf).sum() == 0
+        assert np.asarray(out.n_bott).sum() == 0
+
+    def test_cached_launcher_classifies(self):
+        from pygenray_tpu.ops.pallas_stepper import trace_pallas_cached
+
+        env = _env()
+        s, geom, p0 = self._fan(env, np.linspace(-8, 8, 64))
+        on = trace_pallas_cached(env, 1300.0, p0, geom, s, interpret=True)
+        off = trace_pallas_cached(
+            env, 1300.0, p0, geom, dataclasses.replace(s, calm=False),
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(on.death_code), np.asarray(off.death_code)
+        )
+        np.testing.assert_allclose(
+            np.asarray(on.ts), np.asarray(off.ts), atol=5e-6
+        )
