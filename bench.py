@@ -468,15 +468,18 @@ def bench_extra_configs():
     rng_sg = np.random.RandomState(0)
     z_sg = np.linspace(0.0, 6000.0, 2001)
     r_sg = np.linspace(0.0, R_MAX, 16)
-    rough = sum(
-        a * np.sin(2 * np.pi * z_sg / lam + ph)
-        for a, lam, ph in zip(rng_sg.uniform(0.05, 0.3, 8),
-                              rng_sg.uniform(15, 60, 8),
-                              rng_sg.uniform(0, 7, 8))
-    )
+    amps_sg = rng_sg.uniform(0.05, 0.3, 8)
+    lams_sg = rng_sg.uniform(15, 60, 8)
+    # per-realization random PHASES (a sample roll of the non-periodic sum
+    # would cut a discontinuity into the profile that no polynomial fit —
+    # piecewise or global — can represent)
+    phs_sg = rng_sg.uniform(0, 2 * np.pi, (16, 8))
     cramp_sg = 1.0 + 2e-3 * np.linspace(0, 1, 16)
     c_ens_sg = np.array([
-        np.outer(cramp_sg, munk_ssp(z_sg) + np.roll(rough, 37 * e))
+        np.outer(cramp_sg, munk_ssp(z_sg) + sum(
+            a * np.sin(2 * np.pi * z_sg / lam + ph)
+            for a, lam, ph in zip(amps_sg, lams_sg, phs_sg[e])
+        ))
         for e in range(16)
     ])
     env_sg = make_env_ensemble(c_ens_sg, r_sg, z_sg, np.full(16, 5000.0),
