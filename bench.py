@@ -155,14 +155,16 @@ def main():
 
         float(fn(p0))  # warm + FETCH (faults surface only on fetch)
         b = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             float(fn(p0))
             b = min(b, time.perf_counter() - t0)
         return b
 
-    t1, t5 = _traces(1), _traces(5)
-    per_trace_s = max((t5 - t1) / 4.0, 1e-9)
+    # t9 - t1 over 8 traces: tunnel jitter on the two wall clocks is
+    # amortized over twice the device work of the old t5 - t1
+    t1, t9 = _traces(1), _traces(9)
+    per_trace_s = max((t9 - t1) / 8.0, 1e-9)
     sustained_rays_per_sec = NUM_RAYS / per_trace_s
 
     # accuracy vs scipy oracle on the angle subset
@@ -194,6 +196,21 @@ def main():
     )
     equiv_pass = counters_equal and equiv_dt_ms < 0.01
 
+    # calm-block coverage on the headline fan (classifier-proven
+    # boundary-safe grid blocks that run the event-free step body)
+    from pygenray_tpu.integrate import _plan
+    from pygenray_tpu.ops.pallas_stepper import _layout, classify_calm
+
+    h_c, sps_c, nseg_c = _plan(0.0, R_MAX, NUM_SAVE, settings.dx)
+    calm_r = classify_calm(
+        env, SRC_DEPTH, p0, (0.0, R_MAX, float(h_c), sps_c, nseg_c)
+    )
+    nblk_c = _layout(NUM_RAYS)[0]
+    calm_blocks = (
+        f"{int(calm_r[1] - calm_r[0])}/{nblk_c}" if calm_r is not None
+        else f"0/{nblk_c}"
+    )
+
     print(
         json.dumps(
             {
@@ -210,6 +227,7 @@ def main():
                 "dispatch_overhead_ms": round((t1 - per_trace_s) * 1e3, 2),
                 "pallas_xla_equiv": "pass" if equiv_pass else "FAIL",
                 "pallas_xla_max_dt_ms": round(equiv_dt_ms, 6),
+                "calm_blocks": calm_blocks,
             }
         )
     )

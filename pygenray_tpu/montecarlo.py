@@ -530,24 +530,43 @@ def _mc_empty_result(shape):
     }
 
 
+_ENS_OK_CACHE = {}  # (id(env_ens), settings, backend) -> bool
+
+
 def _ensemble_kernel_ok(env_ens, settings) -> bool:
     """True when the per-block-station ensemble tangent kernel can run this
-    configuration (range-dependent spectral f32 fits on TPU, or forced)."""
-    from .integrate import _use_cheb
-    from .ops.pallas_stepper import tangent_supported
+    configuration (range-dependent spectral f32 fits on TPU, or forced).
+
+    Memoized on the env object: the support check only reads static
+    metadata and leaf SHAPES, but the ``a[0]`` slicing runs eagerly on
+    device (~15 dispatches, ~25 ms per call on the tunnel) if repeated.
+    """
+    import weakref
 
     if settings.backend == "xla":
         return False
+    k = (id(env_ens), settings, jax.default_backend())
+    if k in _ENS_OK_CACHE:
+        return _ENS_OK_CACHE[k]
+    from .integrate import _use_cheb
+    from .ops.pallas_stepper import tangent_supported
+
     env0 = jax.tree_util.tree_map(lambda a: a[0], env_ens)
     try:
         use_cheb = _use_cheb(env0, settings)
     except ValueError:
-        return False
-    return (
+        use_cheb = None
+    got = use_cheb is not None and (
         env0.range_dependent
         and tangent_supported(env0, settings, use_cheb)
         and (jax.default_backend() == "tpu" or settings.backend == "pallas")
     )
+    try:
+        weakref.finalize(env_ens, _ENS_OK_CACHE.pop, k, None)
+        _ENS_OK_CACHE[k] = got
+    except TypeError:
+        pass
+    return got
 
 
 _MC_FAN_CACHE = LRUCache(32)
@@ -737,7 +756,10 @@ def _mc_one_shot_device(
         _MC_ONESHOT_CACHE.put(key, fn)
 
     out, z_end = fn(env_ens, jnp.asarray(fan_angles, dt), jnp.asarray(c_src, dt))
-    return np.asarray(out, float), np.asarray(z_end, float)
+    # ONE overlapped pull: two sequential np.asarray fetches pay the
+    # tunnel round-trip twice (~80 ms each measured)
+    out_h, z_end_h = jax.device_get((out, z_end))
+    return np.asarray(out_h, float), np.asarray(z_end_h, float)
 
 
 def _make_mc_body(zeval, rd, ztol, use_newton):
