@@ -132,7 +132,7 @@ def main():
         # same once-per-fan host step a production pipeline performs
         h, sps, nseg = _plan(0.0, R_MAX, NUM_SAVE, settings.dx)
         calm = classify_calm(
-            env, SRC_DEPTH, p0, (0.0, R_MAX, float(h), sps, nseg)
+            env, SRC_DEPTH, p0, (0.0, R_MAX, float(h), sps, nseg), settings
         )
 
         @jax.jit
@@ -203,7 +203,7 @@ def main():
 
     h_c, sps_c, nseg_c = _plan(0.0, R_MAX, NUM_SAVE, settings.dx)
     calm_r = classify_calm(
-        env, SRC_DEPTH, p0, (0.0, R_MAX, float(h_c), sps_c, nseg_c)
+        env, SRC_DEPTH, p0, (0.0, R_MAX, float(h_c), sps_c, nseg_c), settings
     )
     nblk_c = _layout(NUM_RAYS)[0]
     calm_blocks = (
@@ -297,7 +297,7 @@ def bench_extra_configs():
     # classify the calm-block range once on the concrete fan (the RD drift
     # allowance keeps the proof sound for range-dependent fields) and thread
     # it through each trace, as a production pipeline would
-    calm_rd = classify_calm(env_rd, SRC_DEPTH, p0, geom_rd)
+    calm_rd = classify_calm(env_rd, SRC_DEPTH, p0, geom_rd, s)
 
     def _rd_traces(n):
         @jax.jit

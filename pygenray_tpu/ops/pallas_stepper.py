@@ -1661,14 +1661,55 @@ _JIT_CACHE = LRUCache(256)
 CALM_MARGIN_M = 30.0  # classification band (m); guard band audits at M/2
 
 
-def classify_calm(env, z0, p0, geom):
+def _fit_eval_np(env, use_seg: bool, rows, zq):
+    """Host evaluation of the profile AS THE KERNEL INTEGRATES IT.
+
+    ``rows`` is a station slice/index array; ``zq`` (n,) depths.  Returns
+    (n_rows, n) sound speeds from the segment fit or the Chebyshev series
+    — never the raw table: near the ripple extrema of a rough field a
+    sub-m/s table-vs-fit difference moves the Snell turning contour tens
+    of meters, which would make a table-based calm proof unsound for the
+    fit the kernel actually integrates.
+    """
+    zlo, zhi = env.z_dom
+    if use_seg:
+        from .seg import seg_eval_np
+
+        coef = np.asarray(env.c_seg, np.float64)[rows]
+        return np.atleast_2d(seg_eval_np(coef, zq, zlo, zhi))
+    import numpy.polynomial.chebyshev as ncheb
+
+    coef = np.asarray(env.c_cheb, np.float64)[rows]
+    u = 2.0 * (np.asarray(zq, np.float64) - zlo) / (zhi - zlo) - 1.0
+    return np.atleast_2d(ncheb.chebval(u, coef.T))
+
+
+def _fit_band_min(env, use_seg: bool, lo_i, hi_i, z_a, z_b) -> float:
+    """Min of the integrated profile over stations [lo_i, hi_i) × a dense
+    depth grid of [z_a, z_b] (0.1 m spacing — finer than the oscillation
+    scale of any fit the guards accept, including an order-255 Chebyshev
+    series at the domain edge)."""
+    zlo, zhi = env.z_dom
+    z_a, z_b = max(float(z_a), zlo), min(float(z_b), zhi)
+    if not z_b > z_a:
+        return np.inf
+    n = max(257, int((z_b - z_a) / 0.1) + 2)
+    zq = np.linspace(z_a, z_b, n)
+    return float(_fit_eval_np(env, use_seg, slice(lo_i, hi_i), zq).min())
+
+
+def classify_calm(env, z0, p0, geom, settings=None):
     """Host-side Snell classification of the calm grid-block range.
 
     A ray with launch parameter ``a = cos(alpha)/c`` (the horizontally-
     stratified ray invariant) can only reach depth z where ``a*c(r,z) <= 1``
     — so a ray satisfying ``a * min c(band) > 1`` for the top
     ``CALM_MARGIN_M`` meters (resp. the band above the shallowest bathymetry
-    point) can never touch that boundary.  Range dependence drifts the
+    point) can never touch that boundary.  The band minima and the launch
+    sound speed are evaluated from the SAME profile backend the kernel
+    integrates (Chebyshev series or segment fit, per ``settings``) — the
+    raw table is a different function whose turning contours can sit tens
+    of meters away on rough fields.  Range dependence drifts the
     invariant by ``da/dx = -c_x / (cos(alpha) c^2)`` (derived from the
     `derivsrd` ODE, reference integration_processes.py:176-215), bounded
     here by the table's worst range gradient.  Blocks whose every (edge-
@@ -1680,10 +1721,19 @@ def classify_calm(env, z0, p0, geom):
     the geometry leaves no room for a safe interior.
     """
     from ..envdata import host_profile_tables
+    from ..integrate import SolverSettings, _use_cheb, _use_seg
 
     leaves = (p0, z0, *jax.tree_util.tree_leaves(env))
     if any(isinstance(x, jax.core.Tracer) for x in leaves):
         return None
+    if settings is None:
+        settings = SolverSettings()
+    try:
+        use_seg = (not _use_cheb(env, settings)) and _use_seg(env, settings)
+    except ValueError:
+        return None
+    if not use_seg and not env.has_cheb:
+        return None  # table-interpolation path: the kernel never runs it
     x0, x1, h, sps, nseg = geom
     M = CALM_MARGIN_M
     r_h, z_h, c_h = (np.asarray(a, float) for a in host_profile_tables(env))
@@ -1697,30 +1747,28 @@ def classify_calm(env, z0, p0, geom):
     if bmin - M <= M:  # no safe interior between the bands
         return None
 
-    # launch sound speed per ray (station-blended at x0)
+    # launch sound speed per ray (station-blended at x0, fit-evaluated)
     i = int(np.clip(np.searchsorted(r_h, x0, "right") - 1, 0,
                     max(len(r_h) - 2, 0)))
+    c_fit0 = _fit_eval_np(env, use_seg, [i, min(i + 1, len(r_h) - 1)], z0a)
     if len(r_h) > 1 and r_h[i + 1] > r_h[i]:
         w = float(np.clip((x0 - r_h[i]) / (r_h[i + 1] - r_h[i]), 0.0, 1.0))
-        c_prof0 = (1.0 - w) * c_h[i] + w * c_h[min(i + 1, len(r_h) - 1)]
+        c0 = (1.0 - w) * c_fit0[0] + w * c_fit0[1]
     else:
-        c_prof0 = c_h[0]
-    c0 = np.interp(z0a, z_h, c_prof0)
+        c0 = c_fit0[0]
     s0 = np.clip(c0 * p, -1.0, 1.0)
     a = np.sqrt(np.maximum(1.0 - s0 * s0, 0.0)) / c0
 
     # band minima over the traversed station window (one station of slack
-    # each side; one grid node beyond each band edge so interpolated
-    # values inside the band are covered — both only make c_min smaller,
-    # i.e. the test stricter)
+    # each side — intermediate ranges are convex station blends, so the
+    # window-station min is a valid lower bound)
     lo_i = max(0, int(np.searchsorted(r_h, min(x0, x1))) - 1)
     hi_i = min(len(r_h), int(np.searchsorted(r_h, max(x0, x1))) + 1)
-    c_win = c_h[lo_i:hi_i] if hi_i > lo_i else c_h
-    n_surf = int(np.searchsorted(z_h, M, "right")) + 1
-    c_min_surf = float(c_win[:, :n_surf].min())
-    j0 = max(0, int(np.searchsorted(z_h, bmin - M)) - 1)
-    j1 = min(len(z_h), int(np.searchsorted(z_h, bmin, "right")) + 1)
-    c_min_bott = float(c_win[:, j0:j1].min())
+    if hi_i <= lo_i:
+        lo_i, hi_i = 0, len(r_h)
+    c_min_surf = _fit_band_min(env, use_seg, lo_i, hi_i, z_h[0], M)
+    c_min_bott = _fit_band_min(env, use_seg, lo_i, hi_i, bmin - M, bmin)
+    c_win = c_h[lo_i:hi_i]
 
     # range-dependence drift allowance for the invariant
     c_min_tab = float(c_win.min())
@@ -1770,7 +1818,7 @@ def _calm_disabled():
     return got
 
 
-def _classify_calm_cached(env, z0, p0, geom):
+def _classify_calm_cached(env, z0, p0, geom, settings=None):
     """Memoized ``classify_calm`` keyed on the (env, p0, z0) OBJECTS.
 
     Classification pulls ``p0`` to the host — a ~10-20 ms D2H transfer on
@@ -1788,10 +1836,13 @@ def _classify_calm_cached(env, z0, p0, geom):
         z0_key, z0_obj = float(z0), None
     except (TypeError, ValueError):
         z0_key, z0_obj = id(z0), z0
-    k = (id(env), id(p0), z0_key, geom)
+    # the resolved profile backend changes the classification (the fit is
+    # what the kernel integrates), so it is part of the key
+    interp = settings.interp if settings is not None else "auto"
+    k = (id(env), id(p0), z0_key, geom, interp)
     if k in _CALM_CACHE:
         return _CALM_CACHE[k]
-    calm = classify_calm(env, z0, p0, geom)
+    calm = classify_calm(env, z0, p0, geom, settings)
     if calm is not None:
         calm = jnp.asarray(calm)  # device-resident: one H2D, not per call
     try:
@@ -1827,8 +1878,14 @@ def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False,
     thread the range through the trace).
     """
     z0a = jnp.asarray(z0, env.c.dtype)
-    if calm is None and settings.calm:
-        calm = _classify_calm_cached(env, z0, p0, geom)
+    # No auto-classification in interpret mode: the interpreter contracts
+    # FMAs differently across the calm/event graph shapes, and on rough
+    # (chaotic) fields that ulp seed amplifies into spurious guard deaths
+    # over long ranges.  On hardware the two bodies are bitwise identical
+    # (bench.py equivalence gate); interpret mode is for testing, where
+    # the calm path is exercised by passing ``calm=`` explicitly.
+    if calm is None and settings.calm and not interpret:
+        calm = _classify_calm_cached(env, z0, p0, geom, settings)
     if calm is None:
         calm = _calm_disabled()
     fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, interpret)

@@ -444,6 +444,70 @@ class TestCalmBlocks:
         np.testing.assert_allclose(np.asarray(base.ts), np.asarray(out.ts), atol=5e-6)
         np.testing.assert_allclose(np.asarray(base.zs), np.asarray(out.zs), atol=1e-2)
 
+    def test_calm_seg_mode_matches_event_path(self):
+        """Segment-kernel mode with calm blocks: a smooth Munk profile
+        forced onto the segment backend keeps the calm/event comparison
+        well-posed in interpret mode (no chaotic amplification), and the
+        classifier evaluates the segment fit it proves against."""
+        from pygenray_tpu.ops.pallas_stepper import classify_calm
+
+        nz, nr = 2001, 8
+        z = np.linspace(0, 6000, nz)
+        r = np.linspace(0, 50e3, nr)
+        c = np.tile(munk_ssp(z), (nr, 1))
+        env = make_env_data(c, r, z, np.full(nr, 4600.0), r, interp="seg",
+                            dtype=jnp.float32)
+        assert not env.has_cheb and env.has_seg
+        s, geom, p0 = self._fan(env, np.linspace(-8, 8, 160))
+        calm = classify_calm(env, jnp.float32(1300.0), p0, geom)
+        assert calm is not None and calm[1] > calm[0]
+        base = trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True,
+                           calm=jnp.asarray(calm))
+        assert not np.any(np.asarray(out.death_code) == 5)
+        np.testing.assert_array_equal(
+            np.asarray(base.death_code), np.asarray(out.death_code)
+        )
+        np.testing.assert_allclose(np.asarray(base.ts), np.asarray(out.ts), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(base.zs), np.asarray(out.zs), atol=1e-2)
+
+    def test_calm_rough_field_short_range(self):
+        """Rough (segment-fit) field: the classifier proves calm against
+        the segment fit the kernel integrates — near ripple extrema a
+        table-based proof is unsound (sub-m/s differences move turning
+        contours tens of meters).  Range kept short so interpret-mode
+        contraction ulps cannot amplify through the field's micro-ray
+        chaos."""
+        from pygenray_tpu.ops.pallas_stepper import classify_calm
+
+        nz, nr = 2001, 8
+        z = np.linspace(0, 6000, nz)
+        r = np.linspace(0, 10e3, nr)
+        rng = np.random.RandomState(0)
+        rough = sum(
+            a * np.sin(2 * np.pi * z / lam + ph)
+            for a, lam, ph in zip(
+                rng.uniform(0.05, 0.3, 8),
+                rng.uniform(15, 60, 8),
+                rng.uniform(0, 7, 8),
+            )
+        )
+        c = np.tile(munk_ssp(z) + rough, (nr, 1))
+        env = make_env_data(c, r, z, np.full(nr, 4600.0), r, dtype=jnp.float32)
+        assert not env.has_cheb and env.has_seg
+        s, geom, p0 = self._fan(env, np.linspace(-6, 6, 160), x1=10e3)
+        calm = classify_calm(env, jnp.float32(1300.0), p0, geom)
+        assert calm is not None and calm[1] > calm[0]
+        base = trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True,
+                           calm=jnp.asarray(calm))
+        assert not np.any(np.asarray(out.death_code) == 5)
+        np.testing.assert_array_equal(
+            np.asarray(base.death_code), np.asarray(out.death_code)
+        )
+        np.testing.assert_allclose(np.asarray(base.ts), np.asarray(out.ts), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(base.zs), np.asarray(out.zs), atol=0.1)
+
     def test_calm_guard_audits_classifier_miss(self):
         env = _env()
         s, geom, p0 = self._fan(env, np.linspace(-30, 30, 96))
@@ -458,11 +522,21 @@ class TestCalmBlocks:
         assert np.asarray(out.n_bott).sum() == 0
 
     def test_cached_launcher_classifies(self):
-        from pygenray_tpu.ops.pallas_stepper import trace_pallas_cached
+        from pygenray_tpu.ops.pallas_stepper import (
+            _classify_calm_cached,
+            trace_pallas_cached,
+        )
 
         env = _env()
         s, geom, p0 = self._fan(env, np.linspace(-8, 8, 64))
-        on = trace_pallas_cached(env, 1300.0, p0, geom, s, interpret=True)
+        # interpret mode never auto-classifies (FMA-contraction divergence
+        # on chaotic fields) — exercise the cached classifier explicitly
+        calm = _classify_calm_cached(env, 1300.0, p0, geom, s)
+        assert calm is not None
+        assert _classify_calm_cached(env, 1300.0, p0, geom, s) is calm
+        on = trace_pallas_cached(
+            env, 1300.0, p0, geom, s, interpret=True, calm=calm
+        )
         off = trace_pallas_cached(
             env, 1300.0, p0, geom, dataclasses.replace(s, calm=False),
             interpret=True,
