@@ -535,6 +535,31 @@ def bench_extra_configs():
 
     best = timeit(run_sg, n=2)
     nrays_sg = 16 * B_sg
+
+    # on-hardware seg-mode calm gate: calm blocks (classified against the
+    # segment fit) must reproduce the event path bitwise — rough fields are
+    # chaotic, so any arithmetic divergence between the two step bodies
+    # would surface here as large trajectory differences or audit deaths
+    import dataclasses as _dc
+
+    from pygenray_tpu.integrate import _plan as _plan_sg
+    from pygenray_tpu.ops.pallas_stepper import _layout as _layout_sg
+    from pygenray_tpu.ops.pallas_stepper import classify_calm as _cc_sg
+
+    h_sg, sps_sg, nseg_sg = _plan_sg(0.0, R_MAX, 2, s_sg.dx)
+    geom_sg = (0.0, R_MAX, float(h_sg), int(sps_sg), int(nseg_sg))
+    calm_sg = _cc_sg(env_sg0, SRC_DEPTH, p0_sg, geom_sg, s_sg)
+    r_on = trace(env_sg0, SRC_DEPTH, p0_sg, 0.0, R_MAX, 2, s_sg,
+                 calm=jnp.asarray(calm_sg) if calm_sg is not None else None)
+    r_off = trace(env_sg0, SRC_DEPTH, p0_sg, 0.0, R_MAX, 2,
+                  _dc.replace(s_sg, calm=False))
+    seg_calm_equiv = bool(
+        np.array_equal(np.asarray(r_on.ts), np.asarray(r_off.ts))
+        and np.array_equal(np.asarray(r_on.death_code),
+                           np.asarray(r_off.death_code))
+        and not np.any(np.asarray(r_on.death_code) == 5)
+    )
+    nblk_sg = _layout_sg(B_sg)[0]
     out.append(
         {
             "metric": "rough_ensemble_rays_per_sec_chip",
@@ -544,6 +569,11 @@ def bench_extra_configs():
             "config": "16 rough (segment-fit) realizations x 65,536 rays, 100 km "
                       "(the exact-table fallback took 358 s here)",
             "wall_s": round(best, 3),
+            "seg_calm_equiv": "pass" if seg_calm_equiv else "FAIL",
+            "seg_calm_blocks": (
+                f"{int(calm_sg[1] - calm_sg[0])}/{nblk_sg}"
+                if calm_sg is not None else f"0/{nblk_sg}"
+            ),
         }
     )
 

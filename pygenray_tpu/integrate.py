@@ -636,9 +636,11 @@ def trace(
             if shardable_pallas(p0, z0a):
                 # per-device mega-kernel launches under shard_map: sharded
                 # fans keep the kernel's throughput instead of falling back
-                # to the XLA scan
+                # to the XLA scan (``calm`` here is the per-shard
+                # (n_shards, 4) table from classify_calm_sharded)
                 return trace_pallas_sharded(
-                    env, z0, p0, geom, settings, interpret=not on_tpu
+                    env, z0, p0, geom, settings, interpret=not on_tpu,
+                    calm=calm,
                 )
         return _trace_impl_cached(env, z0, p0, geom, settings)
 

@@ -1720,6 +1720,42 @@ def classify_calm(env, z0, p0, geom, settings=None):
     (``blk_lo == blk_hi`` disables), or None when the inputs are traced or
     the geometry leaves no room for a safe interior.
     """
+    got = _classify_safe_mask(env, z0, p0, geom, settings)
+    if got is None:
+        return None
+    safe, bmin = got
+    return _calm_range_from_mask(safe, bmin)
+
+
+def classify_calm_sharded(env, z0, p0, geom, settings=None, n_shards=1):
+    """Per-shard calm ranges for a fan sharded over a 1-D mesh axis.
+
+    Each device launches the kernel on its local (B/n,) slice with its own
+    block layout, so the calm range must be derived per shard.  Returns an
+    (n_shards, 4) float32 array (rows as in ``classify_calm``; a row with
+    ``blk_lo == blk_hi`` disables that shard), or None when classification
+    declines entirely.
+    """
+    got = _classify_safe_mask(env, z0, p0, geom, settings)
+    if got is None:
+        return None
+    safe, bmin = got
+    B = safe.size
+    if n_shards < 1 or B % n_shards:
+        return None
+    Bl = B // n_shards
+    rows = []
+    for i in range(n_shards):
+        row = _calm_range_from_mask(safe[i * Bl:(i + 1) * Bl], bmin)
+        rows.append(row if row is not None
+                    else np.zeros(4, np.float32))
+    if all(r[1] == r[0] for r in rows):
+        return None
+    return np.stack(rows)
+
+
+def _classify_safe_mask(env, z0, p0, geom, settings):
+    """Per-ray boundary-safety mask (see ``classify_calm``), or None."""
     from ..envdata import host_profile_tables
     from ..integrate import SolverSettings, _use_cheb, _use_seg
 
@@ -1784,7 +1820,14 @@ def classify_calm(env, z0, p0, geom, settings=None):
     safe = (((a - da) * c_min_surf > 1.0)
             & ((a - da) * c_min_bott > 1.0)
             & np.isfinite(p))
-    B = p.size
+    return safe, bmin
+
+
+def _calm_range_from_mask(safe, bmin):
+    """Reduce a per-ray safety mask to the kernel's (4,) calm range for a
+    batch of ``safe.size`` rays (edge-padded to the block layout)."""
+    M = CALM_MARGIN_M
+    B = safe.size
     nblocks, R, Bb, Bpad = _layout(B)
     safe_p = np.pad(safe, (0, Bpad - B), mode="edge")
     blk = safe_p.reshape(nblocks, -1).all(axis=1)
@@ -1818,7 +1861,7 @@ def _calm_disabled():
     return got
 
 
-def _classify_calm_cached(env, z0, p0, geom, settings=None):
+def _classify_calm_cached(env, z0, p0, geom, settings=None, n_shards=1):
     """Memoized ``classify_calm`` keyed on the (env, p0, z0) OBJECTS.
 
     Classification pulls ``p0`` to the host — a ~10-20 ms D2H transfer on
@@ -1839,10 +1882,13 @@ def _classify_calm_cached(env, z0, p0, geom, settings=None):
     # the resolved profile backend changes the classification (the fit is
     # what the kernel integrates), so it is part of the key
     interp = settings.interp if settings is not None else "auto"
-    k = (id(env), id(p0), z0_key, geom, interp)
+    k = (id(env), id(p0), z0_key, geom, interp, n_shards)
     if k in _CALM_CACHE:
         return _CALM_CACHE[k]
-    calm = classify_calm(env, z0, p0, geom, settings)
+    if n_shards > 1:
+        calm = classify_calm_sharded(env, z0, p0, geom, settings, n_shards)
+    else:
+        calm = classify_calm(env, z0, p0, geom, settings)
     if calm is not None:
         calm = jnp.asarray(calm)  # device-resident: one H2D, not per call
     try:
@@ -1915,7 +1961,8 @@ def shardable_pallas(p0, z0a) -> bool:
     return True
 
 
-def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False):
+def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False,
+                         calm=None):
     """Mega-kernel fan trace over a device mesh: one kernel launch per device
     via ``jax.shard_map`` on the ray axis, environment replicated.
 
@@ -1923,7 +1970,10 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False):
     kernel's throughput by falling back to the XLA scan.  Rays never
     communicate (the reference's process fan,
     `/root/reference/src/pygenray/launch_rays.py:119-164`), so there are no
-    collectives inside the trace at all.
+    collectives inside the trace at all.  ``calm`` is an optional
+    (n_shards, 4) per-shard calm-range table (``classify_calm_sharded``);
+    by default each shard's range is classified on the host, so every
+    device skips the event machinery for its own provably-safe blocks.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -1934,16 +1984,25 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False):
     z0a = jnp.asarray(z0, dtype)
     sh = p0.sharding
     mesh, axis = sh.mesh, sh.spec[0]
+    n_shards = mesh.shape[axis]
     z_per_ray = z0a.ndim == 1
+
+    if calm is None and settings.calm and not interpret:
+        calm = _classify_calm_cached(env, z0, p0, geom, settings,
+                                     n_shards=n_shards)
+    if calm is None:
+        cm_tab = jnp.zeros((n_shards, 4), jnp.float32)
+    else:
+        cm_tab = jnp.asarray(calm, jnp.float32)
 
     key = (env_struct_key(env), geom, settings, p0.shape, z0a.shape,
            mesh, axis, interpret)
     fn = _SHARD_CACHE.get(key)
     if fn is None:
 
-        def local(envarg, zz, pp):
+        def local(envarg, zz, pp, cm):
             res = trace_pallas(envarg, zz, pp, geom, settings,
-                               interpret=interpret)
+                               interpret=interpret, calm=cm[0])
             return (res.ts, res.zs, res.ps, res.alive_save,
                     res.n_bott, res.n_surf, res.alive, res.death_code)
 
@@ -1953,7 +2012,8 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False):
             jax.shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(P(), ray1 if z_per_ray else P(), ray1),
+                in_specs=(P(), ray1 if z_per_ray else P(), ray1,
+                          P(axis, None)),
                 out_specs=(ray2, ray2, ray2, ray2, ray1, ray1, ray1, ray1),
                 # pallas_call out_shapes carry no varying-mesh-axes metadata
                 check_vma=False,
@@ -1961,7 +2021,9 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False):
         )
         _SHARD_CACHE.put(key, fn)
 
-    ts, zs, ps, alive_save, n_bott, n_surf, alive, death = fn(env, z0a, p0)
+    ts, zs, ps, alive_save, n_bott, n_surf, alive, death = fn(
+        env, z0a, p0, cm_tab
+    )
     num_save = nseg + 1
     rs = x0 + (x1 - x0) * jnp.arange(num_save, dtype=dtype) / nseg
     return TraceResult(

@@ -177,6 +177,61 @@ def test_find_eigenrays_mesh_matches_unsharded(env):
         np.testing.assert_allclose(er0.ts[d], er1.ts[d], rtol=1e-12)
 
 
+def test_sharded_calm_blocks_match_event_path():
+    """Per-shard calm ranges (classify_calm_sharded): every device skips
+    the event machinery for its own provably-safe blocks and reproduces
+    the event path — no audit deaths, identical discrete structure."""
+    import jax.numpy as jnp
+
+    import pygenray_tpu.ops.pallas_stepper as ps
+    from pygenray_tpu.envdata import make_env_data
+    from pygenray_tpu.environment import munk_ssp
+    from pygenray_tpu.integrate import SolverSettings, _plan
+
+    z = np.linspace(0, 6000, 512)
+    r = np.linspace(0, 50e3, 8)
+    c = np.outer(np.ones(8), munk_ssp(z))
+    envd = make_env_data(c, r, z, np.full(8, 4600.0), r, dtype=jnp.float32)
+    s = SolverSettings(dx=500.0, backend="pallas")
+    mesh = make_mesh()
+    angles = np.linspace(-8, 8, 1024)
+    c_src = np.interp(1300.0, z, c[0])
+    p0_host = (np.sin(np.radians(-angles)) / c_src).astype(np.float32)
+    p0 = shard_rays(jnp.asarray(p0_host), mesh)
+
+    h, sps, nseg = _plan(0.0, 50e3, 10, s.dx)
+    geom = (0.0, 50e3, float(h), int(sps), int(nseg))
+    tab = ps.classify_calm_sharded(envd, 1300.0, p0_host, geom, s,
+                                   n_shards=8)
+    assert tab is not None and tab.shape == (8, 4)
+    # the mid-angle fan is fully ducted: every shard proves calm
+    assert np.all(tab[:, 1] > tab[:, 0])
+
+    res_c = ps.trace_pallas_sharded(envd, 1300.0, p0, geom, s,
+                                    interpret=True, calm=tab)
+    res_0 = ps.trace_pallas_sharded(envd, 1300.0, p0, geom, s,
+                                    interpret=True)
+    assert not np.any(np.asarray(res_c.death_code) == 5)
+    np.testing.assert_array_equal(
+        np.asarray(res_c.death_code), np.asarray(res_0.death_code)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_c.n_surf), np.asarray(res_0.n_surf)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_c.n_bott), np.asarray(res_0.n_bott)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_c.ts), np.asarray(res_0.ts), atol=5e-6
+    )
+    # interpret-mode FMA contraction differs between the calm/event graph
+    # shapes; a few cm over 50 km of f32 integration is the expected ulp
+    # accumulation (on hardware the paths are bitwise identical)
+    np.testing.assert_allclose(
+        np.asarray(res_c.zs), np.asarray(res_0.zs), atol=5e-2
+    )
+
+
 def test_sharded_pallas_dispatch_matches_unsharded_kernel():
     """A sharded fan on a supported (spectral f32) environment must go
     through the per-device mega-kernel (shard_map) and agree with the
