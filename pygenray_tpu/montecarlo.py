@@ -131,10 +131,15 @@ def trace_ensemble(
     num_save: int,
     settings: SolverSettings = SolverSettings(),
     mesh=None,
+    calm=None,
 ) -> TraceResult:
     """Trace a (possibly per-realization) angle batch through every
     realization: ``p0`` is (B,) shared or (E, B) per-realization; returns a
     TraceResult with leading ensemble axis (E, B, ...).
+
+    ``calm`` optionally supplies the (E, 4) per-realization calm-range
+    table (``ops.pallas_stepper.classify_calm_ensemble``) for callers that
+    jit around this function; on TPU it is classified automatically.
 
     ``mesh``: an optional 1D ``jax.sharding.Mesh`` — realizations are
     embarrassingly parallel (the TPU-native replacement for the reference's
@@ -163,7 +168,7 @@ def trace_ensemble(
     B = p0.shape[-1]
     if mesh is not None:
         return _trace_ensemble_sharded(
-            env_ens, z0, p0, p_axis, geom, settings, mesh
+            env_ens, z0, p0, p_axis, geom, settings, mesh, calm=calm
         )
     if (not _use_cheb(env_ens, settings) and not _use_seg(env_ens, settings)
             and E * B > TABLE_GATHER_RAY_CAP):
@@ -217,7 +222,8 @@ def trace_ensemble(
         env0 = jax.tree_util.tree_map(lambda a: a[0], env_ens)
         if pallas_supported(env0, settings, _use_cheb(env0, settings)):
             return _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom,
-                                          settings, interpret=not on_tpu)
+                                          settings, interpret=not on_tpu,
+                                          calm=calm)
 
     fn = lambda env, p: _trace_impl(env, z0, p, geom, settings)
     return jax.vmap(fn, in_axes=(0, p_axis))(env_ens, p0)
@@ -227,13 +233,23 @@ _ENS_PALLAS_CACHE = LRUCache(32)
 
 
 def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings,
-                           interpret=False):
+                           interpret=False, calm=None):
     """All E per-realization mega-kernel launches unrolled inside one
-    jitted call — one host dispatch for the whole ensemble trace."""
-    from .ops.pallas_stepper import trace_pallas
+    jitted call — one host dispatch for the whole ensemble trace.
+
+    ``calm`` optionally supplies the (E, 4) per-realization calm-range
+    table (``classify_calm_ensemble``); by default it is classified on the
+    host (memoized per ensemble+fan), so each realization's launch skips
+    the event machinery for its provably-safe blocks."""
+    from .ops.pallas_stepper import _classify_calm_cached, trace_pallas
 
     E = env_ens.c.shape[0]
     z0a = jnp.asarray(z0, env_ens.c.dtype)
+    if calm is None and settings.calm and not interpret:
+        calm = _classify_calm_cached(env_ens, z0, p0, geom, settings,
+                                     ensemble=True)
+    cm_tab = (jnp.zeros((E, 4), jnp.float32) if calm is None
+              else jnp.asarray(calm, jnp.float32))
     key = (env_struct_key(env_ens), geom, settings, p0.shape, p_axis,
            z0a.shape, bool(interpret))
     fn = _ENS_PALLAS_CACHE.get(key)
@@ -242,25 +258,26 @@ def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings,
         # z0 is a runtime argument (never baked into the closure): two
         # same-shape calls with different source depths must not share a
         # traced constant
-        def run(envs, p, zz):
+        def run(envs, p, zz, cm):
             outs = []
             for e in range(E):
                 env_e = jax.tree_util.tree_map(lambda a: a[e], envs)
                 p_e = p[e] if p_axis == 0 else p
                 res = trace_pallas(env_e, zz, p_e, geom, settings,
-                                   interpret=interpret)
+                                   interpret=interpret, calm=cm[e])
                 outs.append(res)
             return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
 
         fn = jax.jit(run)
         _ENS_PALLAS_CACHE.put(key, fn)
-    return fn(env_ens, p0, z0a)
+    return fn(env_ens, p0, z0a, cm_tab)
 
 
 _ENS_SHARD_CACHE = LRUCache(16)
 
 
-def _trace_ensemble_sharded(env_ens, z0, p0, p_axis, geom, settings, mesh):
+def _trace_ensemble_sharded(env_ens, z0, p0, p_axis, geom, settings, mesh,
+                            calm=None):
     """Realization-sharded ensemble trace: ``jax.shard_map`` over the
     ensemble axis — each device runs the single-chip path (per-realization
     mega-kernel launches when supported, the vmapped XLA scan otherwise) on
@@ -291,12 +308,19 @@ def _trace_ensemble_sharded(env_ens, z0, p0, p_axis, geom, settings, mesh):
         and (on_tpu or settings.backend == "pallas")
     )
     z0a = jnp.asarray(z0, env_ens.c.dtype)
+    if calm is None and use_kernel and settings.calm and on_tpu:
+        from .ops.pallas_stepper import _classify_calm_cached
+
+        calm = _classify_calm_cached(env_ens, z0, p0, geom, settings,
+                                     ensemble=True)
+    cm_tab = (jnp.zeros((E, 4), jnp.float32) if calm is None
+              else jnp.asarray(calm, jnp.float32))
     key = (env_struct_key(env_ens), geom, settings, p0.shape, p_axis,
            z0a.shape, mesh, bool(use_kernel))
     fn = _ENS_SHARD_CACHE.get(key)
     if fn is None:
 
-        def local(envs, p, zz):
+        def local(envs, p, zz, cm):
             if use_kernel:
                 outs = []
                 for e in range(E_loc):
@@ -304,7 +328,7 @@ def _trace_ensemble_sharded(env_ens, z0, p0, p_axis, geom, settings, mesh):
                     p_e = p[e] if p_axis == 0 else p
                     outs.append(
                         trace_pallas(env_e, zz, p_e, geom, settings,
-                                     interpret=not on_tpu)
+                                     interpret=not on_tpu, calm=cm[e])
                     )
                 return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
             fni = lambda env, pp: _trace_impl(env, zz, pp, geom, settings)
@@ -314,14 +338,15 @@ def _trace_ensemble_sharded(env_ens, z0, p0, p_axis, geom, settings, mesh):
         fn = jax.jit(
             jax.shard_map(
                 local, mesh=mesh,
-                in_specs=(ens, ens if p_axis == 0 else P(), P()),
+                in_specs=(ens, ens if p_axis == 0 else P(), P(),
+                          P(axis, None)),
                 out_specs=ens,
                 # pallas_call out_shapes carry no varying-mesh-axes metadata
                 check_vma=False,
             )
         )
         _ENS_SHARD_CACHE.put(key, fn)
-    return fn(env_ens, p0, z0a)
+    return fn(env_ens, p0, z0a, cm_tab)
 
 
 def mc_eigenray_times(

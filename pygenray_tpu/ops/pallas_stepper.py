@@ -1754,6 +1754,33 @@ def classify_calm_sharded(env, z0, p0, geom, settings=None, n_shards=1):
     return np.stack(rows)
 
 
+def classify_calm_ensemble(env_ens, z0, p0, geom, settings=None):
+    """Per-realization calm ranges for an ensemble trace: (E, 4) float32
+    (rows as in ``classify_calm``; ``blk_lo == blk_hi`` disables that
+    realization's launch), or None when classification declines entirely.
+
+    ``p0`` is (B,) shared or (E, B) per-realization.  The ensemble leaves
+    are pulled to the host ONCE (one D2H per leaf) and sliced in numpy —
+    never one transfer per realization.
+    """
+    p0h = p0
+    leaves = (p0, z0, *jax.tree_util.tree_leaves(env_ens))
+    if any(isinstance(x, jax.core.Tracer) for x in leaves):
+        return None
+    env_host = jax.tree_util.tree_map(lambda a: np.asarray(a), env_ens)
+    p0h = np.asarray(p0)
+    E = env_host.c.shape[0]
+    rows = []
+    for e in range(E):
+        env_e = jax.tree_util.tree_map(lambda a: a[e], env_host)
+        p_e = p0h[e] if p0h.ndim == 2 else p0h
+        row = classify_calm(env_e, z0, p_e, geom, settings)
+        rows.append(row if row is not None else np.zeros(4, np.float32))
+    if all(r[1] == r[0] for r in rows):
+        return None
+    return np.stack(rows)
+
+
 def _classify_safe_mask(env, z0, p0, geom, settings):
     """Per-ray boundary-safety mask (see ``classify_calm``), or None."""
     from ..envdata import host_profile_tables
@@ -1861,7 +1888,8 @@ def _calm_disabled():
     return got
 
 
-def _classify_calm_cached(env, z0, p0, geom, settings=None, n_shards=1):
+def _classify_calm_cached(env, z0, p0, geom, settings=None, n_shards=1,
+                          ensemble=False):
     """Memoized ``classify_calm`` keyed on the (env, p0, z0) OBJECTS.
 
     Classification pulls ``p0`` to the host — a ~10-20 ms D2H transfer on
@@ -1882,10 +1910,12 @@ def _classify_calm_cached(env, z0, p0, geom, settings=None, n_shards=1):
     # the resolved profile backend changes the classification (the fit is
     # what the kernel integrates), so it is part of the key
     interp = settings.interp if settings is not None else "auto"
-    k = (id(env), id(p0), z0_key, geom, interp, n_shards)
+    k = (id(env), id(p0), z0_key, geom, interp, n_shards, ensemble)
     if k in _CALM_CACHE:
         return _CALM_CACHE[k]
-    if n_shards > 1:
+    if ensemble:
+        calm = classify_calm_ensemble(env, z0, p0, geom, settings)
+    elif n_shards > 1:
         calm = classify_calm_sharded(env, z0, p0, geom, settings, n_shards)
     else:
         calm = classify_calm(env, z0, p0, geom, settings)

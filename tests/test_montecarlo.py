@@ -55,6 +55,58 @@ class TestEnsembleTrace:
         assert res.alive.shape == (3, 16)
         assert np.asarray(res.alive).all()
 
+    def test_ensemble_calm_matches_event_path(self):
+        """Per-realization calm ranges (classify_calm_ensemble) through the
+        unrolled ensemble kernel: every realization's calm launch must
+        reproduce its event path — no audit deaths, identical structure."""
+        import jax.numpy as jnp
+
+        from pygenray_tpu.environment import munk_ssp
+        from pygenray_tpu.integrate import SolverSettings, _plan
+        from pygenray_tpu.ops.pallas_stepper import classify_calm_ensemble
+
+        # range-smooth realizations: the calm drift allowance is a sound
+        # worst-case (max range gradient x full path), so internal-wave
+        # ensembles never prove calm — mesoscale-style smooth members do
+        z = np.linspace(0, 6000, 400)
+        r = np.linspace(0, 50e3, 16)
+        c_ens = np.array([
+            np.tile(munk_ssp(z, sofar_depth=1300.0 + 40.0 * e), (16, 1))
+            for e in range(3)
+        ])
+        env_ens = make_env_ensemble(
+            c_ens, r, z, np.full(16, 5000.0), r, dtype="float32"
+        )
+        s = SolverSettings(dx=500.0, backend="pallas")
+        angles = np.linspace(-8, 8, 96)
+        c0 = float(c_ens[0, 0, np.searchsorted(z, 1300.0)])
+        p0 = (np.sin(np.radians(-angles)) / c0).astype(np.float32)
+        h, sps, nseg = _plan(0.0, 50e3, 10, s.dx)
+        geom = (0.0, 50e3, float(h), int(sps), int(nseg))
+        tab = classify_calm_ensemble(env_ens, 1300.0, p0, geom, s)
+        assert tab is not None and tab.shape == (3, 4)
+        assert np.all(tab[:, 1] > tab[:, 0])  # ducted fan: all calm
+
+        res_c = trace_ensemble(env_ens, 1300.0, p0, 0.0, 50e3, 10, s,
+                               calm=jnp.asarray(tab))
+        res_0 = trace_ensemble(env_ens, 1300.0, p0, 0.0, 50e3, 10, s)
+        assert not np.any(np.asarray(res_c.death_code) == 5)
+        np.testing.assert_array_equal(
+            np.asarray(res_c.death_code), np.asarray(res_0.death_code)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_c.n_surf), np.asarray(res_0.n_surf)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_c.n_bott), np.asarray(res_0.n_bott)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_c.ts), np.asarray(res_0.ts), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_c.zs), np.asarray(res_0.zs), atol=5e-2
+        )
+
     def test_unperturbed_realization_matches_single_trace(self):
         """An ensemble whose first member is unperturbed must reproduce the
         plain single-environment trace bit-for-bit."""
