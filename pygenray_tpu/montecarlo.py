@@ -241,14 +241,18 @@ def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings,
     table (``classify_calm_ensemble``); by default it is classified on the
     host (memoized per ensemble+fan), so each realization's launch skips
     the event machinery for its provably-safe blocks."""
-    from .ops.pallas_stepper import _classify_calm_cached, trace_pallas
+    from .ops.pallas_stepper import (
+        _calm_disabled,
+        _classify_calm_cached,
+        trace_pallas,
+    )
 
     E = env_ens.c.shape[0]
     z0a = jnp.asarray(z0, env_ens.c.dtype)
     if calm is None and settings.calm and not interpret:
         calm = _classify_calm_cached(env_ens, z0, p0, geom, settings,
                                      ensemble=True)
-    cm_tab = (jnp.zeros((E, 4), jnp.float32) if calm is None
+    cm_tab = (_calm_disabled((E, 4)) if calm is None
               else jnp.asarray(calm, jnp.float32))
     key = (env_struct_key(env_ens), geom, settings, p0.shape, p_axis,
            z0a.shape, bool(interpret))
@@ -313,7 +317,9 @@ def _trace_ensemble_sharded(env_ens, z0, p0, p_axis, geom, settings, mesh,
 
         calm = _classify_calm_cached(env_ens, z0, p0, geom, settings,
                                      ensemble=True)
-    cm_tab = (jnp.zeros((E, 4), jnp.float32) if calm is None
+    from .ops.pallas_stepper import _calm_disabled
+
+    cm_tab = (_calm_disabled((E, 4)) if calm is None
               else jnp.asarray(calm, jnp.float32))
     key = (env_struct_key(env_ens), geom, settings, p0.shape, p_axis,
            z0a.shape, mesh, bool(use_kernel))

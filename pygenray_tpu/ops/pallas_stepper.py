@@ -1760,15 +1760,14 @@ def classify_calm_ensemble(env_ens, z0, p0, geom, settings=None):
     realization's launch), or None when classification declines entirely.
 
     ``p0`` is (B,) shared or (E, B) per-realization.  The ensemble leaves
-    are pulled to the host ONCE (one D2H per leaf) and sliced in numpy —
-    never one transfer per realization.
+    are pulled to the host in ONE overlapped ``jax.device_get`` and sliced
+    in numpy — never one transfer per leaf or per realization.
     """
-    p0h = p0
     leaves = (p0, z0, *jax.tree_util.tree_leaves(env_ens))
     if any(isinstance(x, jax.core.Tracer) for x in leaves):
         return None
-    env_host = jax.tree_util.tree_map(lambda a: np.asarray(a), env_ens)
-    p0h = np.asarray(p0)
+    env_host, p0h = jax.device_get((env_ens, p0))
+    p0h = np.asarray(p0h)
     E = env_host.c.shape[0]
     rows = []
     for e in range(E):
@@ -1878,13 +1877,15 @@ _CALM_CACHE = {}  # (id(env), id(p0), z0 key, geom) -> (4,) f32 or None
 _CALM_OFF = {}  # backend name -> device-resident all-zeros (disables calm)
 
 
-def _calm_disabled():
-    """Device-resident zeros(4) (calm disabled) — memoized per backend so
-    the per-call H2D transfer (~10-20 ms on the axon tunnel) is paid once."""
-    b = jax.default_backend()
-    got = _CALM_OFF.get(b)
+def _calm_disabled(shape=(4,)):
+    """Device-resident zeros of ``shape`` (calm disabled) — memoized per
+    (backend, shape) so the per-call device allocation/dispatch (~10-20 ms
+    on the axon tunnel) is paid once.  Sharded/ensemble launchers pass
+    their (n, 4) table shapes."""
+    k = (jax.default_backend(), tuple(shape))
+    got = _CALM_OFF.get(k)
     if got is None:
-        got = _CALM_OFF[b] = jnp.zeros(4, jnp.float32)
+        got = _CALM_OFF[k] = jnp.zeros(shape, jnp.float32)
     return got
 
 
@@ -2020,10 +2021,8 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False,
     if calm is None and settings.calm and not interpret:
         calm = _classify_calm_cached(env, z0, p0, geom, settings,
                                      n_shards=n_shards)
-    if calm is None:
-        cm_tab = jnp.zeros((n_shards, 4), jnp.float32)
-    else:
-        cm_tab = jnp.asarray(calm, jnp.float32)
+    cm_tab = (_calm_disabled((n_shards, 4)) if calm is None
+              else jnp.asarray(calm, jnp.float32))
 
     key = (env_struct_key(env), geom, settings, p0.shape, z0a.shape,
            mesh, axis, interpret)
