@@ -1686,14 +1686,15 @@ def _fit_eval_np(env, use_seg: bool, rows, zq):
 
 def _fit_band_min(env, use_seg: bool, lo_i, hi_i, z_a, z_b) -> float:
     """Min of the integrated profile over stations [lo_i, hi_i) × a dense
-    depth grid of [z_a, z_b] (0.1 m spacing — finer than the oscillation
-    scale of any fit the guards accept, including an order-255 Chebyshev
-    series at the domain edge)."""
+    depth grid of [z_a, z_b] (0.02 m spacing — ~10 samples per oscillation
+    of the fastest fit the guards accept: an order-255 Chebyshev series
+    oscillates on a ~0.2 m scale at the domain edge, where the surface
+    band sits)."""
     zlo, zhi = env.z_dom
     z_a, z_b = max(float(z_a), zlo), min(float(z_b), zhi)
     if not z_b > z_a:
         return np.inf
-    n = max(257, int((z_b - z_a) / 0.1) + 2)
+    n = max(257, int((z_b - z_a) / 0.02) + 2)
     zq = np.linspace(z_a, z_b, n)
     return float(_fit_eval_np(env, use_seg, slice(lo_i, hi_i), zq).min())
 
