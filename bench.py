@@ -36,6 +36,57 @@ ORACLE_CACHE = pathlib.Path(__file__).parent / "tests" / "fixtures" / "bench_ora
 ORACLE_ANGLES = np.linspace(-14.0, 14.0, 15)  # subset checked for accuracy
 
 
+def device_ready(deadline_s=None):
+    """Probe the accelerator in a subprocess, retrying until ``deadline_s``.
+
+    The axon TPU tunnel can go down for hours at a time; while it is down,
+    *any* device op (including the implicit backend init) hangs the calling
+    process indefinitely.  Probing in a killable subprocess keeps the hang
+    out of this process, so a benchmark driver invoking ``bench.py`` gets a
+    bounded-time structured failure instead of a silent stall.
+
+    Returns True the moment a trivial device op round-trips; False if the
+    deadline (default ``PYGENRAY_BENCH_DEVICE_WAIT_S`` env var, 1800 s)
+    expires first.
+    """
+    import os
+    import subprocess
+
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("PYGENRAY_BENCH_DEVICE_WAIT_S", 1800))
+    probe = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((8, 128))\n"
+        "assert float((x @ x.T).sum()) == 8192.0\n"
+    )
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = deadline_s - (time.monotonic() - t0)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=max(30.0, min(120.0, budget if attempt > 1 else 120.0)),
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        elapsed = time.monotonic() - t0
+        if elapsed >= deadline_s:
+            return False
+        print(
+            f"bench: device probe attempt {attempt} failed "
+            f"({elapsed:.0f}s elapsed); retrying",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(min(60.0, max(1.0, deadline_s - elapsed)))
+
+
 def build_env(dtype):
     from pygenray_tpu.envdata import make_env_data
     from pygenray_tpu.environment import munk_ssp
@@ -639,6 +690,23 @@ def bench_extra_configs():
 
 
 if __name__ == "__main__":
+    if not device_ready():
+        # one structured line so a driver capturing stdout records the
+        # reason rather than an empty file or an indefinite hang
+        print(
+            json.dumps(
+                {
+                    "metric": "rays_per_sec_chip",
+                    "value": 0,
+                    "unit": "rays/s",
+                    "vs_baseline": 0.0,
+                    "error": "accelerator unreachable (axon tunnel down?) — "
+                    "device probe failed for the whole wait window; see "
+                    "PYGENRAY_BENCH_DEVICE_WAIT_S",
+                }
+            )
+        )
+        sys.exit(1)
     main()
     if "--all" in sys.argv:
         bench_extra_configs()
