@@ -168,6 +168,56 @@ class TestMCEigenrays:
         assert np.all((t > 33.0) & (t < 34.0))
 
 
+class TestMCBracketCapOverflow:
+    def test_overflow_warns_and_matches_one_shot(self, monkeypatch):
+        """When a realization exceeds MC_BRACKET_CAP, mc_eigenray_times must
+        warn, fall back to the two-phase flow (reusing the one-shot fan's
+        final depths), and find the same arrivals as the in-capacity
+        one-shot path (montecarlo.py:432-457)."""
+        import warnings
+
+        import pygenray_tpu.montecarlo as mc
+
+        c_ens, r, z = perturbed_munk_tables(2, r_max=30e3, nr=16, nz=400,
+                                            seed=5)
+        # f32: the one-shot path requires the ensemble tangent kernel,
+        # which is f32-only (ops.pallas_stepper.tangent_supported)
+        env_ens = make_env_ensemble(c_ens, r, z, np.full(16, 5000.0), r,
+                                    dtype="float32")
+        # backend="pallas" forces the one-shot path in interpret mode (the
+        # default resolves to the XLA scan on CPU, which is two-phase-only);
+        # kahan=False keeps the AD tangent chain out of XLA's pathological
+        # simplification (CLAUDE.md)
+        kw = dict(receiver_depth=1300.0, source_depth=1300.0,
+                  source_range=0.0, receiver_range=30e3, ztol=1.0,
+                  max_iter=12,
+                  settings=SolverSettings(dx=250.0, backend="pallas",
+                                          kahan=False))
+        fan = np.linspace(-12, 12, 33)
+
+        base = mc_eigenray_times(env_ens, fan, **kw)
+        assert base["path"] == "one-shot"
+        counts = base["valid"].sum(axis=1)
+        assert counts.max() >= 2  # enough brackets that cap=1 overflows
+
+        monkeypatch.setattr(mc, "MC_BRACKET_CAP", 1)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            fb = mc_eigenray_times(env_ens, fan, **kw)
+        assert any("MC_BRACKET_CAP" in str(x.message) for x in w)
+        assert fb["path"] == "two-phase"
+
+        # same bracket set (the fallback reuses the fan), same arrivals
+        np.testing.assert_array_equal(fb["valid"].sum(axis=1), counts)
+        for e in range(2):
+            tb = np.sort(base["t"][e][base["valid"][e]])
+            tf = np.sort(fb["t"][e][fb["valid"][e]])
+            np.testing.assert_allclose(tf, tb, atol=5e-5)
+            ab = np.sort(base["theta"][e][base["valid"][e]])
+            af = np.sort(fb["theta"][e][fb["valid"][e]])
+            np.testing.assert_allclose(af, ab, atol=0.02)
+
+
 class TestMCEigenraysMultiDepth:
     def test_depth_array_matches_per_depth_calls(self):
         """A vertical receiver array solves all depths in one device call;
