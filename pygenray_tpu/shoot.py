@@ -25,12 +25,59 @@ import jax.numpy as jnp
 
 from .envdata import EnvData
 from .environment import OceanEnvironment2D
-from .integrate import SolverSettings, trace
+from .integrate import DEATH_CODES, SolverSettings, trace
 from .envdata import host_profile_tables
 from .ops.host import bilinear_np
 from .ray_objects import Ray, RayFan
 
 __all__ = ["shoot_rays", "shoot_ray", "settings_for"]
+
+
+def _debug_report(res, launch_angles, backwards, stream=None):
+    """Per-ray termination diagnostics, printed when ``debug=True``.
+
+    The reference prints these *during* integration as each terminal event
+    fires (`launch_rays.py:428-456,475-477`: integration failure, vertical
+    ray at (x, z), bounding-box exit at (x, z), backwards bounce).  The
+    whole batch integrates together here, so the equivalent report is
+    post-trace: for every dropped ray, the death reason (``DEATH_CODES``)
+    and the last saved alive state approximating where it died, plus
+    per-ray bounce counts.
+    """
+    import sys
+
+    stream = stream or sys.stderr
+    alive = np.asarray(res.alive)
+    code = np.asarray(res.death_code)
+    alive_save = np.asarray(res.alive_save)
+    rs = np.asarray(res.rs, float)
+    if backwards:
+        rs = -rs
+    zs = -np.asarray(res.zs, float)  # user convention
+    n_bott = np.asarray(res.n_bott)
+    n_surf = np.asarray(res.n_surf)
+    angles = np.broadcast_to(np.asarray(launch_angles, float), alive.shape)
+    for k in np.flatnonzero(~alive):
+        # last save point at which this ray was still alive
+        idx = np.flatnonzero(alive_save[k])
+        reason = DEATH_CODES.get(int(code[k]), f"code {int(code[k])}")
+        if idx.size:
+            j = idx[-1]
+            where = f"last alive near x={rs[j]:.1f} m, z={zs[k, j]:.1f} m"
+        else:
+            where = "died before the first save point"
+        print(
+            f"debug: ray {k} (launch {angles[k]:+.4f} deg) terminated: "
+            f"{reason}; {where}; bounces bottom={int(n_bott[k])} "
+            f"surface={int(n_surf[k])}",
+            file=stream, flush=True,
+        )
+    print(
+        f"debug: {int(alive.sum())}/{alive.size} rays alive; "
+        f"bounces bottom[min/max]={int(n_bott.min())}/{int(n_bott.max())} "
+        f"surface[min/max]={int(n_surf.min())}/{int(n_surf.max())}",
+        file=stream, flush=True,
+    )
 
 
 def settings_for(rtol=1e-9, dx=None, interp="auto", terminate_backwards=True,
@@ -159,6 +206,8 @@ def shoot_rays(
     )
 
     alive = np.asarray(res.alive)
+    if debug:
+        _debug_report(res, launch_angles, backwards)
     if verbose:
         print(
             f"shoot_rays: done in {_time.perf_counter() - t0:.3f} s "
@@ -218,6 +267,8 @@ def shoot_ray(
         source_depth, source_range, np.array([theta_ode]), receiver_range,
         num_range_save, environment, settings, flatearth, dtype,
     )
+    if debug:
+        _debug_report(res, np.array([launch_angle], float), backwards)
     if not bool(np.asarray(res.alive)[0]):
         return None
     rs = np.asarray(res.rs, float)

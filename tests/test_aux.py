@@ -176,6 +176,28 @@ class TestDroppedRayDiagnostics:
         )
         assert len(rf2) == 2
 
+    def test_debug_reports_terminations(self, capsys):
+        """``debug=True`` prints per-ray termination diagnostics — the
+        post-trace equivalent of the reference's in-loop event prints
+        (`launch_rays.py:428-456`): reason, approximate location, bounces."""
+        env = const_env(c0=1500.0, r_max=40e3)
+        pr.shoot_rays(
+            200.0, 0.0, [-90.0, -5.0], 30e3, 10, env,
+            flatearth=False, debug=True, keep_dropped=True,
+            interp="table", dtype="float64",
+        )
+        err = capsys.readouterr().err
+        assert "ray 0" in err and "vertical" in err
+        assert "1/2 rays alive" in err
+        # single-ray path reports too, and still returns None for a drop
+        ray = pr.shoot_ray(
+            200.0, 0.0, -90.0, 30e3, 10, env,
+            flatearth=False, debug=True, interp="table", dtype="float64",
+        )
+        assert ray is None
+        err = capsys.readouterr().err
+        assert "vertical" in err and "0/1 rays alive" in err
+
 
 class TestSettingsFor:
     def test_rtol_maps_to_dx(self):
