@@ -45,6 +45,18 @@ def _pack_trace(ts, zs, ps, nb, ns):
 _DEVICE_SOLVE_CACHE = LRUCache(64)
 
 
+def _empty_diagnostics():
+    """Zero-bracket solver diagnostics (same keys/dtypes as a real solve),
+    so ``er.diagnostics`` exists whether or not any bracket was found."""
+    return {
+        "rd_idx": np.zeros(0, int),
+        "iterations": np.zeros(0, np.int32),
+        "converged": np.zeros(0, bool),
+        "dropped": np.zeros(0, bool),
+        "depth_residual": np.zeros(0, float),
+    }
+
+
 def _device_solve(env, x0, x1, num_range_save, settings, ztol, max_iter,
                   use_newton, mesh,
                   rd_a, th1_a, th2_a, z1_a, z2_a, c_src_a, z0_a):
@@ -381,9 +393,11 @@ def find_eigenrays(
     if len(items) == 0:
         for rd_idx in range(len(receiver_depths)):
             num_found[rd_idx] = 0
-        return EigenRays(
+        er = EigenRays(
             receiver_depths, erays_dict, environment, num_eigenrays, num_found, failed
         )
+        er.diagnostics = _empty_diagnostics()
+        return er
 
     NB = len(items)
     rd_arr = np.array([it["rd"] for it in items])
@@ -618,10 +632,12 @@ def find_eigenrays_batch(
         out = []
         for c in range(C):
             num_found = {ri: len(erays[c][ri]) for ri in erays[c]}
-            out.append(EigenRays(
+            er = EigenRays(
                 rd_sets[c], erays[c], environment, num_eigenrays[c],
                 num_found, failed[c],
-            ))
+            )
+            er.diagnostics = _empty_diagnostics()
+            out.append(er)
         return out
 
     if not items:

@@ -307,3 +307,53 @@ class TestFindEigenraysBatch:
         assert len(ers2[0].num_eigenrays_found) == 1
         assert len(ers2[1].num_eigenrays_found) == 2
         assert ers2[0].num_eigenrays_found[0] >= 1
+
+    def test_heterogeneous_configs_with_failures(self):
+        """The bookkeeping-heaviest batch path: C=3 configs with different
+        receiver-depth arrays, one config with zero brackets anywhere, and
+        failing brackets mixed in (regula falsi starved of iterations) —
+        per-config counts, failed-bracket records, and diagnostics must
+        match C independent ``find_eigenrays`` calls exactly."""
+        env = munk_env(r_max=40e3, nr=16, nz=400)
+        angles = np.linspace(-10, 10, 41)
+        sds = [1000.0, 1300.0, 2000.0]
+        # config 1's receiver (5800 m) lies below every ray: zero brackets
+        rds = [[900.0, 1300.0, 2200.0], [5800.0], [800.0, 1500.0]]
+        kw = dict(ztol=1e-3, max_iter=1, method="regula_falsi",
+                  flatearth=False, dx=200.0, dtype="float64")
+        ers_b = pr.find_eigenrays_batch(angles, rds, sds, 0.0, 40e3, 10,
+                                        env, **kw)
+        total_failed = 0
+        total_found = 0
+        for c, sd in enumerate(sds):
+            fan = pr.shoot_rays(sd, 0.0, angles, 40e3, 10, env,
+                                flatearth=False, dx=200.0, dtype="float64")
+            er = pr.find_eigenrays(fan, rds[c], sd, 0.0, 40e3, 10, env, **kw)
+            assert ers_b[c].num_eigenrays == er.num_eigenrays
+            assert ers_b[c].num_eigenrays_found == er.num_eigenrays_found
+            for d in range(len(rds[c])):
+                np.testing.assert_allclose(
+                    np.asarray(ers_b[c].failed_eray_theta_brackets[d], float),
+                    np.asarray(er.failed_eray_theta_brackets[d], float),
+                )
+                np.testing.assert_allclose(
+                    np.sort(ers_b[c].launch_angles[d]),
+                    np.sort(er.launch_angles[d]), rtol=0, atol=1e-10,
+                )
+            if er.diagnostics["rd_idx"].size or ers_b[c].diagnostics["rd_idx"].size:
+                for k in ("rd_idx", "iterations", "converged", "dropped"):
+                    np.testing.assert_array_equal(
+                        ers_b[c].diagnostics[k], er.diagnostics[k]
+                    )
+                np.testing.assert_allclose(
+                    ers_b[c].diagnostics["depth_residual"],
+                    er.diagnostics["depth_residual"], rtol=1e-12,
+                )
+            total_failed += sum(
+                len(v) for v in er.failed_eray_theta_brackets.values()
+            )
+            total_found += sum(er.num_eigenrays_found.values())
+        assert total_failed > 0  # failures genuinely mixed in
+        assert total_found > 0  # and not everything failed
+        assert ers_b[1].num_eigenrays == {5800.0: 0}
+        assert ers_b[1].diagnostics["rd_idx"].size == 0
