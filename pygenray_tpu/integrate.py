@@ -612,20 +612,42 @@ def trace(
             raise ValueError("Pallas backend unsupported for this configuration")
         pallas_ok = pallas_ok and (on_tpu or settings.backend == "pallas")
         if pallas_ok:
-            # differentiating or vmapping through trace() — over p0, z0 OR
-            # any environment leaf: the kernel has no jvp/batching rule for
-            # its DMA machinery — use the XLA scan, which transforms fine
-            # (same math, interpret-tested equal).  Plain jit tracing
-            # (DynamicJaxprTracer) keeps the kernel: pallas_call is
-            # jit-traceable.
+            # differentiating or vmapping through trace(): the kernel's DMA
+            # machinery has no batching rule, and env/z0 tangents have no
+            # kernel — those fall back to the XLA scan, which transforms
+            # fine (same math, interpret-tested equal).  But a derivative
+            # over p0 ALONE (jax.jvp/jacfwd/grad of travel times vs launch
+            # parameter — the tomography sensitivity) routes through a
+            # custom_jvp whose rule launches the forward-tangent kernel
+            # (``trace_pallas_tangent_save``): primal + tangent in one
+            # launch.  Plain jit tracing (DynamicJaxprTracer) keeps the
+            # kernel: pallas_call is jit-traceable.
             from jax.interpreters.partial_eval import DynamicJaxprTracer
 
-            leaves = (p0, z0, *jax.tree_util.tree_leaves(env))
-            if any(
-                isinstance(x, jax.core.Tracer)
+            env_z0_leaves = (z0, *jax.tree_util.tree_leaves(env))
+            bad = [
+                x
+                for x in (p0, *env_z0_leaves)
+                if isinstance(x, jax.core.Tracer)
                 and type(x) is not DynamicJaxprTracer
-                for x in leaves
-            ):
+            ]
+            if bad:
+                from .ops.pallas_stepper import tangent_supported
+
+                env_z0_clean = not any(
+                    isinstance(x, jax.core.Tracer)
+                    and type(x) is not DynamicJaxprTracer
+                    for x in env_z0_leaves
+                )
+                if (
+                    not sharded
+                    and env_z0_clean
+                    and all(type(x) in _AD_TRACER_TYPES for x in bad)
+                    and tangent_supported(env, settings, _use_cheb(env, settings))
+                ):
+                    p0j = jnp.asarray(p0)
+                    p0j = p0j[None] if p0j.ndim == 0 else p0j
+                    return _traced_pallas(geom, settings, env, z0, p0j)
                 pallas_ok = False
 
     if sharded:
@@ -677,3 +699,101 @@ def _trace_impl_cached(env, z0, p0, geom, settings):
         fn = jax.jit(lambda e, p, z: _trace_impl(e, z, p, geom, settings))
         _XLA_JIT_CACHE.put(key, fn)
     return fn(env, p0, z0a)
+
+
+# ---------------------------------------------------------------------------
+# custom JVP on the traced Pallas path: jax.jvp / jax.jacfwd / jax.grad over
+# the launch parameters hit the forward-tangent kernel instead of silently
+# falling back to a jvp through the XLA scan
+# ---------------------------------------------------------------------------
+
+
+def _ad_tracer_types():
+    """Tracer classes that mean "differentiating over this value": JVPTracer
+    (jvp/jacfwd) and LinearizeTracer (grad/linearize — a private class in
+    current JAX, so probe defensively)."""
+    from jax.interpreters.ad import JVPTracer
+
+    types = [JVPTracer]
+    try:
+        from jax._src.interpreters.ad import LinearizeTracer
+
+        types.append(LinearizeTracer)
+    except ImportError:  # pragma: no cover - older/newer jax layouts
+        pass
+    return tuple(types)
+
+
+_AD_TRACER_TYPES = _ad_tracer_types()
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+def _traced_pallas(geom, settings, env, z0, p0):
+    from .ops.pallas_stepper import trace_pallas
+
+    on_tpu = jax.default_backend() == "tpu"
+    return trace_pallas(env, z0, p0, geom, settings, interpret=not on_tpu)
+
+
+def _traced_pallas_jvp(geom, settings, primals, tangents):
+    """JVP rule: one ``trace_pallas_tangent_save`` launch with a UNIT
+    tangent yields the whole diagonal d(state)/dp0 structure (each ray's
+    trajectory depends only on its own p0), and the user tangent enters
+    linearly — ``d_out = D ⊙ dp0`` — which keeps the rule transposable, so
+    reverse mode (``jax.grad``) rides the same kernel.  Tangents on the
+    environment or the source depth (or higher-order traces) fall back to a
+    jvp through the XLA scan, Kahan off as everywhere under AD."""
+    import dataclasses as _dc
+
+    from jax.custom_derivatives import SymbolicZero
+    from jax.interpreters.partial_eval import DynamicJaxprTracer
+
+    env, z0, p0 = primals
+    denv, dz0, dp0 = tangents
+
+    def _sz(t):
+        return isinstance(t, SymbolicZero)
+
+    env_zero = all(_sz(t) for t in jax.tree_util.tree_leaves(denv, is_leaf=_sz))
+    prim_ok = not any(
+        isinstance(x, jax.core.Tracer) and type(x) is not DynamicJaxprTracer
+        for x in jax.tree_util.tree_leaves((env, z0, p0))
+    )
+
+    if env_zero and _sz(dz0) and prim_ok:
+        from .ops.pallas_stepper import trace_pallas_tangent_save
+
+        on_tpu = jax.default_backend() == "tpu"
+        res, (dts, dzs, dps) = trace_pallas_tangent_save(
+            env, z0, p0, jnp.ones_like(p0), geom, settings,
+            interpret=not on_tpu,
+        )
+        col = (jnp.zeros_like(p0) if _sz(dp0) else dp0)[:, None]
+
+        def _f0(x):
+            import numpy as _onp
+
+            return _onp.zeros(_onp.shape(x), jax.dtypes.float0)
+
+        t_out = TraceResult(
+            rs=jnp.zeros_like(res.rs),
+            ts=dts * col, zs=dzs * col, ps=dps * col,
+            n_bott=_f0(res.n_bott), n_surf=_f0(res.n_surf),
+            alive=_f0(res.alive), alive_save=_f0(res.alive_save),
+            death_code=_f0(res.death_code),
+        )
+        return res, t_out
+
+    s_ad = _dc.replace(settings, backend="xla", kahan=False)
+
+    def _mat(prim, tang):
+        return jnp.zeros_like(prim) if _sz(tang) else tang
+
+    tang_m = jax.tree_util.tree_map(_mat, (env, z0, p0), (denv, dz0, dp0))
+    return jax.jvp(
+        lambda e, z, p: _trace_impl(e, z, p, geom, s_ad),
+        (env, z0, p0), tang_m,
+    )
+
+
+_traced_pallas.defjvp(_traced_pallas_jvp, symbolic_zeros=True)

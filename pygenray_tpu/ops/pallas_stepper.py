@@ -705,7 +705,13 @@ def _make_step_math(consts, K, Kb, hs):
     return step_math
 
 
-def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
+def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False,
+                       save_plan=None):
+    """Forward-tangent kernel: final state only (``save_plan=None``, the
+    eigenray-Newton hot path) or, with ``save_plan=(sps, nseg)``, primal AND
+    tangent rows staged out at every save boundary (the ``jax.custom_jvp``
+    save-grid path — same step math, same layout discipline as the
+    mega-kernel's ``save``)."""
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
      b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan,
@@ -714,14 +720,13 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
     STW = ST_BLOCK_W
     _nblk = -(-nsteps // STW)
 
-    def kernel(
+    def _run(
         p0_ref, dp0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
         b0s_ref, b1s_ref, xoob_ref, st_tab_ref,
-        T_out, z_out, p_out, dT_out, dz_out, dp_out,
-        nsurf_out, nbott_out, death_out,
         T_s, z_s, p_s, kT_s, kz_s, kp_s,
         dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
         al_s, ns_s, nb_s, de_s, st_s, sti_s, stsem, stisem,
+        save_cb,
     ):
         ib = pl.program_id(0)
 
@@ -859,26 +864,111 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False):
             nb_s[...] = nb_s[...] + (cb_f > 0.5).astype(jnp.int32)
             return 0
 
-        lax.fori_loop(0, nsteps, body, 0)
+        if save_cb is None:
+            lax.fori_loop(0, nsteps, body, 0)
+        else:
+            sps_sv, nseg_sv = save_plan
+            save_cb(0)
 
-        T_out[0] = T_s[...]
-        z_out[0] = z_s[...]
-        p_out[0] = p_s[...]
-        dT_out[0] = dT_s[...]
-        dz_out[0] = dz_s[...]
-        dp_out[0] = dp_s[...]
+            def seg_body(seg, _):
+                lax.fori_loop(seg * sps_sv, (seg + 1) * sps_sv, body, 0)
+                save_cb(seg + 1)
+                return 0
+
+            lax.fori_loop(0, nseg_sv, seg_body, 0)
+
+    if save_plan is None:
+
+        def kernel(
+            p0_ref, dp0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
+            b0s_ref, b1s_ref, xoob_ref, st_tab_ref,
+            T_out, z_out, p_out, dT_out, dz_out, dp_out,
+            nsurf_out, nbott_out, death_out,
+            T_s, z_s, p_s, kT_s, kz_s, kp_s,
+            dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
+            al_s, ns_s, nb_s, de_s, st_s, sti_s, stsem, stisem,
+        ):
+            _run(
+                p0_ref, dp0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
+                b0s_ref, b1s_ref, xoob_ref, st_tab_ref,
+                T_s, z_s, p_s, kT_s, kz_s, kp_s,
+                dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
+                al_s, ns_s, nb_s, de_s, st_s, sti_s, stsem, stisem,
+                None,
+            )
+            T_out[0] = T_s[...]
+            z_out[0] = z_s[...]
+            p_out[0] = p_s[...]
+            dT_out[0] = dT_s[...]
+            dz_out[0] = dz_s[...]
+            dp_out[0] = dp_s[...]
+            nsurf_out[0] = ns_s[...]
+            nbott_out[0] = nb_s[...]
+            death_out[0] = de_s[...]
+
+        return kernel
+
+    nseg_out = save_plan[1]
+
+    def kernel_save(
+        p0_ref, dp0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
+        b0s_ref, b1s_ref, xoob_ref, st_tab_ref,
+        T_out, z_out, p_out, dT_out, dz_out, dp_out,
+        nsurf_out, nbott_out, death_out, ds_out,
+        T_s, z_s, p_s, kT_s, kz_s, kp_s,
+        dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
+        al_s, ns_s, nb_s, de_s, st_s, sti_s, stsem, stisem,
+        ds_s, stage_s, svsem,
+    ):
+        ib = pl.program_id(0)
+        ds_s[...] = jnp.full_like(ds_s[...], nseg_out + 1)
+
+        def save_cb(row):
+            # first-dead save index (monotone: dead rays stay dead), then
+            # stage + DMA primal and tangent rows to the off-chip save
+            # grids -- the mega-kernel's save pattern
+            ds_s[...] = jnp.minimum(
+                ds_s[...],
+                jnp.where(al_s[...] > 0.5, nseg_out + 1, row).astype(jnp.int32),
+            )
+            stage_s[0] = T_s[...]
+            stage_s[1] = z_s[...]
+            stage_s[2] = p_s[...]
+            stage_s[3] = dT_s[...]
+            stage_s[4] = dz_s[...]
+            stage_s[5] = dp_s[...]
+            cps = [
+                pltpu.make_async_copy(
+                    stage_s.at[i], out.at[row, ib], svsem.at[i]
+                )
+                for i, out in enumerate(
+                    (T_out, z_out, p_out, dT_out, dz_out, dp_out)
+                )
+            ]
+            for cp_ in cps:
+                cp_.start()
+            for cp_ in cps:
+                cp_.wait()
+
+        _run(
+            p0_ref, dp0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
+            b0s_ref, b1s_ref, xoob_ref, st_tab_ref,
+            T_s, z_s, p_s, kT_s, kz_s, kp_s,
+            dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
+            al_s, ns_s, nb_s, de_s, st_s, sti_s, stsem, stisem,
+            save_cb,
+        )
         nsurf_out[0] = ns_s[...]
         nbott_out[0] = nb_s[...]
         death_out[0] = de_s[...]
+        ds_out[0] = ds_s[...]
 
-    return kernel
+    return kernel_save
 
 
-def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = False):
-    """Final-state trace with one forward tangent: returns
-    ``(T, z, p, dT, dz, dp, n_surf, n_bott, death)``, each (B,), in the ODE
-    convention.  ``dp0`` is the tangent of ``p0`` (e.g. ones for the diagonal
-    Jacobian dz_end/dp0 used by Newton eigenrays)."""
+def _tangent_launch_prep(env, z0, p0, dp0, geom, settings):
+    """Shared operand/const preparation for the forward-tangent kernels
+    (final-state and save-grid variants)."""
     from ..ops.interp import linear_interp
 
     x0, x1, h, sps, nseg = geom
@@ -931,12 +1021,13 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
         if any_x_oob else jnp.zeros((1, 128), dtype)
     )
 
-    kernel = _make_final_kernel((x0, x1, h), consts, K, KP, Kb, nsteps)
+    operands = (p0p, dp0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, st_tab)
+    layout = (B, nblocks, R, Bpad)
+    return operands, layout, consts, K, KP, Kb, nsteps, dtype
 
-    fvec = jax.ShapeDtypeStruct((nblocks, R, 128), dtype)
-    ivec = jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32)
-    out_shape = [fvec] * 6 + [ivec] * 3
-    scratch = (
+
+def _tangent_scratch(R, KP, dtype):
+    return (
         [pltpu.VMEM((R, 128), dtype) for _ in range(12)]
         + [pltpu.VMEM((R, 128), dtype)]  # alive (f32)
         + [pltpu.VMEM((R, 128), jnp.int32) for _ in range(3)]
@@ -944,6 +1035,24 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
            pltpu.SMEM((1, 4 * KP), dtype),
            pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA]
     )
+
+
+def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = False):
+    """Final-state trace with one forward tangent: returns
+    ``(T, z, p, dT, dz, dp, n_surf, n_bott, death)``, each (B,), in the ODE
+    convention.  ``dp0`` is the tangent of ``p0`` (e.g. ones for the diagonal
+    Jacobian dz_end/dp0 used by Newton eigenrays)."""
+    x0, x1, h, sps, nseg = geom
+    operands, (B, nblocks, R, Bpad), consts, K, KP, Kb, nsteps, dtype = (
+        _tangent_launch_prep(env, z0, p0, dp0, geom, settings)
+    )
+
+    kernel = _make_final_kernel((x0, x1, h), consts, K, KP, Kb, nsteps)
+
+    fvec = jax.ShapeDtypeStruct((nblocks, R, 128), dtype)
+    ivec = jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32)
+    out_shape = [fvec] * 6 + [ivec] * 3
+    scratch = _tangent_scratch(R, KP, dtype)
     blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -955,10 +1064,68 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
         out_specs=[blocked] * 9,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(p0p, dp0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, st_tab)
+    )(*operands)
 
     unb = lambda a: a.reshape(Bpad)[:B]
     return tuple(unb(o) for o in outs)
+
+
+def trace_pallas_tangent_save(env, z0, p0, dp0, geom, settings,
+                              interpret: bool = False):
+    """Save-grid trace with one forward tangent: returns
+    ``(TraceResult, (dts, dzs, dps))`` where the tangent arrays are (B, S)
+    directional derivatives of the save-grid states with respect to the
+    ``dp0`` direction.  This is the kernel behind the ``jax.custom_jvp``
+    registered on the traced Pallas path (``integrate.trace``): one launch
+    yields the primal trajectory AND its tangent, replacing a jvp through
+    the XLA scan.  Step math is ``_make_step_math`` — identical to the
+    final-state tangent kernel and the mega-kernel's event step."""
+    from ..integrate import TraceResult
+
+    x0, x1, h, sps, nseg = geom
+    operands, (B, nblocks, R, Bpad), consts, K, KP, Kb, nsteps, dtype = (
+        _tangent_launch_prep(env, z0, p0, dp0, geom, settings)
+    )
+    S = nseg + 1
+
+    kernel = _make_final_kernel((x0, x1, h), consts, K, KP, Kb, nsteps,
+                                save_plan=(sps, nseg))
+
+    fvecS = jax.ShapeDtypeStruct((S, nblocks, R, 128), dtype)
+    ivec = jax.ShapeDtypeStruct((nblocks, R, 128), jnp.int32)
+    out_shape = [fvecS] * 6 + [ivec] * 4
+    scratch = _tangent_scratch(R, KP, dtype) + [
+        pltpu.VMEM((R, 128), jnp.int32),  # first-dead save index
+        pltpu.VMEM((6, R, 128), dtype),  # save staging
+        pltpu.SemaphoreType.DMA((6,)),
+    ]
+    blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(nblocks,),
+        in_specs=[blocked, blocked, blocked] + [vmem_full] * 6
+        + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 6 + [blocked] * 4,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(*operands)
+
+    T, Z, P, dT, dZ, dP, n_surf, n_bott, death, ds = outs
+    unb = lambda a: a.reshape(Bpad)[:B]
+    unbS = lambda a: a.reshape(S, Bpad).T[:B]
+    death = unb(death)
+    ds = unb(ds)
+    alive_save = jnp.arange(S, dtype=jnp.int32)[None, :] < ds[:, None]
+    rs = x0 + (x1 - x0) * jnp.arange(S, dtype=dtype) / nseg
+    res = TraceResult(
+        rs=rs, ts=unbS(T), zs=unbS(Z), ps=unbS(P),
+        n_bott=unb(n_bott), n_surf=unb(n_surf),
+        alive=death == 0, alive_save=alive_save, death_code=death,
+    )
+    return res, (unbS(dT), unbS(dZ), unbS(dP))
 
 
 def trace_pallas_tangent_ensemble(env_ens, z0, p0, dp0, geom, settings,
