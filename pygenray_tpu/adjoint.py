@@ -299,13 +299,26 @@ def fermat_jacobian(
     """
     import numpy.polynomial.chebyshev as ncheb
 
-    from .integrate import trace
+    from .integrate import _use_cheb, _use_seg, trace
 
     res = trace(env, z0, p0, float(x0), float(x1), num_save, settings)
     zs = np.asarray(res.zs, np.float64)  # (B, S) ODE convention
     ps = np.asarray(res.ps, np.float64)
     xs = np.asarray(res.rs, np.float64)  # (S,)
     T_end = np.asarray(res.ts, np.float64)[:, -1]
+
+    if range_dependent is None:
+        range_dependent = env.range_dependent
+
+    if _use_seg(env, settings):
+        # rough (segment-backed) fields: same Fermat integral, sensitivity
+        # expressed in the piecewise-segment basis the engine integrates
+        return T_end, _fermat_jacobian_seg(env, zs, ps, xs, range_dependent)
+    if not _use_cheb(env, settings):
+        raise ValueError(
+            "fermat_jacobian needs a spectral (cheb) or segment fit; "
+            "exact-table environments have no basis to express dT/dc in"
+        )
 
     K = env.c_cheb.shape[1]
     zlo, zhi = env.z_dom
@@ -334,9 +347,6 @@ def fermat_jacobian(
     wq[0] = 0.5 * (xs[1] - xs[0])
     wq[-1] = 0.5 * (xs[-1] - xs[-2])
 
-    if range_dependent is None:
-        range_dependent = env.range_dependent
-
     if not range_dependent:
         G = np.einsum("bs,bsk->bk", kern * wq[None, :], Tb)
         return T_end, G
@@ -353,21 +363,120 @@ def fermat_jacobian(
     return T_end, G
 
 
+def _trapezoid_weights(xs):
+    wq = np.empty_like(xs)
+    wq[1:-1] = 0.5 * (xs[2:] - xs[:-2])
+    wq[0] = 0.5 * (xs[1] - xs[0])
+    wq[-1] = 0.5 * (xs[-1] - xs[-2])
+    return wq
+
+
+def _fermat_jacobian_seg(env, zs, ps, xs, range_dependent):
+    """Fermat path-integral Jacobian in the piecewise-SEGMENT basis.
+
+    Perturbing segment-monomial coefficient (k, s) of a station perturbs
+    c(z) by u_loc(z)^k inside depth segment s (see ``ops/seg.py``), so the
+    sensitivity is the kernel-weighted path integral of u^k scattered into
+    each point's segment (and, for range-dependent fields, split over the
+    two bracketing stations' linear hats).  Returns (B, K, S) or, when
+    ``range_dependent``, (B, nr, K, S) — the rough-field tomography
+    forward operator the spectral Jacobians cannot express
+    (their fit guard rejects these fields; `envdata.py` gates)."""
+    from .ops.seg import SEG_S
+
+    zlo, zhi = env.z_dom
+    cseg = np.asarray(env.c_seg, np.float64)  # (nr, K, S)
+    K, S = cseg.shape[1], cseg.shape[2]
+    assert S == SEG_S
+    B, Sn = zs.shape
+    rg = np.asarray(env.r, np.float64)
+
+    if env.range_dependent and rg.shape[0] > 1:
+        i = np.clip(np.searchsorted(rg, xs, side="right") - 1, 0, len(rg) - 2)
+        w = (xs - rg[i]) / (rg[i + 1] - rg[i])
+        coef_x = (
+            (1 - w)[:, None, None] * cseg[i] + w[:, None, None] * cseg[i + 1]
+        )  # (Sn, K, S)
+    else:
+        i = np.zeros(Sn, np.int64)
+        w = np.zeros(Sn)
+        coef_x = np.broadcast_to(cseg[0], (Sn, K, S))
+
+    # per-point segment pick + local coordinate (device arithmetic,
+    # ops/seg.seg_eval_np)
+    t = np.clip((zs - zlo) * (S / (zhi - zlo)), 0.0, float(S))
+    segf = np.minimum(np.floor(t), float(S - 1))
+    u = 2.0 * (t - segf) - 1.0  # (B, Sn)
+    seg = segf.astype(np.int64)
+
+    # sound speed along the path: Horner with the per-point station blend
+    cpk = coef_x[np.arange(Sn)[None, :], :, seg]  # (B, Sn, K)
+    c_path = cpk[..., K - 1]
+    for k in range(K - 2, -1, -1):
+        c_path = c_path * u + cpk[..., k]
+
+    s2 = np.maximum(1.0 - (c_path * ps) ** 2, 1e-12)
+    kern = -1.0 / (c_path**2 * np.sqrt(s2))
+    contrib = kern * _trapezoid_weights(xs)[None, :]  # (B, Sn)
+
+    b_idx = np.arange(B)[:, None]
+    if not range_dependent:
+        G = np.zeros((B, K, S))
+        upow = np.ones_like(u)
+        for k in range(K):
+            np.add.at(G[:, k, :], (b_idx, seg), contrib * upow)
+            upow = upow * u
+        return G
+
+    nr = rg.shape[0]
+    G = np.zeros((B, nr, K, S))
+    i_b = np.broadcast_to(i[None, :], (B, Sn))
+    upow = np.ones_like(u)
+    for k in range(K):
+        Gk = G[:, :, k, :]  # (B, nr, S) view
+        np.add.at(Gk, (b_idx, i_b, seg), contrib * upow * (1 - w)[None, :])
+        if nr > 1:
+            np.add.at(Gk, (b_idx, i_b + 1, seg), contrib * upow * w[None, :])
+        upow = upow * u
+    return G
+
+
 def perturbation_response(jac, env: EnvData, delta_c, z_samples=None):
     """First-order travel-time anomaly δT for a profile perturbation δc(z).
 
     ``delta_c`` is sampled on ``z_samples`` (default: the environment's
-    depth grid); it is projected onto the spectral basis and contracted
-    with the Jacobian: δT_b = Σ_k jac[b, k] δcoef_k.
+    depth grid); it is projected onto the Jacobian's basis — spectral for
+    a (B, K) ``jac``, piecewise-segment for a (B, K, S) one (rough fields,
+    ``fermat_jacobian`` on a seg-backed environment) — and contracted:
+    δT_b = Σ jac[b, ...] δcoef[...].
     """
+    z_samples = np.asarray(env.z) if z_samples is None else np.asarray(z_samples)
+    jac = np.asarray(jac)
+    zlo, zhi = env.z_dom
+
+    if jac.ndim == 3:  # (B, K, S): segment basis
+        from .ops.seg import SEG_S, fit_profile_seg
+
+        K, S = jac.shape[1], jac.shape[2]
+        if S != SEG_S:
+            raise ValueError("segment-basis Jacobian must have S == SEG_S")
+        if not (np.isclose(z_samples[0], zlo) and np.isclose(z_samples[-1], zhi)):
+            raise ValueError(
+                "segment-basis projection needs delta_c sampled over the "
+                f"environment depth domain [{zlo}, {zhi}] (the segment "
+                "boundaries are tied to it)"
+            )
+        dcoef, _, _ = fit_profile_seg(
+            np.asarray(delta_c)[None, :], z_samples, order=K - 1
+        )
+        return np.einsum("bks,ks->b", jac, dcoef[0])
+
     from .ops.cheb import fit_series_cheb
 
-    z_samples = np.asarray(env.z) if z_samples is None else np.asarray(z_samples)
     K = jac.shape[1]
-    zlo, zhi = env.z_dom
     dcoef, _ = fit_series_cheb(z_samples, np.asarray(delta_c), K - 1, lo=zlo, hi=zhi)
     # a coarsely sampled perturbation yields fewer than K coefficients
     # (fit order is clamped to len(z_samples)-1); pad with zeros
     if dcoef.shape[0] < K:
         dcoef = np.pad(dcoef, (0, K - dcoef.shape[0]))
-    return np.asarray(jac) @ dcoef[:K]
+    return jac @ dcoef[:K]
