@@ -409,11 +409,29 @@ def _fermat_jacobian_seg(env, zs, ps, xs, range_dependent):
     u = 2.0 * (t - segf) - 1.0  # (B, Sn)
     seg = segf.astype(np.int64)
 
-    # sound speed along the path: Horner with the per-point station blend
+    # sound speed along the path with the per-point station blend, and the
+    # per-point basis functions φ_k(u): local monomials u^k ("pow") or
+    # Chebyshev T_k(u) ("cheb" — the high-order rungs)
     cpk = coef_x[np.arange(Sn)[None, :], :, seg]  # (B, Sn, K)
-    c_path = cpk[..., K - 1]
-    for k in range(K - 2, -1, -1):
-        c_path = c_path * u + cpk[..., k]
+    basis = getattr(env, "seg_basis", "pow")
+    phi = np.empty((K, B, Sn))
+    phi[0] = 1.0
+    if K > 1:
+        phi[1] = u
+    if basis == "pow":
+        for k in range(2, K):
+            phi[k] = phi[k - 1] * u
+        c_path = cpk[..., K - 1]
+        for k in range(K - 2, -1, -1):
+            c_path = c_path * u + cpk[..., k]
+    else:
+        for k in range(2, K):
+            phi[k] = 2.0 * u * phi[k - 1] - phi[k - 2]
+        b1 = np.zeros((B, Sn))
+        b2 = np.zeros((B, Sn))
+        for k in range(K - 1, 0, -1):
+            b1, b2 = cpk[..., k] + 2.0 * u * b1 - b2, b1
+        c_path = cpk[..., 0] + u * b1 - b2
 
     s2 = np.maximum(1.0 - (c_path * ps) ** 2, 1e-12)
     kern = -1.0 / (c_path**2 * np.sqrt(s2))
@@ -422,22 +440,18 @@ def _fermat_jacobian_seg(env, zs, ps, xs, range_dependent):
     b_idx = np.arange(B)[:, None]
     if not range_dependent:
         G = np.zeros((B, K, S))
-        upow = np.ones_like(u)
         for k in range(K):
-            np.add.at(G[:, k, :], (b_idx, seg), contrib * upow)
-            upow = upow * u
+            np.add.at(G[:, k, :], (b_idx, seg), contrib * phi[k])
         return G
 
     nr = rg.shape[0]
     G = np.zeros((B, nr, K, S))
     i_b = np.broadcast_to(i[None, :], (B, Sn))
-    upow = np.ones_like(u)
     for k in range(K):
         Gk = G[:, :, k, :]  # (B, nr, S) view
-        np.add.at(Gk, (b_idx, i_b, seg), contrib * upow * (1 - w)[None, :])
+        np.add.at(Gk, (b_idx, i_b, seg), contrib * phi[k] * (1 - w)[None, :])
         if nr > 1:
-            np.add.at(Gk, (b_idx, i_b + 1, seg), contrib * upow * w[None, :])
-        upow = upow * u
+            np.add.at(Gk, (b_idx, i_b + 1, seg), contrib * phi[k] * w[None, :])
     return G
 
 
@@ -467,7 +481,8 @@ def perturbation_response(jac, env: EnvData, delta_c, z_samples=None):
                 "boundaries are tied to it)"
             )
         dcoef, _, _ = fit_profile_seg(
-            np.asarray(delta_c)[None, :], z_samples, order=K - 1
+            np.asarray(delta_c)[None, :], z_samples, order=K - 1,
+            basis=getattr(env, "seg_basis", "pow"),
         )
         return np.einsum("bks,ks->b", jac, dcoef[0])
 

@@ -47,7 +47,12 @@ BANGLE_FIT_TOL = 1e-3  # [deg]
 # gets a looser cap (see ops/seg.py)
 C_SEG_MAX_TOL = 0.1  # [m/s]
 CP_SEG_MAX_TOL = 0.05  # [1/s]
-SEG_ORDER_LADDER = (7, 11, 15, 23)  # K=32 monomial conversion is f32-hostile
+# escalation rungs: local-monomial (Horner, 1 fma/term) first — the K=32
+# monomial conversion is f32-hostile — then local-Chebyshev (Clenshaw,
+# 2 ops/term, stable at any order): the high rungs recover fields with
+# multi-m/s structure at the table's own grid scale
+SEG_ORDER_LADDER = (7, 11, 15, 23)
+SEG_CHEB_LADDER = (31, 47, 63, 95)
 
 
 def _is_uniform(g: np.ndarray) -> bool:
@@ -89,6 +94,7 @@ def _is_uniform(g: np.ndarray) -> bool:
         "bathy_r_dom",
         "poly_ok",
         "has_seg",
+        "seg_basis",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -133,6 +139,9 @@ class EnvData:
     # True when the piecewise-segment fit met its gates (used by the
     # engine only when the global spectral fit is absent)
     has_seg: bool = False
+    # segment-coefficient basis: "pow" (local monomial, Horner on device)
+    # or "cheb" (local Chebyshev, Clenshaw — the high-order rungs)
+    seg_basis: str = "pow"
 
     @property
     def nz(self):
@@ -154,8 +163,9 @@ def make_env_data(
     interp: str = "auto",
     cheb_order: int = 47,
     cheb_exact_order: bool = False,
-    seg_order: int = 23,
+    seg_order: int = 95,
     seg_exact_order: bool = False,
+    seg_basis: str = "auto",
     force_range_dependent: bool = False,
     dtype=None,
 ) -> EnvData:
@@ -172,6 +182,13 @@ def make_env_data(
     poor), "seg" (piecewise-segment fast path for rough fields; raises if
     its gates fail), or "auto" (global fit → segment fit → table, first
     acceptable wins).
+
+    ``seg_order`` caps the segment-fit escalation ladder (monomial rungs
+    up to K=24, then local-Chebyshev rungs to K=96 — see ops/seg.py);
+    ``seg_basis`` pins the basis ("pow"/"cheb", default "auto" = ladder
+    order).  Any continuous field sampling its finest vertical structure
+    at ≥ ~4 points per wavelength fits on some rung; coarser tables keep
+    the exact-table path (the only faithful representation of such data).
     """
     c = np.asarray(c, np.float64)
     if c.ndim == 1:
@@ -262,27 +279,41 @@ def make_env_data(
     # cost a lane gather per coefficient where the global path reads free
     # SMEM scalars)
     has_seg = False
+    seg_basis_used = "pow"
     c_seg = np.zeros((c.shape[0], 1, SEG_S))
     dcdz_seg = np.zeros((c.shape[0], 1, SEG_S))
     if not has_cheb and (interp == "auto" or force_seg):
         if seg_exact_order:
-            orders = [seg_order]
+            b = seg_basis if seg_basis != "auto" else (
+                "pow" if seg_order <= max(SEG_ORDER_LADDER) else "cheb"
+            )
+            rungs = [(seg_order, b)]
         else:
-            orders = [o for o in SEG_ORDER_LADDER if o <= seg_order] or [seg_order]
+            rungs = []
+            if seg_basis in ("auto", "pow"):
+                rungs += [(o, "pow") for o in SEG_ORDER_LADDER if o <= seg_order]
+            if seg_basis in ("auto", "cheb"):
+                rungs += [(o, "cheb") for o in SEG_CHEB_LADDER if o <= seg_order]
+            if not rungs:
+                rungs = [(seg_order, "pow" if seg_basis == "pow" else "cheb")]
         c_mr = cp_mr = c_xr = cp_xr = np.inf
-        for order in orders:
-            c_seg_f, c_mr, c_xr = fit_profile_seg(c, z, order=order)
-            cp_seg_f, cp_mr, cp_xr = fit_profile_seg(dcdz, z, order=order)
+        for order, b in rungs:
+            c_seg_f, c_mr, c_xr = fit_profile_seg(c, z, order=order, basis=b)
+            cp_seg_f, cp_mr, cp_xr = fit_profile_seg(dcdz, z, order=order, basis=b)
             if (c_mr < C_FIT_TOL and cp_mr < CP_FIT_TOL
                     and c_xr < C_SEG_MAX_TOL and cp_xr < CP_SEG_MAX_TOL):
                 has_seg = True
+                seg_basis_used = b
                 c_seg, dcdz_seg = c_seg_f, cp_seg_f
                 break
         if force_seg and not has_seg:
             raise ValueError(
                 f"segment profile fit residuals too large (c: mean "
                 f"{c_mr:.2e}/max {c_xr:.2e} m/s, dc/dz: mean {cp_mr:.2e}/"
-                f"max {cp_xr:.2e} 1/s); use interp='table' or 'auto'."
+                f"max {cp_xr:.2e} 1/s) — this table carries more "
+                f"information at its own grid scale than a 128-segment "
+                f"order-{rungs[-1][0]} fit can hold within the travel-time "
+                f"budget; use interp='table' or 'auto'."
             )
 
     # bottom angle representation
@@ -343,6 +374,7 @@ def make_env_data(
         bathy_r_dom=(float(bathy_r[0]), float(bathy_r[-1])),
         poly_ok=pow_ok,
         has_seg=has_seg,
+        seg_basis=seg_basis_used,
     )
 
 

@@ -165,11 +165,13 @@ def _make_eval(env: EnvData, use_cheb: bool, use_pow: bool = False,
 
     if use_seg:
         # piecewise-segment backend: per-lane segment pick + local-u Horner
-        # (the Pallas kernel mirrors these expressions with in-kernel lane
-        # gathers; keep the arithmetic in lockstep)
+        # ("pow" basis) or Clenshaw ("cheb" basis, the high-order rungs).
+        # The Pallas kernel mirrors these expressions with in-kernel lane
+        # gathers; keep the arithmetic in lockstep.
         S = env.c_seg.shape[-1]
         S_f = float(S)
         hinv = S_f / (zhi - zlo)
+        seg_poly = horner if env.seg_basis == "pow" else clenshaw
 
         def _seg_u(z):
             t = jnp.clip((z - zlo) * hinv, 0.0, S_f)
@@ -178,13 +180,13 @@ def _make_eval(env: EnvData, use_cheb: bool, use_pow: bool = False,
 
         def ev(prof, z):
             seg, u = _seg_u(z)
-            c = horner(u, jnp.swapaxes(prof[0], -1, -2)[seg])
-            cp = horner(u, jnp.swapaxes(prof[1], -1, -2)[seg])
+            c = seg_poly(u, jnp.swapaxes(prof[0], -1, -2)[seg])
+            cp = seg_poly(u, jnp.swapaxes(prof[1], -1, -2)[seg])
             return c, cp
 
         def ev_c(prof, z):
             seg, u = _seg_u(z)
-            return horner(u, jnp.swapaxes(prof[0], -1, -2)[seg])
+            return seg_poly(u, jnp.swapaxes(prof[0], -1, -2)[seg])
 
         return ev, ev_c
 

@@ -49,7 +49,7 @@ def make_env_ensemble(
     ]
     kw2 = {k: v for k, v in kw.items()
            if k not in ("cheb_order", "cheb_exact_order",
-                        "seg_order", "seg_exact_order")}
+                        "seg_order", "seg_exact_order", "seg_basis")}
     if interp not in ("table", "seg") and not all(p.has_cheb for p in probes):
         if interp == "cheb":
             raise ValueError(
@@ -70,8 +70,11 @@ def make_env_ensemble(
 
             warnings.warn(
                 "ensemble fell back to table interpolation (global AND "
-                "segment fit gates failed); the vmapped gather path is "
-                "slow on TPU — consider smoothing the realizations",
+                "segment fit gates failed — reachable only for tables "
+                "sampling their finest structure below ~4 points per "
+                "wavelength, see ops/seg.py); the vmapped gather path is "
+                "slow on TPU — resample the realizations onto a finer "
+                "depth grid",
                 stacklevel=2,
             )
             probes = [
@@ -86,12 +89,16 @@ def make_env_ensemble(
         ]
 
     if probes[0].has_seg:
-        # align the per-realization segment orders so the pytrees stack
+        # align the per-realization segment orders AND basis so the
+        # pytrees stack (seg_basis is static metadata: one member on the
+        # high-order Chebyshev rungs lifts the whole ensemble there)
         ks = max(p.c_seg.shape[1] for p in probes) - 1
+        sb = "cheb" if any(p.seg_basis == "cheb" for p in probes) else "pow"
         envs = [
-            p if p.c_seg.shape[1] - 1 == ks else make_env_data(
+            p if (p.c_seg.shape[1] - 1 == ks and p.seg_basis == sb)
+            else make_env_data(
                 c_ens[e], r, z, bathy, bathy_r, interp="seg", dtype=dtype,
-                seg_order=ks, seg_exact_order=True, **kw2,
+                seg_order=ks, seg_exact_order=True, seg_basis=sb, **kw2,
             )
             for e, p in enumerate(probes)
         ]

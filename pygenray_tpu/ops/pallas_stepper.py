@@ -145,6 +145,27 @@ def _seg_horner(read, K, seg, u):
     return acc
 
 
+def _seg_clenshaw(read, K, seg, u):
+    """Local-u Clenshaw with per-lane segment coefficient picks — the
+    "cheb" segment basis (high-order rungs; the local monomial conversion
+    is f32-catastrophic above K≈24, Clenshaw is stable at any order)."""
+    def pick(k):
+        row = jnp.broadcast_to(read(k)[None, :], seg.shape)
+        return jnp.take_along_axis(row, seg, axis=-1)
+
+    b1 = jnp.zeros_like(u)
+    b2 = jnp.zeros_like(u)
+    for k in range(K - 1, 0, -1):
+        b1, b2 = pick(k) + 2.0 * u * b1 - b2, b1
+    return pick(0) + u * b1 - b2
+
+
+def _seg_poly_fn(use_seg):
+    """Segment evaluator by the ``use_seg`` const: 1 = "pow" (Horner),
+    2 = "cheb" (Clenshaw)."""
+    return _seg_clenshaw if use_seg == 2 else _seg_horner
+
+
 def _vmem_reader(ref, pre=()):
     return lambda k: ref[(*pre, k)]
 
@@ -175,7 +196,10 @@ def _launch_consts(env, settings, x0, h, nsteps, rd, use_pow,
         math.sin(2 * b), math.cos(2 * b), env.bangle_mode,
         env.bathy_r_dom[0], env.bathy_r_dom[1],
         settings.terminate_backwards, any_x_oob, rd, use_pow,
-        bool(settings.kahan), bool(use_seg),
+        bool(settings.kahan),
+        # seg mode: 0 = off, 1 = "pow" basis (Horner), 2 = "cheb" basis
+        # (Clenshaw) — truthy exactly when the segment backend is active
+        (0 if not use_seg else (2 if env.seg_basis == "cheb" else 1)),
     )
     return consts, xoob
 
@@ -229,6 +253,7 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
         if use_seg:
             S_f = float(SEG_S)
             seg_hinv = S_f / (zhi - zlo)
+            _seg_poly = _seg_poly_fn(use_seg)
 
             def _seg_coords(zq):
                 t = jnp.clip((zq - zlo) * seg_hinv, 0.0, S_f)
@@ -238,13 +263,13 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
             def ev(st, zq):
                 rc, rcp = st
                 seg, u = _seg_coords(zq)
-                return (_seg_horner(rc, K, seg, u),
-                        _seg_horner(rcp, K, seg, u))
+                return (_seg_poly(rc, K, seg, u),
+                        _seg_poly(rcp, K, seg, u))
 
             def ev_c(st, zq):
                 rc, _ = st
                 seg, u = _seg_coords(zq)
-                return _seg_horner(rc, K, seg, u)
+                return _seg_poly(rc, K, seg, u)
 
             def blend_station(dst, i, w):
                 # blend the two bracketing station tiles into the scratch
@@ -1843,7 +1868,9 @@ def _fit_eval_np(env, use_seg: bool, rows, zq):
         from .seg import seg_eval_np
 
         coef = np.asarray(env.c_seg, np.float64)[rows]
-        return np.atleast_2d(seg_eval_np(coef, zq, zlo, zhi))
+        return np.atleast_2d(
+            seg_eval_np(coef, zq, zlo, zhi, basis=env.seg_basis)
+        )
     import numpy.polynomial.chebyshev as ncheb
 
     coef = np.asarray(env.c_cheb, np.float64)[rows]

@@ -20,22 +20,38 @@ in-kernel evaluation is pure lane arithmetic:
 The per-lane coefficient pick uses Mosaic's single-tile ``take_along_axis``
 (dynamic_gather) — measured at the same throughput as the scalar-broadcast
 Horner of the global spectral path, so rough fields trace at full kernel
-speed.  Effective vertical resolution is 128 x K (up to ~4096 for K = 32),
-~16x the order-255 global fit.
+speed.  Effective vertical resolution is 128 x K.
 
-Fits are least squares against the table's piecewise-LINEAR interpolant
-(what the reference actually integrates through), sampled densely per
-segment.  Acceptance is gated on the travel-time-relevant error: the
-residual's MEAN over each table grid interval (what accumulates into
-travel times along a ray) must meet the same tolerance as the global
-spectral guard, while the pointwise oscillatory part — the unavoidable
-within-interval difference between any smooth interpolant and the
-piecewise-linear one, which cancels along a ray crossing many intervals —
-gets a looser cap.  An end-to-end rough-field parity test against the f64
-table path pins the resulting travel-time agreement.  Coefficients are
-stored in the MONOMIAL basis of the local coordinate (1 fma per term);
-the audit evaluates exactly like the device (f32 Horner) so acceptance
-covers device conditioning too.
+Fits are per-segment least squares against the table's piecewise-LINEAR
+interpolant (what the reference actually integrates through), sampled at
+dense local Chebyshev nodes PLUS the segment's own table grid points —
+including the kink locations in the sample set is what lets high orders
+keep converging on tables rough at their own grid scale.  Acceptance is
+gated on the travel-time-relevant error: the residual's MEAN over each
+table grid interval (what accumulates into travel times along a ray) must
+meet the same tolerance as the global spectral guard, while the pointwise
+oscillatory part — the unavoidable within-interval difference between any
+smooth interpolant and the piecewise-linear one, which cancels along a ray
+crossing many intervals — gets a looser cap.  An end-to-end rough-field
+parity test against the f64 table path pins the resulting travel-time
+agreement.
+
+Data-adequacy limit: a continuous field passes the gates when the table
+samples its finest vertical structure at >= ~4 points per wavelength
+(measured threshold).  Below that, the table's own piecewise-linear
+interpolant systematically misrepresents the structure at amplitudes the
+window-mean gate (correctly) refuses — those tables keep the exact-table
+gather path, which is the only representation faithful to such data.
+
+Two coefficient BASES, escalated in order (``envdata.SEG_ORDER_LADDER`` /
+``SEG_CHEB_LADDER``):
+- ``"pow"``: local monomials (1 fma/term on device).  f32-catastrophic
+  above K≈24 (2^k coefficient growth), so only the low rungs use it.
+- ``"cheb"``: local Chebyshev evaluated by Clenshaw (2 ops/term) — stable
+  at any order; K up to 96 recovers fields with multi-m/s structure at the
+  table's own grid scale that no monomial rung can hold.
+The audit evaluates exactly like the device (f32 Horner/Clenshaw on f32
+coefficients), so acceptance covers device conditioning too.
 """
 
 from __future__ import annotations
@@ -49,14 +65,15 @@ SEG_S = 128  # depth segments per profile == TPU lane count
 
 def _local_nodes(n: int) -> np.ndarray:
     """Dense local sample pattern in [0, 1]: Chebyshev points plus the
-    endpoints (shared by every segment so one pseudoinverse serves all)."""
+    endpoints (shared by every segment; each segment appends its own table
+    grid points on top)."""
     k = np.arange(n)
     cheb = 0.5 * (1.0 - np.cos(np.pi * (k + 0.5) / n))
     return np.unique(np.concatenate([cheb, [0.0, 1.0]]))
 
 
-def fit_profile_seg(c, z, order: int, n_audit: int = 24):
-    """Per-segment monomial fit of every range-station column of c(r, z).
+def fit_profile_seg(c, z, order: int, n_audit: int = 24, basis: str = "pow"):
+    """Per-segment polynomial fit of every range-station column of c(r, z).
 
     Parameters
     ----------
@@ -64,19 +81,23 @@ def fit_profile_seg(c, z, order: int, n_audit: int = 24):
     z : (nz,) increasing depth grid
     order : per-segment polynomial order (K - 1)
     n_audit : uniform audit points per segment for the residual
+    basis : "pow" (local monomial, Horner on device) or "cheb" (local
+        Chebyshev, Clenshaw on device — stable at high order)
 
     Returns
     -------
-    coef : (nr, K, SEG_S) float64 — monomial coefficients in the local
-        coordinate u in [-1, 1] of each segment (lane = segment)
+    coef : (nr, K, SEG_S) float64 — coefficients in the chosen basis of
+        the local coordinate u in [-1, 1] of each segment (lane = segment)
     mean_resid : worst magnitude of the residual averaged over any table
         grid interval — the systematic component that accumulates into
         travel times (gate this against the spectral-fit tolerance)
     max_resid : worst pointwise residual on the audit grid — the
         oscillatory component (cancels along rays; gate loosely).  Both
-        residuals use the f32 Horner device evaluation, so acceptance
-        covers evaluation conditioning, not just the f64 fit.
+        residuals use the f32 device evaluation, so acceptance covers
+        evaluation conditioning, not just the f64 fit.
     """
+    import numpy.polynomial.chebyshev as ncheb
+
     c = np.atleast_2d(np.asarray(c, np.float64))
     z = np.asarray(z, np.float64)
     nr, nz = c.shape
@@ -84,37 +105,39 @@ def fit_profile_seg(c, z, order: int, n_audit: int = 24):
     zlo, zhi = z[0], z[-1]
     h_seg = (zhi - zlo) / SEG_S
 
-    # one design matrix for every segment (same local node pattern);
-    # least squares in the Chebyshev basis (well-conditioned at any K),
-    # converted to local monomials afterwards
-    import numpy.polynomial.chebyshev as ncheb
-
     tloc = _local_nodes(max(3 * K, 16))  # (nd,) in [0, 1]
-    u = 2.0 * tloc - 1.0
-    A = ncheb.chebvander(u, K - 1)  # (nd, K)
-    pinv = np.linalg.pinv(A)  # (K, nd)
+    cheb_coef = np.empty((nr, K, SEG_S))
+    for s in range(SEG_S):
+        lo = zlo + s * h_seg
+        # the segment's own table grid points join the sample set: kink
+        # locations must be sampled for the least squares to keep
+        # converging on tables rough at their own grid scale
+        in_seg = z[(z >= lo - 1e-9 * h_seg) & (z <= lo + h_seg * (1 + 1e-9))]
+        tq = np.concatenate([tloc, (in_seg - lo) / h_seg])
+        A = ncheb.chebvander(2.0 * tq - 1.0, K - 1)  # (nq, K)
+        zq = lo + h_seg * tq
+        ys = np.empty((nr, tq.shape[0]))
+        for i in range(nr):
+            ys[i] = np.interp(zq, z, c[i])
+        cheb_coef[:, :, s] = np.linalg.lstsq(A, ys.T, rcond=None)[0].T
 
-    # sample the piecewise-linear interpolant at every segment's nodes
-    seg_lo = zlo + h_seg * np.arange(SEG_S)  # (S,)
-    zq = (seg_lo[:, None] + h_seg * tloc[None, :]).ravel()  # (S * nd,)
-    ys = np.empty((nr, zq.shape[0]))
-    for i in range(nr):
-        ys[i] = np.interp(zq, z, c[i])
-    ys = ys.reshape(nr, SEG_S, tloc.shape[0])  # (nr, S, nd)
-
-    cheb_coef = np.einsum("kd,rsd->rks", pinv, ys)  # (nr, K, S)
-    M = _cheb2poly_matrix(K)  # poly = M @ cheb
-    coef = np.einsum("jk,rks->rjs", M, cheb_coef)  # (nr, K, S) monomial
+    if basis == "pow":
+        M = _cheb2poly_matrix(K)  # poly = M @ cheb
+        coef = np.einsum("jk,rks->rjs", M, cheb_coef)
+    elif basis == "cheb":
+        coef = cheb_coef
+    else:
+        raise ValueError(f"unknown segment basis {basis!r}")
 
     # audit on a dense uniform grid, evaluated exactly the way the device
-    # will: f32 Horner on f32 coefficients
+    # will: f32 Horner/Clenshaw on f32 coefficients
     ta = (np.arange(SEG_S * n_audit) + 0.5) / (n_audit * SEG_S)  # in (0,1)
     za = zlo + (zhi - zlo) * ta
     ref = np.empty((nr, za.shape[0]))
     for i in range(nr):
         ref[i] = np.interp(za, z, c[i])
     got32 = seg_eval_np(coef.astype(np.float32), za.astype(np.float32),
-                        zlo, zhi, np.float32)
+                        zlo, zhi, np.float32, basis=basis)
     resid = got32.astype(np.float64) - ref  # (nr, nq)
     max_resid = float(np.max(np.abs(resid)))
 
@@ -141,19 +164,31 @@ def _cheb2poly_matrix(K: int) -> np.ndarray:
     return M
 
 
-def seg_eval_np(coef, zq, zlo, zhi, dtype=np.float64):
-    """Host evaluation of a segment fit — mirrors the device arithmetic
-    (clamped segment pick, local-u Horner).  ``coef`` is (..., K, S)."""
-    coef = np.asarray(coef, dtype)
+def seg_coords_np(zq, zlo, zhi, S, dtype=np.float64):
+    """(segment index, local u) of depths ``zq`` — the device arithmetic."""
     zq = np.asarray(zq, dtype)
-    S = coef.shape[-1]
-    K = coef.shape[-2]
     hinv = dtype(S / (zhi - zlo))
     t = np.clip((zq - dtype(zlo)) * hinv, dtype(0.0), dtype(S))
     segf = np.minimum(np.floor(t), dtype(S - 1))
     u = dtype(2.0) * (t - segf) - dtype(1.0)
-    seg = segf.astype(np.int32)
-    acc = coef[..., K - 1, :][..., seg].astype(dtype)
-    for k in range(K - 2, -1, -1):
-        acc = acc * u + coef[..., k, :][..., seg]
-    return acc
+    return segf.astype(np.int32), u
+
+
+def seg_eval_np(coef, zq, zlo, zhi, dtype=np.float64, basis: str = "pow"):
+    """Host evaluation of a segment fit — mirrors the device arithmetic
+    (clamped segment pick, local-u Horner or Clenshaw).  ``coef`` is
+    (..., K, S)."""
+    coef = np.asarray(coef, dtype)
+    S = coef.shape[-1]
+    K = coef.shape[-2]
+    seg, u = seg_coords_np(zq, zlo, zhi, S, dtype)
+    if basis == "pow":
+        acc = coef[..., K - 1, :][..., seg].astype(dtype)
+        for k in range(K - 2, -1, -1):
+            acc = acc * u + coef[..., k, :][..., seg]
+        return acc
+    b1 = np.zeros(coef.shape[:-2] + u.shape, dtype)
+    b2 = np.zeros_like(b1)
+    for k in range(K - 1, 0, -1):
+        b1, b2 = coef[..., k, :][..., seg] + dtype(2.0) * u * b1 - b2, b1
+    return coef[..., 0, :][..., seg] + u * b1 - b2

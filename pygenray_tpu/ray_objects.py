@@ -367,6 +367,13 @@ class EigenRays:
                 # which clamp-extrapolates ABOVE the surface and skews the
                 # received angle for any depth-varying profile — fixed
                 # here, like the failed-bracket index bug.)
+                # Known inconsistency, kept for reference parity: this
+                # interpolates the RAW table while the engine integrated
+                # the spectral/segment FIT — the same table-vs-fit gap the
+                # calm classifier refuses to mix (pallas_stepper.py
+                # `_fit_eval_np`).  For a *reported angle* the sub-m/s
+                # difference is ~millidegrees, far below bracketing
+                # resolution, so the table is fine here.
                 c = bilinear_np(fan.rs[k, -1], -fan.zs[k, -1], rin, zin, cin)
                 theta = np.degrees(np.arcsin(np.clip(fan.ps[k, -1] * c, -1, 1)))
                 received.append(theta)

@@ -241,3 +241,150 @@ class TestSegEnsemble:
         assert out["valid"].any()
         # converged candidates actually hit the receiver depth
         assert np.nanmax(np.abs(out["z_resid"][out["valid"]])) < 1.0
+
+
+def extreme_profile(z, amp=10.0, seed=0):
+    """Multi-m/s structure down to the table's own grid scale — beyond
+    every monomial rung (the local cheb2poly conversion is
+    f32-catastrophic above K~24), recovered by the high-order
+    local-Chebyshev rungs."""
+    rng = np.random.default_rng(seed)
+    rip = np.zeros_like(z)
+    for lam in (12.0, 20.0, 35.0, 60.0, 110.0, 200.0):
+        rip += rng.normal(0, amp / 6) * np.sin(
+            2 * np.pi * z / lam + rng.uniform(0, 6)
+        )
+    return munk_ssp(z) + rip * np.exp(-z / 2500.0)
+
+
+def extreme_env(dtype="float64", nz=2048, nr=6, r_max=30e3, amp=10.0, seed=0):
+    z = np.linspace(0, 6000, nz)
+    r = np.linspace(0, r_max, nr)
+    c = np.outer(np.ones(nr), extreme_profile(z, amp, seed))
+    return make_env_data(c, r, z, np.full(nr, 5500.0), r, interp="seg",
+                         dtype=dtype), z
+
+
+class TestSegChebBasis:
+    """High-order local-Chebyshev rungs: fields that used to fall off the
+    table-gather cliff now fit (the per-segment least squares samples the
+    table's own grid points, and Clenshaw evaluation is f32-stable at any
+    order)."""
+
+    def test_extreme_field_selects_cheb_rung(self):
+        env, _ = extreme_env()
+        assert env.has_seg and not env.has_cheb
+        assert env.seg_basis == "cheb"
+        assert env.c_seg.shape[1] >= 32  # beyond every monomial rung
+
+    def test_moderate_field_keeps_pow_rung(self):
+        env = rough_env()
+        assert env.has_seg and env.seg_basis == "pow"
+
+    def test_cheb_seg_short_range_table_parity(self):
+        """Before chaotic amplification, the cheb-basis seg trace agrees
+        with the exact-table trace at the fit-residual level."""
+        env, _ = extreme_env()
+        s = SolverSettings(dx=50.0, backend="xla")
+        st = SolverSettings(dx=50.0, backend="xla", interp="table")
+        p0 = np.sin(np.radians(-np.linspace(-10, 10, 21))) / 1510.0
+        rs = trace(env, 1300.0, p0, 0.0, 3e3, 3, s)
+        rt = trace(env, 1300.0, p0, 0.0, 3e3, 3, st)
+        np.testing.assert_array_equal(np.asarray(rs.alive), np.asarray(rt.alive))
+        dT = np.abs(np.asarray(rs.ts)[:, -1] - np.asarray(rt.ts)[:, -1])
+        assert dT.max() < 1e-3
+        assert np.median(dT) < 2e-4
+
+    def test_cheb_seg_kernel_matches_xla(self):
+        """Interpreted seg-Clenshaw kernel vs the XLA scan: discrete event
+        structure exact; travel times to interpret-mode FMA tolerance at
+        short range (chaotic fields amplify ulps — CLAUDE.md)."""
+        from pygenray_tpu.integrate import _plan, _trace_impl, _use_cheb
+        from pygenray_tpu.ops.pallas_stepper import (
+            pallas_supported, trace_pallas,
+        )
+
+        env, _ = extreme_env(dtype="float32")
+        assert env.seg_basis == "cheb"
+        s = SolverSettings(dx=100.0, interp="seg")
+        assert pallas_supported(env, s, _use_cheb(env, s))
+        h, sps, nseg = _plan(0.0, 5e3, 3, s.dx)
+        geom = (0.0, 5e3, h, sps, nseg)
+        import jax.numpy as jnp
+
+        p0 = jnp.asarray(
+            np.sin(np.radians(-np.linspace(-8, 8, 9))) / 1510.0, jnp.float32
+        )
+        ref = _trace_impl(env, 1300.0, p0, geom, s)
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(ref.n_bott), np.asarray(out.n_bott)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.n_surf), np.asarray(out.n_surf)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.death_code), np.asarray(out.death_code)
+        )
+        dT = np.abs(np.asarray(ref.ts) - np.asarray(out.ts)).max()
+        assert dT < 2e-4
+
+    def test_property_continuous_rough_fields_never_hit_the_table(self):
+        """Property sweep (the round-4 demand): every physically
+        continuous rough field gets a fitted kernel path in auto mode —
+        the table-gather fallback is unreachable for them.  Classes:
+        internal-wave multiscale ripple up to +-10 m/s, thermocline
+        staircases, and band-limited noise down to ~4x the grid scale."""
+        z = np.linspace(0, 6000, 2048)
+        rng = np.random.default_rng(42)
+        fields = []
+        for seed in (1, 2):
+            fields.append(extreme_profile(z, amp=6.0, seed=seed))
+        # staircase: 5-m-wide tanh steps every 400 m
+        fields.append(
+            munk_ssp(z)
+            + 3.0 * np.tanh(
+                (z[:, None] - np.arange(500.0, 4500.0, 400.0)[None, :]) / 5.0
+            ).sum(1)
+        )
+        # band-limited noise, sigma 1.5 m/s, wavelengths >= ~12 m
+        n = rng.normal(0, 1.5, z.size)
+        f = np.fft.rfft(n)
+        f[np.fft.rfftfreq(z.size) > 0.25] = 0
+        fields.append(munk_ssp(z) + np.fft.irfft(f, z.size))
+        for c1 in fields:
+            env = make_env_data(
+                c1, [0.0, 30e3], z, np.full(2, 5500.0), [0.0, 30e3]
+            )
+            assert env.has_cheb or env.has_seg  # never the gather path
+
+    def test_mixed_ensemble_aligns_basis(self):
+        """One extreme member lifts the whole ensemble onto the cheb rungs
+        (static metadata must agree to stack), with no table fallback."""
+        import warnings
+
+        from pygenray_tpu.montecarlo import make_env_ensemble
+
+        # 2.93 m grid: ~4 samples per wavelength of the finest (12 m)
+        # component — the adequacy threshold below which the table's own
+        # linear interpolant misrepresents the structure and the
+        # window-mean gate (correctly) refuses any smooth fit
+        z = np.linspace(0, 6000, 2048)
+        r = np.linspace(0, 20e3, 5)
+        c_ens = np.stack([
+            np.outer(np.ones(5), rough_profile(z, seed=3)),
+            np.outer(np.ones(5), extreme_profile(z, amp=6.0, seed=4)),
+        ])
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any table fallback would warn
+            ens = make_env_ensemble(c_ens, r, z, np.full(5, 5500.0), r,
+                                    dtype="float64")
+        assert ens.has_seg and ens.seg_basis == "cheb"
+        assert ens.c_seg.shape[0] == 2
+        # and it traces
+        s = SolverSettings(dx=200.0, backend="xla")
+        from pygenray_tpu.montecarlo import trace_ensemble
+
+        p0 = np.sin(np.radians(-np.linspace(-6, 6, 5))) / 1510.0
+        res = trace_ensemble(ens, 1300.0, p0, 0.0, 10e3, 3, s)
+        assert np.all(np.isfinite(np.asarray(res.ts)[..., -1]))
