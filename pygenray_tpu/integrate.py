@@ -85,6 +85,15 @@ class SolverSettings:
     # answer.  The calm range rides as a runtime scalar — per-fan
     # classification does not recompile.
     calm: bool = True
+    # Pallas only, experimental: split each grid block's per-step crossing
+    # branch into this many row groups, each gated by its own any(cross)
+    # scalar.  The fan is angle-sorted, so bounce phases are coherent
+    # within a group — between bounce clusters a quiet group skips the
+    # crossing machinery its block-mates trigger.  1 = one branch per
+    # block (the hardware-verified default); values that do not divide the
+    # block's rows into >=8-row groups fall back to 1.  Identical results
+    # (the event fix is a where() merge per lane).
+    event_groups: int = 1
 
 
 @partial(

@@ -225,11 +225,22 @@ def _station_step_handles(k, STW, nblk, st_dma_blk, st_handle, KP):
     return st_handle(slot, row, 0), st_handle(slot, row, 2 * KP)
 
 
-def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
+def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
+                 event_groups=1):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
      b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan,
      use_seg) = consts
+
+    # sub-block event granularity (settings.event_groups): group slices
+    # must land on 8-sublane tile boundaries, else fall back to one branch
+    # per block
+    n_groups = (
+        event_groups
+        if (event_groups > 1 and R % event_groups == 0
+            and (R // event_groups) % 8 == 0)
+        else 1
+    )
 
     _nblk = -(-(nseg * sps) // STW)
 
@@ -452,31 +463,44 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
             if not calm:
                 bd_s[...] = jnp.zeros_like(T)
 
-                @pl.when(jnp.any(cross))
-                def _():
+                def _event_fix(sl):
                     # crossing localization, reflection and the Heun remainder,
                     # merged into the carried state; identical expressions to the
                     # unconditional form (where() merges reduce to the plain
-                    # update on non-crossing lanes, so results are bitwise equal)
-                    bnd0 = jnp.where(surf, 0.0, b0)
-                    bnd1 = jnp.where(surf, 0.0, b1)
+                    # update on non-crossing lanes, so results are bitwise equal).
+                    # ``sl`` restricts the fix to a row group of the tile
+                    # (None = whole tile — the expressions are then exactly
+                    # the historical whole-tile body).
+                    ix = ... if sl is None else sl
+                    g = (lambda v: v) if sl is None else (lambda v: v[sl])
+                    surf_, bott_, cross_ = g(surf), g(bott), g(cross)
+                    upd_ = g(upd)
+                    z_, z1_, p_, p1_ = g(z), g(z1), g(p), g(p1)
+                    dT_, dz_ = g(dT), g(dz)
+                    T_, Tc_, zc_ = g(T), g(Tc), g(zc)
+                    kT1_, kT4_ = g(kT1), g(kT4)
+                    kz1_, kz4_ = g(kz1), g(kz4)
+                    kp1_, kp4_ = g(kp1), g(kp4)
+
+                    bnd0 = jnp.where(surf_, 0.0, b0)
+                    bnd1 = jnp.where(surf_, 0.0, b1)
                     db = bnd1 - bnd0
-                    mz0 = hs * kz1
-                    mz1 = hs * kz4
-                    g0 = z - bnd0
-                    g1 = z1 - bnd1
+                    mz0 = hs * kz1_
+                    mz1 = hs * kz4_
+                    g0 = z_ - bnd0
+                    g1 = z1_ - bnd1
                     f = g0 / jnp.where(jnp.abs(g0 - g1) > _TINY, g0 - g1, 1.0)
                     f = jnp.clip(f, 0.0, 1.0)
                     for _i in range(2):
-                        G = _hermite(f, z, z1, mz0, mz1) - (bnd0 + f * db)
-                        Gp = _hermite_d(f, z, z1, mz0, mz1) - db
+                        G = _hermite(f, z_, z1_, mz0, mz1) - (bnd0 + f * db)
+                        Gp = _hermite_d(f, z_, z1_, mz0, mz1) - db
                         f = jnp.clip(
                             f - G / jnp.where(jnp.abs(Gp) > _TINY, Gp, 1.0), 0.0, 1.0
                         )
 
-                    t_off = _hermite(f, jnp.zeros_like(dT), dT, hs * kT1, hs * kT4)
-                    z_c = _hermite(f, z, z1, mz0, mz1)
-                    p_c = _hermite(f, p, p1, hs * kp1, hs * kp4)
+                    t_off = _hermite(f, jnp.zeros_like(dT_), dT_, hs * kT1_, hs * kT4_)
+                    z_c = _hermite(f, z_, z1_, mz0, mz1)
+                    p_c = _hermite(f, p_, p1_, hs * kp1_, hs * kp4_)
                     x_c = x0 + f * hs
 
                     c_c = ev_c(st_m, z_c)
@@ -492,11 +516,11 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
                         b2 = 2.0 * jnp.radians(_clenshaw(ub, _vmem_reader(bacoef_ref), Kb))
                         s2b = jnp.sin(b2)
                         c2b = jnp.cos(b2)
-                    p_ref = jnp.where(surf, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
+                    p_ref = jnp.where(surf_, -p_c, (s2b * cos_th - c2b * sin_th) / c_c)
                     if term_back:
-                        back_dead = cross & bott & (c2b * cos_th + s2b * sin_th < -1e-9)
+                        back_dead = cross_ & bott_ & (c2b * cos_th + s2b * sin_th < -1e-9)
                     else:
-                        back_dead = jnp.zeros_like(cross)
+                        back_dead = jnp.zeros_like(cross_)
 
                     hr = (1.0 - f) * hs
                     rT1, rz1, rp1, _ = rhs(st_m, z_c, p_ref)
@@ -505,29 +529,48 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W):
                     z_fix = z_c + hr * 0.5 * (rz1 + rz2)
                     p_fix = p_ref + hr * 0.5 * (rp1 + rp2)
 
-                    use_fix = cross & (~back_dead)
-                    dT_tot = jnp.where(use_fix, dT_fix, dT)
-                    dz_tot = jnp.where(use_fix, z_fix - z, dz)
-                    p_new = jnp.where(use_fix, p_fix, p1)
+                    use_fix = cross_ & (~back_dead)
+                    dT_tot = jnp.where(use_fix, dT_fix, dT_)
+                    dz_tot = jnp.where(use_fix, z_fix - z_, dz_)
+                    p_new = jnp.where(use_fix, p_fix, p1_)
 
-                    dT_m = jnp.where(upd, dT_tot, 0.0)
-                    dz_m = jnp.where(upd, dz_tot, 0.0)
+                    dT_m = jnp.where(upd_, dT_tot, 0.0)
+                    dz_m = jnp.where(upd_, dz_tot, 0.0)
                     if use_kahan:
-                        yk = dT_m - Tc
-                        T_n = T + yk
-                        Tc_s[...] = (T_n - T) - yk
-                        T_s[...] = T_n
-                        yz = dz_m - zc
-                        z_n = z + yz
-                        zc_s[...] = (z_n - z) - yz
-                        z_s[...] = z_n
+                        yk = dT_m - Tc_
+                        T_n = T_ + yk
+                        Tc_s[ix] = (T_n - T_) - yk
+                        T_s[ix] = T_n
+                        yz = dz_m - zc_
+                        z_n = z_ + yz
+                        zc_s[ix] = (z_n - z_) - yz
+                        z_s[ix] = z_n
                     else:
-                        T_s[...] = T + dT_m
-                        z_s[...] = z + dz_m
-                    p_s[...] = jnp.where(upd, p_new, p)
-                    bd_s[...] = back_dead.astype(jnp.float32)
-                    ns_s[...] = ns_s[...] + (cross & surf & upd).astype(jnp.int32)
-                    nb_s[...] = nb_s[...] + (cross & bott & upd).astype(jnp.int32)
+                        T_s[ix] = T_ + dT_m
+                        z_s[ix] = z_ + dz_m
+                    p_s[ix] = jnp.where(upd_, p_new, p_)
+                    bd_s[ix] = back_dead.astype(jnp.float32)
+                    ns_s[ix] = ns_s[ix] + (cross_ & surf_ & upd_).astype(jnp.int32)
+                    nb_s[ix] = nb_s[ix] + (cross_ & bott_ & upd_).astype(jnp.int32)
+
+                if n_groups <= 1:
+
+                    @pl.when(jnp.any(cross))
+                    def _():
+                        _event_fix(None)
+
+                else:
+                    # sub-block granularity: one any(cross) scalar per row
+                    # group.  Angle-sorted fans keep bounce phases coherent
+                    # within a group, so between bounce clusters a quiet
+                    # group skips the whole crossing machinery.
+                    RG = R // n_groups
+                    for gi in range(n_groups):
+                        sl = slice(gi * RG, (gi + 1) * RG)
+
+                        @pl.when(jnp.any(cross[sl]))
+                        def _(sl=sl):
+                            _event_fix(sl)
 
             z_n = z_s[...]
             p_n = p_s[...]
@@ -2408,7 +2451,8 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
         if any_x_oob else jnp.zeros((1, 128), dtype)
     )
 
-    kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps, STW)
+    kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps, STW,
+                          event_groups=settings.event_groups)
 
     num_save = nseg + 1
     out_shape = [
