@@ -689,7 +689,94 @@ def bench_extra_configs():
 
 
 
+def bench_event_groups():
+    """Sustained-throughput sweep over settings.event_groups on the
+    headline config (one JSON line per variant) — the measurement that
+    decides whether the sub-block crossing branch closes the event-vs-
+    event-free gap.  Runs full-event (calm off, every block pays the
+    crossing branch: the clean A/B of branch granularity) and calm-on
+    (production path: only the boundary blocks run the event body)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pygenray_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from jax import lax
+
+    from pygenray_tpu.integrate import SolverSettings, _plan, trace
+    from pygenray_tpu.ops.host import bilinear_np
+    from pygenray_tpu.ops.pallas_stepper import classify_calm
+
+    dtype = jnp.float32
+    env = build_env(dtype)
+    angles = np.linspace(-ANGLE_SPAN, ANGLE_SPAN, NUM_RAYS)
+    c_src = bilinear_np(0.0, SRC_DEPTH, np.asarray(env.r), np.asarray(env.z),
+                        np.asarray(env.c))
+    p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, dtype)
+
+    def sustained(settings, calm):
+        def best(n):
+            @jax.jit
+            def fn(p):
+                acc = jnp.zeros((), p.dtype)
+                pin = p
+                for _ in range(n):
+                    r = trace(env, SRC_DEPTH, pin, 0.0, R_MAX, NUM_SAVE,
+                              settings, calm=calm)
+                    acc = acc + r.ts.sum()
+                    pin = lax.optimization_barrier(p)
+                return acc
+
+            float(fn(p0))  # warm + FETCH
+            b = float("inf")
+            for _ in range(4):
+                t0 = time.perf_counter()
+                float(fn(p0))
+                b = min(b, time.perf_counter() - t0)
+            return b
+
+        t1, t9 = best(1), best(9)
+        return NUM_RAYS / max((t9 - t1) / 8.0, 1e-9)
+
+    base = SolverSettings(dx=200.0)
+    h, sps, nseg = _plan(0.0, R_MAX, NUM_SAVE, base.dx)
+    calm_r = classify_calm(env, SRC_DEPTH, p0,
+                           (0.0, R_MAX, float(h), sps, nseg), base)
+
+    # correctness reference: G=1 full-event counters
+    ref = None
+    for G in (1, 2, 4, 8, 16):
+        s_g = dataclasses.replace(base, event_groups=G, calm=False)
+        r_g = trace(env, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE, s_g)
+        nb = np.asarray(r_g.n_bott)
+        dc = np.asarray(r_g.death_code)
+        if ref is None:
+            ref = (nb, dc)
+        ok = bool(np.array_equal(nb, ref[0]) and np.array_equal(dc, ref[1]))
+        full = sustained(s_g, None)
+        s_gc = dataclasses.replace(base, event_groups=G)
+        calm_on = sustained(s_gc, calm_r)
+        print(json.dumps({
+            "metric": "event_groups_sweep",
+            "event_groups": G,
+            "full_event_rays_per_sec": round(full, 1),
+            "calm_rays_per_sec": round(calm_on, 1),
+            "counters_match_g1": ok,
+            "unit": "rays/s",
+        }))
+
+
 if __name__ == "__main__":
+    if "--event-groups" in sys.argv:
+        if not device_ready():
+            print(json.dumps({"metric": "event_groups_sweep", "value": 0,
+                              "error": "accelerator unreachable"}))
+            sys.exit(1)
+        bench_event_groups()
+        sys.exit(0)
     if not device_ready():
         # one structured line so a driver capturing stdout records the
         # reason rather than an empty file or an indefinite hang
