@@ -624,35 +624,37 @@ def trace(
         pallas_ok = pallas_ok and (on_tpu or settings.backend == "pallas")
         if pallas_ok:
             # differentiating or vmapping through trace(): the kernel's DMA
-            # machinery has no batching rule, and env/z0 tangents have no
+            # machinery has no batching rule, and env tangents have no
             # kernel — those fall back to the XLA scan, which transforms
             # fine (same math, interpret-tested equal).  But a derivative
-            # over p0 ALONE (jax.jvp/jacfwd/grad of travel times vs launch
-            # parameter — the tomography sensitivity) routes through a
-            # custom_jvp whose rule launches the forward-tangent kernel
+            # over the LAUNCH parameters (jax.jvp/jacfwd/grad of travel
+            # times vs p0 and/or the source depth — the tomography and
+            # localization sensitivities) routes through a custom_jvp
+            # whose rule launches the forward-tangent kernel
             # (``trace_pallas_tangent_save``): primal + tangent in one
-            # launch.  Plain jit tracing (DynamicJaxprTracer) keeps the
-            # kernel: pallas_call is jit-traceable.
+            # launch per seeded direction.  Plain jit tracing
+            # (DynamicJaxprTracer) keeps the kernel: pallas_call is
+            # jit-traceable.
             from jax.interpreters.partial_eval import DynamicJaxprTracer
 
-            env_z0_leaves = (z0, *jax.tree_util.tree_leaves(env))
+            env_leaves = jax.tree_util.tree_leaves(env)
             bad = [
                 x
-                for x in (p0, *env_z0_leaves)
+                for x in (p0, z0, *env_leaves)
                 if isinstance(x, jax.core.Tracer)
                 and type(x) is not DynamicJaxprTracer
             ]
             if bad:
                 from .ops.pallas_stepper import tangent_supported
 
-                env_z0_clean = not any(
+                env_clean = not any(
                     isinstance(x, jax.core.Tracer)
                     and type(x) is not DynamicJaxprTracer
-                    for x in env_z0_leaves
+                    for x in env_leaves
                 )
                 if (
                     not sharded
-                    and env_z0_clean
+                    and env_clean
                     and all(type(x) in _AD_TRACER_TYPES for x in bad)
                     and tangent_supported(env, settings, _use_cheb(env, settings))
                 ):
@@ -747,12 +749,14 @@ def _traced_pallas(geom, settings, env, z0, p0):
 
 
 def _traced_pallas_jvp(geom, settings, primals, tangents):
-    """JVP rule: one ``trace_pallas_tangent_save`` launch with a UNIT
-    tangent yields the whole diagonal d(state)/dp0 structure (each ray's
-    trajectory depends only on its own p0), and the user tangent enters
-    linearly — ``d_out = D ⊙ dp0`` — which keeps the rule transposable, so
-    reverse mode (``jax.grad``) rides the same kernel.  Tangents on the
-    environment or the source depth (or higher-order traces) fall back to a
+    """JVP rule: ``trace_pallas_tangent_save`` launches with UNIT tangents
+    yield the whole diagonal d(state)/dp0 and d(state)/dz0 structure (each
+    ray's trajectory depends only on its own launch parameter and source
+    depth), and the user tangents enter linearly —
+    ``d_out = Dp ⊙ dp0 + Dz ⊙ dz0`` — which keeps the rule transposable,
+    so reverse mode (``jax.grad``) rides the same kernel.  One launch per
+    seeded direction: the common single-direction case costs exactly one.
+    Tangents on the environment (or higher-order traces) fall back to a
     jvp through the XLA scan, Kahan off as everywhere under AD."""
     import dataclasses as _dc
 
@@ -771,15 +775,37 @@ def _traced_pallas_jvp(geom, settings, primals, tangents):
         for x in jax.tree_util.tree_leaves((env, z0, p0))
     )
 
-    if env_zero and _sz(dz0) and prim_ok:
+    if env_zero and prim_ok:
         from .ops.pallas_stepper import trace_pallas_tangent_save
 
         on_tpu = jax.default_backend() == "tpu"
-        res, (dts, dzs, dps) = trace_pallas_tangent_save(
-            env, z0, p0, jnp.ones_like(p0), geom, settings,
-            interpret=not on_tpu,
-        )
-        col = (jnp.zeros_like(p0) if _sz(dp0) else dp0)[:, None]
+        res = None
+        dts = dzs = dps = 0.0
+        if not _sz(dp0):
+            res, (Dt, Dz, Dp) = trace_pallas_tangent_save(
+                env, z0, p0, jnp.ones_like(p0), geom, settings,
+                interpret=not on_tpu,
+            )
+            col = dp0[:, None]
+            dts, dzs, dps = Dt * col, Dz * col, Dp * col
+        if not _sz(dz0):
+            res_z, (Dt, Dz, Dp) = trace_pallas_tangent_save(
+                env, z0, p0, jnp.zeros_like(p0), geom, settings,
+                interpret=not on_tpu, dz0=1.0,
+            )
+            res = res_z if res is None else res
+            col = jnp.broadcast_to(
+                jnp.asarray(dz0, Dt.dtype), p0.shape
+            )[:, None]
+            dts = dts + Dt * col
+            dzs = dzs + Dz * col
+            dps = dps + Dp * col
+        if res is None:  # both tangents symbolically zero
+            from .ops.pallas_stepper import trace_pallas
+
+            res = trace_pallas(env, z0, p0, geom, settings,
+                               interpret=not on_tpu)
+            dts = dzs = dps = jnp.zeros_like(res.ts)
 
         def _f0(x):
             import numpy as _onp
@@ -788,7 +814,7 @@ def _traced_pallas_jvp(geom, settings, primals, tangents):
 
         t_out = TraceResult(
             rs=jnp.zeros_like(res.rs),
-            ts=dts * col, zs=dzs * col, ps=dps * col,
+            ts=dts, zs=dzs, ps=dps,
             n_bott=_f0(res.n_bott), n_surf=_f0(res.n_surf),
             alive=_f0(res.alive), alive_save=_f0(res.alive_save),
             death_code=_f0(res.death_code),

@@ -794,7 +794,7 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False,
         T_s, z_s, p_s, kT_s, kz_s, kp_s,
         dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
         al_s, ns_s, nb_s, de_s, st_s, sti_s, stsem, stisem,
-        save_cb,
+        save_cb, dz0_ref=None,
     ):
         ib = pl.program_id(0)
 
@@ -844,7 +844,10 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False,
         z0 = z0_ref[0]
         p0 = p0_ref[0]
         dp0 = dp0_ref[0]
-        dz0 = jnp.zeros_like(z0)
+        # source-depth tangent seed (the save-grid custom_jvp variant);
+        # absent in the final-state/ensemble kernels, whose callers only
+        # differentiate over the launch parameter
+        dz0 = jnp.zeros_like(z0) if dz0_ref is None else dz0_ref[0]
 
         def rhs3(zq, pq):
             fT, fz, fp, _ = rhs(st_init, zq, pq)
@@ -979,7 +982,7 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False,
     nseg_out = save_plan[1]
 
     def kernel_save(
-        p0_ref, dp0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
+        p0_ref, dp0_ref, z0_ref, dz0_ref, ccoef_ref, cpcoef_ref, bacoef_ref,
         b0s_ref, b1s_ref, xoob_ref, st_tab_ref,
         T_out, z_out, p_out, dT_out, dz_out, dp_out,
         nsurf_out, nbott_out, death_out, ds_out,
@@ -1024,7 +1027,7 @@ def _make_final_kernel(geom, consts, K, KP, Kb, nsteps, ens=False,
             T_s, z_s, p_s, kT_s, kz_s, kp_s,
             dT_s, dz_s, dp_s, dkT_s, dkz_s, dkp_s,
             al_s, ns_s, nb_s, de_s, st_s, sti_s, stsem, stisem,
-            save_cb,
+            save_cb, dz0_ref=dz0_ref,
         )
         nsurf_out[0] = ns_s[...]
         nbott_out[0] = nb_s[...]
@@ -1139,11 +1142,12 @@ def trace_pallas_tangent(env, z0, p0, dp0, geom, settings, interpret: bool = Fal
 
 
 def trace_pallas_tangent_save(env, z0, p0, dp0, geom, settings,
-                              interpret: bool = False):
+                              interpret: bool = False, dz0=None):
     """Save-grid trace with one forward tangent: returns
     ``(TraceResult, (dts, dzs, dps))`` where the tangent arrays are (B, S)
     directional derivatives of the save-grid states with respect to the
-    ``dp0`` direction.  This is the kernel behind the ``jax.custom_jvp``
+    ``(dp0, dz0)`` seed (``dz0`` defaults to zero: the launch-parameter
+    direction).  This is the kernel behind the ``jax.custom_jvp``
     registered on the traced Pallas path (``integrate.trace``): one launch
     yields the primal trajectory AND its tangent, replacing a jvp through
     the XLA scan.  Step math is ``_make_step_math`` — identical to the
@@ -1154,6 +1158,11 @@ def trace_pallas_tangent_save(env, z0, p0, dp0, geom, settings,
     operands, (B, nblocks, R, Bpad), consts, K, KP, Kb, nsteps, dtype = (
         _tangent_launch_prep(env, z0, p0, dp0, geom, settings)
     )
+    dz0v = jnp.broadcast_to(
+        jnp.asarray(0.0 if dz0 is None else dz0, dtype), (B,)
+    )
+    dz0p = jnp.pad(dz0v, (0, Bpad - B)).reshape(nblocks, R, 128)
+    operands = operands[:3] + (dz0p,) + operands[3:]
     S = nseg + 1
 
     kernel = _make_final_kernel((x0, x1, h), consts, K, KP, Kb, nsteps,
@@ -1173,7 +1182,7 @@ def trace_pallas_tangent_save(env, z0, p0, dp0, geom, settings,
         kernel,
         out_shape=out_shape,
         grid=(nblocks,),
-        in_specs=[blocked, blocked, blocked] + [vmem_full] * 6
+        in_specs=[blocked, blocked, blocked, blocked] + [vmem_full] * 6
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 6 + [blocked] * 4,
         scratch_shapes=scratch,

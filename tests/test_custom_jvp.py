@@ -1,11 +1,13 @@
 """User-facing AD over the traced Pallas path.
 
 ``jax.jvp`` / ``jax.jacfwd`` / ``jax.grad`` of ``trace()`` over the launch
-parameter p0 must dispatch the forward-tangent save-grid kernel
+parameters must dispatch the forward-tangent save-grid kernel
 (``trace_pallas_tangent_save``) through the registered ``jax.custom_jvp``
 — not silently fall back to a jvp through the XLA scan — and the results
-must match the scan jvp.  Tangents on environment leaves or the source
-depth have no kernel and must keep working through the scan fallback.
+must match the scan jvp.  Source-depth (z0) tangents seed the same kernel
+through its dz0 operand (one launch per seeded direction); tangents on
+environment leaves have no kernel and must keep working through the scan
+fallback.
 
 (No reference counterpart: the reference has no derivative capability at
 all; differentiating travel times w.r.t. launch angle replaces its
@@ -194,18 +196,89 @@ class TestFallbacks:
         assert np.all(np.isfinite(np.asarray(dts)))
         assert np.any(np.asarray(dts) != 0)
 
-    def test_z0_tangent_falls_back_to_scan(self, monkeypatch):
+    def test_z0_tangent_rides_the_kernel_and_matches_scan(self, monkeypatch):
+        """Source-depth sensitivity (localization): a z0 tangent seeds the
+        same save-grid tangent kernel through its dz0 operand."""
         env = _env()
         p0 = _p0(np.linspace(-6, 6, 5))
 
-        def boom(*a, **k):
-            raise AssertionError("tangent kernel dispatched for z0 tangent")
+        calls = {"n": 0}
+        real = ps.trace_pallas_tangent_save
 
-        monkeypatch.setattr(ps, "trace_pallas_tangent_save", boom)
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(ps, "trace_pallas_tangent_save", counting)
         z0 = jnp.float32(Z0)
-        ts, dts = jax.jvp(
+        ts_k, dts_k = jax.jvp(
             lambda z: trace(env, z, p0, 0.0, X1, 2, SP).ts[:, -1],
             (z0,), (jnp.float32(1.0),),
         )
-        assert np.all(np.isfinite(np.asarray(dts)))
-        assert np.any(np.asarray(dts) != 0)
+        assert calls["n"] == 1  # one launch for the one seeded direction
+
+        h, sps, nseg = _plan(0.0, X1, 2, SX.dx)
+        geom = (0.0, X1, h, sps, nseg)
+        ts_x, dts_x = jax.jvp(
+            lambda z: _trace_impl(env, z, p0, geom, SX).ts[:, -1],
+            (z0,), (jnp.float32(1.0),),
+        )
+        np.testing.assert_allclose(np.asarray(ts_k), np.asarray(ts_x), atol=5e-6)
+        scale = float(jnp.abs(dts_x).max())
+        np.testing.assert_allclose(
+            np.asarray(dts_k), np.asarray(dts_x), atol=3e-5 * scale
+        )
+
+    def test_joint_p0_z0_tangent_two_launches(self, monkeypatch):
+        """Seeding both launch parameters costs exactly two kernel launches
+        and the tangents add linearly (the transposable rule)."""
+        env = _env()
+        p0 = _p0(np.linspace(-6, 6, 5))
+        v = jnp.asarray(np.linspace(0.5, 1.5, 5), jnp.float32)
+
+        calls = {"n": 0}
+        real = ps.trace_pallas_tangent_save
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(ps, "trace_pallas_tangent_save", counting)
+        z0 = jnp.float32(Z0)
+        _, dts_joint = jax.jvp(
+            lambda z, p: trace(env, z, p, 0.0, X1, 2, SP).ts[:, -1],
+            (z0, p0), (jnp.float32(0.7), v),
+        )
+        assert calls["n"] == 2
+
+        _, dts_z = jax.jvp(
+            lambda z: trace(env, z, p0, 0.0, X1, 2, SP).ts[:, -1],
+            (z0,), (jnp.float32(0.7),),
+        )
+        _, dts_p = jax.jvp(
+            lambda p: trace(env, z0, p, 0.0, X1, 2, SP).ts[:, -1],
+            (p0,), (v,),
+        )
+        np.testing.assert_allclose(
+            np.asarray(dts_joint), np.asarray(dts_z) + np.asarray(dts_p),
+            rtol=1e-6, atol=1e-12,
+        )
+
+    def test_grad_over_z0(self):
+        """Reverse mode over the source depth transposes through the same
+        linear rule (sum of per-ray dT/dz0 against the cotangent)."""
+        env = _env()
+        p0 = _p0(np.linspace(-6, 6, 5))
+
+        g_k = jax.grad(
+            lambda z: trace(env, z, p0, 0.0, X1, 2, SP).ts[:, -1].sum()
+        )(jnp.float32(Z0))
+
+        h, sps, nseg = _plan(0.0, X1, 2, SX.dx)
+        geom = (0.0, X1, h, sps, nseg)
+        g_x = jax.grad(
+            lambda z: _trace_impl(env, z, p0, geom, SX).ts[:, -1].sum()
+        )(jnp.float32(Z0))
+        np.testing.assert_allclose(
+            float(g_k), float(g_x), rtol=3e-4
+        )
