@@ -24,6 +24,7 @@ from .shoot import shoot_ray, shoot_rays, settings_for
 from .eigenrays import find_eigenrays, find_eigenrays_batch
 from .montecarlo import make_env_ensemble, mc_eigenray_times, trace_ensemble
 from .adjoint import (
+    endpoint_time_gradients,
     fermat_jacobian,
     perturbation_response,
     travel_time_jacobian,
@@ -73,6 +74,7 @@ __all__ = [
     "travel_time_jacobian",
     "travel_time_jacobian_2d",
     "fermat_jacobian",
+    "endpoint_time_gradients",
     "perturbation_response",
     "Ray",
     "RayFan",

@@ -12,11 +12,13 @@ This has no counterpart in the CPU reference (scipy's integrator is not
 differentiable); ray-perturbation sensitivities there would require finite
 differences of full re-shoots.
 
-Three operators, all spectral-basis:
+The operators:
 - ``travel_time_jacobian``: exact discrete dT/dcoef, range-independent
 - ``travel_time_jacobian_2d``: exact discrete dT/dcoef per range station
 - ``fermat_jacobian``: first-order path-integral kernel from one fast
   trace (any basis size; the production inversion operator)
+- ``endpoint_time_gradients``: analytic eikonal dT/d(endpoint depths)
+  (the free localization gradients; no AD dispatch at all)
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ __all__ = [
     "travel_time_jacobian_2d",
     "fermat_jacobian",
     "perturbation_response",
+    "endpoint_time_gradients",
 ]
 
 
@@ -495,3 +498,46 @@ def perturbation_response(jac, env: EnvData, delta_c, z_samples=None):
     if dcoef.shape[0] < K:
         dcoef = np.pad(dcoef, (0, K - dcoef.shape[0]))
     return jac @ dcoef[:K]
+
+
+def endpoint_time_gradients(env, z0, p0, x0, x1, settings=SolverSettings(),
+                            num_save=2):
+    """Analytic eigenray travel-time gradients w.r.t. the endpoint depths.
+
+    For a ray regarded as the eigenray connecting its own endpoints, the
+    eikonal equation makes the travel time's endpoint derivatives local:
+
+        ∂T/∂z_src (receiver fixed) = −p_src
+        ∂T/∂z_rcv (source fixed)   = +p_end
+
+    in ``trace()`` conventions (depths positive down, p = sin(θ_ODE)/c —
+    ``TraceResult.ps`` columns 0 and −1).  One plain trace, no tangent
+    launches: this is the closed form of the constrained combination of
+    launch-parameter jvps, ``∂T/∂z0 − (∂T/∂p0)(∂z_end/∂z0)/(∂z_end/∂p0)``.
+
+    Accuracy: exact (~1e-10 relative vs the constrained AD) when the
+    integrated field is Hamiltonian-consistent, i.e. ``dcdz_cheb`` is the
+    exact derivative of ``c_cheb``.  On a standard ``make_env_data`` env
+    the dcdz fit reproduces the table's central differences (reference
+    parity) rather than the c-fit's derivative, which floors the identity
+    at ~1e-3 relative worst case (dx-independent; both regimes pinned in
+    ``tests/test_adjoint.py``; the receiver identity is additionally
+    retrace-validated in ``examples/rough_field_sensitivity_demo.py``).
+    Callers needing the exact-AD value should use the jvp combination
+    above — it differentiates whatever discrete system is integrated.
+
+    These are the free localization gradients: for arrival times observed
+    at known receivers, ``dT_dz_src`` is the exact sensitivity of each
+    matched arrival to the source depth — no AD dispatch needed (compare
+    ``examples/localization_demo.py``, which solves the joint problem with
+    seeded jvps instead because it also refines the launch angles).
+
+    Returns ``(T, dT_dz_src, dT_dz_rcv)``, each ``(B,)``.
+
+    (No reference counterpart: `/root/reference/src/pygenray/eigenrays.py`
+    offers only non-differentiable regula-falsi root finding.)
+    """
+    from .integrate import trace
+
+    res = trace(env, z0, p0, x0, x1, max(int(num_save), 2), settings)
+    return res.ts[:, -1], -res.ps[:, 0], res.ps[:, -1]

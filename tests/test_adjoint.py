@@ -501,3 +501,82 @@ class TestFermatJacobianSeg:
                 env_t, 1300.0, np.array([1e-4]), 0.0, 20e3,
                 SolverSettings(dx=200.0, interp="table"),
             )
+
+
+class TestEndpointTimeGradients:
+    @staticmethod
+    def _constrained_ad(env, p0, settings):
+        """dT/d(endpoint depths) by constrained launch-parameter AD.
+
+        dT/dz_src holding the receiver depth fixed is the constrained
+        combination of the two launch-parameter derivatives,
+        ∂T/∂z0 − (∂T/∂p0)(∂z_end/∂z0)/(∂z_end/∂p0); dT/dz_rcv holding the
+        source fixed is (∂T/∂p0)/(∂z_end/∂p0).
+        """
+        import jax
+
+        from pygenray_tpu.integrate import trace
+
+        def endpoints(z0v, p0v):
+            res = trace(env, z0v, p0v, 0.0, 20e3, 2, settings)
+            return res.ts[:, -1], res.zs[:, -1]
+
+        one, zero = jnp.float64(1.0), jnp.float64(0.0)
+        (T, _), (dT_dz0, dz_dz0) = jax.jvp(
+            endpoints, (jnp.float64(850.0), p0), (one, jnp.zeros_like(p0)))
+        _, (dT_dp0, dz_dp0) = jax.jvp(
+            endpoints, (jnp.float64(850.0), p0), (zero, jnp.ones_like(p0)))
+        dT_src = np.asarray(dT_dz0) - (
+            np.asarray(dT_dp0) * np.asarray(dz_dz0) / np.asarray(dz_dp0))
+        dT_rcv = np.asarray(dT_dp0) / np.asarray(dz_dp0)
+        return np.asarray(T), dT_src, dT_rcv
+
+    def test_exact_on_derivative_consistent_field(self):
+        """The eikonal endpoint identity vs the AD it short-circuits.
+
+        On a Hamiltonian-consistent field (dcdz_cheb the EXACT derivative
+        of c_cheb) the identity dT/dz_src = −p_src, dT/dz_rcv = +p_end
+        holds to roundoff of the constrained-AD combination (~1e-10).
+        """
+        import dataclasses
+
+        from pygenray_tpu.adjoint import endpoint_time_gradients
+
+        env = _env()
+        K = env.c_cheb.shape[1]
+        D = jnp.asarray(cheb_derivative_matrix(K, *env.z_dom),
+                        env.c_cheb.dtype)
+        env = dataclasses.replace(env, dcdz_cheb=env.c_cheb @ D.T,
+                                  poly_ok=False)
+        settings = SolverSettings(dx=100.0, interp="cheb", kahan=False)
+        angles = np.array([-11.0, -6.0, 4.0, 9.0])
+        c_src = np.interp(850.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src)
+
+        T, dT_src_ad, dT_rcv_ad = self._constrained_ad(env, p0, settings)
+        T0, g_src, g_rcv = endpoint_time_gradients(
+            env, 850.0, p0, 0.0, 20e3, settings)
+        np.testing.assert_array_equal(np.asarray(T0), T)
+        np.testing.assert_allclose(np.asarray(g_src), dT_src_ad, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(g_rcv), dT_rcv_ad, rtol=1e-8)
+
+    def test_table_parity_field_floor(self):
+        """On a standard env the identity is floored by the c-vs-dcdz fit
+        inconsistency (dcdz_cheb fits the table's central differences for
+        reference parity; it is not the exact derivative of c_cheb).
+        Measured worst case ~6.4e-4 relative on this config, dx-independent
+        — the gradients stay plenty accurate for localization use, and
+        this test pins that the floor does not regress."""
+        from pygenray_tpu.adjoint import endpoint_time_gradients
+
+        env = _env()
+        settings = SolverSettings(dx=100.0, interp="cheb", kahan=False)
+        angles = np.array([-11.0, -6.0, 4.0, 9.0])
+        c_src = np.interp(850.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src)
+
+        _, dT_src_ad, dT_rcv_ad = self._constrained_ad(env, p0, settings)
+        _, g_src, g_rcv = endpoint_time_gradients(
+            env, 850.0, p0, 0.0, 20e3, settings)
+        np.testing.assert_allclose(np.asarray(g_src), dT_src_ad, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(g_rcv), dT_rcv_ad, rtol=2e-3)
