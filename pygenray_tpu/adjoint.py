@@ -517,14 +517,15 @@ def endpoint_time_gradients(env, z0, p0, x0, x1, settings=SolverSettings(),
 
     Accuracy: exact (~1e-10 relative vs the constrained AD) when the
     integrated field is Hamiltonian-consistent, i.e. ``dcdz_cheb`` is the
-    exact derivative of ``c_cheb``.  On a standard ``make_env_data`` env
-    the dcdz fit reproduces the table's central differences (reference
-    parity) rather than the c-fit's derivative, which floors the identity
-    at ~1e-3 relative worst case (dx-independent; both regimes pinned in
+    exact derivative of ``c_cheb`` — build one with
+    ``make_env_data(..., dcdz="consistent")``.  On a standard env the dcdz
+    fit reproduces the table's central differences (reference parity)
+    rather than the c-fit's derivative, which floors the identity at
+    ~1e-3 relative worst case (dx-independent; both regimes pinned in
     ``tests/test_adjoint.py``; the receiver identity is additionally
     retrace-validated in ``examples/rough_field_sensitivity_demo.py``).
-    Callers needing the exact-AD value should use the jvp combination
-    above — it differentiates whatever discrete system is integrated.
+    Callers needing the exact-AD value on a parity env should use the jvp
+    combination above — it differentiates whatever system is integrated.
 
     These are the free localization gradients: for arrival times observed
     at known receivers, ``dT_dz_src`` is the exact sensitivity of each

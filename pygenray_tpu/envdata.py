@@ -62,6 +62,27 @@ def _is_uniform(g: np.ndarray) -> bool:
     return bool(np.all(np.abs(d - d[0]) <= 1e-9 * max(abs(g[0]), abs(g[-1]), 1.0)))
 
 
+def _cheb_dz(coef, zlo, zhi):
+    """Exact d/dz of per-station Chebyshev series: (nr, K) -> (nr, K),
+    top coefficient zero (the derivative of a degree-(K-1) series has
+    degree K-2)."""
+    import numpy.polynomial.chebyshev as ncheb
+
+    coef = np.asarray(coef, np.float64)
+    out = np.zeros_like(coef)
+    if coef.shape[-1] > 1:
+        out[:, :-1] = ncheb.chebder(coef, scl=2.0 / (zhi - zlo), axis=1)
+    return out
+
+
+def _cheb_table(coef, z):
+    """Evaluate per-station series (nr, K) on the depth grid -> (nr, nz)."""
+    import numpy.polynomial.chebyshev as ncheb
+
+    u = (2.0 * z - (z[0] + z[-1])) / (z[-1] - z[0])
+    return ncheb.chebval(u, np.asarray(coef, np.float64).T)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
@@ -177,6 +198,15 @@ def make_env_data(
     (the xarray-``differentiate`` semantics the reference uses), and
     ``bottom_angle`` defaults to ``degrees(arctan(gradient(bathy)))``.
 
+    ``dcdz="consistent"`` derives dc/dz as the EXACT derivative of the
+    fitted c representation (series derivative of ``c_cheb``, per-segment
+    derivative of ``c_seg``; the stored table is re-evaluated from it) —
+    the Hamiltonian-consistent field that makes the eikonal endpoint
+    identity (``adjoint.endpoint_time_gradients``) exact instead of
+    floored at ~1e-3 by the fit-vs-central-differences gap.  Requires a
+    spectral or segment fit (raises with ``interp="table"`` or when
+    neither fit accepts the field); the default stays reference parity.
+
     ``interp`` selects the profile backend: "table" (exact reference
     semantics), "cheb" (global spectral fast path; raises if the fit is
     poor), "seg" (piecewise-segment fast path for rough fields; raises if
@@ -215,7 +245,23 @@ def make_env_data(
     if bathy_r.shape[0] > 1 and not np.all(np.diff(bathy_r) > 0):
         raise ValueError("Bathymetry range coordinates must be monotonically increasing.")
 
-    if dcdz is None:
+    consistent = isinstance(dcdz, str)
+    if consistent:
+        if dcdz != "consistent":
+            raise ValueError(
+                f"unknown dcdz mode {dcdz!r}; pass an array, None, or "
+                "'consistent'"
+            )
+        if interp == "table":
+            raise ValueError(
+                "dcdz='consistent' derives dc/dz from the fitted c "
+                "representation; the exact-table path has no smooth c fit "
+                "to differentiate — use interp 'auto', 'cheb', or 'seg'."
+            )
+        # placeholder for shape bookkeeping; replaced by d/dz of the c fit
+        # once a fit is accepted below
+        dcdz = np.gradient(c, z, axis=1)
+    elif dcdz is None:
         dcdz = np.gradient(c, z, axis=1)
     else:
         dcdz = np.asarray(dcdz, np.float64)
@@ -247,6 +293,19 @@ def make_env_data(
         for order in orders:
             order = min(order, len(z) - 1)
             c_cheb_f, c_res = fit_profile_cheb(c, z, order=order)
+            if consistent:
+                # Hamiltonian-consistent mode: dc/dz is the EXACT series
+                # derivative of the c fit (no independent fit to gate), and
+                # the stored table is re-derived from it so every backend
+                # sees the same field
+                cp_res = 0.0
+                if c_res < C_FIT_TOL:
+                    has_cheb = True
+                    c_cheb = c_cheb_f
+                    dcdz_cheb = _cheb_dz(c_cheb, z[0], z[-1])
+                    dcdz = _cheb_table(dcdz_cheb, z)
+                    break
+                continue
             cp_cheb_f, cp_res = fit_profile_cheb(dcdz, z, order=order)
             if c_res < C_FIT_TOL and cp_res < CP_FIT_TOL:
                 has_cheb = True
@@ -299,6 +358,18 @@ def make_env_data(
         c_mr = cp_mr = c_xr = cp_xr = np.inf
         for order, b in rungs:
             c_seg_f, c_mr, c_xr = fit_profile_seg(c, z, order=order, basis=b)
+            if consistent:
+                cp_mr = cp_xr = 0.0
+                if c_mr < C_FIT_TOL and c_xr < C_SEG_MAX_TOL:
+                    from .ops.seg import seg_derivative, seg_eval_np
+
+                    has_seg = True
+                    seg_basis_used = b
+                    c_seg = c_seg_f
+                    dcdz_seg = seg_derivative(c_seg, z[0], z[-1], basis=b)
+                    dcdz = seg_eval_np(dcdz_seg, z, z[0], z[-1], basis=b)
+                    break
+                continue
             cp_seg_f, cp_mr, cp_xr = fit_profile_seg(dcdz, z, order=order, basis=b)
             if (c_mr < C_FIT_TOL and cp_mr < CP_FIT_TOL
                     and c_xr < C_SEG_MAX_TOL and cp_xr < CP_SEG_MAX_TOL):
@@ -315,6 +386,14 @@ def make_env_data(
                 f"order-{rungs[-1][0]} fit can hold within the travel-time "
                 f"budget; use interp='table' or 'auto'."
             )
+
+    if consistent and not (has_cheb or has_seg):
+        raise ValueError(
+            "dcdz='consistent' requires the field to fit the spectral or "
+            "segment representation (this table fits neither, so only the "
+            "exact-table path remains, which has no smooth c to "
+            "differentiate); use the default table-parity dcdz."
+        )
 
     # bottom angle representation
     if bathy_r.shape[0] >= 2:

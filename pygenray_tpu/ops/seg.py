@@ -58,7 +58,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["SEG_S", "fit_profile_seg", "seg_eval_np"]
+__all__ = ["SEG_S", "fit_profile_seg", "seg_eval_np", "seg_derivative"]
 
 SEG_S = 128  # depth segments per profile == TPU lane count
 
@@ -150,6 +150,29 @@ def fit_profile_seg(c, z, order: int, n_audit: int = 24, basis: str = "pow"):
         np.max(np.abs(resid.reshape(nr, SEG_S, n_audit).mean(axis=2)))
     )
     return coef, mean_resid, max_resid
+
+
+def seg_derivative(coef, zlo, zhi, basis: str = "pow"):
+    """d/dz of a per-segment fit, in the same basis and the same
+    ``(..., K, S)`` shape (top coefficient row zero).
+
+    The local coordinate u spans [-1, 1] over one segment of width
+    (zhi - zlo)/S, so du/dz = 2 S / (zhi - zlo); differentiating each
+    segment's series and rescaling gives the exact derivative of the
+    evaluated field — the Hamiltonian-consistent dc/dz for
+    ``make_env_data(..., dcdz="consistent")`` on segment-backed fields.
+    """
+    import numpy.polynomial.chebyshev as ncheb
+    import numpy.polynomial.polynomial as npoly
+
+    coef = np.asarray(coef, np.float64)
+    K, S = coef.shape[-2], coef.shape[-1]
+    out = np.zeros_like(coef)
+    if K > 1:
+        scl = 2.0 * S / (zhi - zlo)
+        der = ncheb.chebder if basis == "cheb" else npoly.polyder
+        out[..., : K - 1, :] = der(coef, scl=scl, axis=-2)
+    return out
 
 
 def _cheb2poly_matrix(K: int) -> np.ndarray:

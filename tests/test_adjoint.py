@@ -560,6 +560,37 @@ class TestEndpointTimeGradients:
         np.testing.assert_allclose(np.asarray(g_src), dT_src_ad, rtol=1e-8)
         np.testing.assert_allclose(np.asarray(g_rcv), dT_rcv_ad, rtol=1e-8)
 
+    def test_consistent_env_option_is_exact(self):
+        """``make_env_data(..., dcdz="consistent")`` builds the
+        Hamiltonian-consistent field directly: the endpoint identity
+        matches the constrained AD to roundoff (<=1e-8 relative) with no
+        manual coefficient surgery."""
+        z = np.linspace(0, 6000, 800)
+        r = np.linspace(0, 20e3, 8)
+        c = np.outer(np.ones(8), munk_ssp(z))
+        env = make_env_data(c, r, z, np.full(8, 5500.0), r,
+                            dcdz="consistent", dtype=jnp.float64)
+        # the derivative series must be d/dz of the c series exactly
+        K = env.c_cheb.shape[1]
+        D = cheb_derivative_matrix(K, *env.z_dom)
+        np.testing.assert_allclose(
+            np.asarray(env.dcdz_cheb), np.asarray(env.c_cheb) @ D.T,
+            rtol=1e-12, atol=1e-12)
+
+        from pygenray_tpu.adjoint import endpoint_time_gradients
+
+        settings = SolverSettings(dx=100.0, interp="cheb", kahan=False)
+        angles = np.array([-11.0, -6.0, 4.0, 9.0])
+        c_src = np.interp(850.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src)
+
+        T, dT_src_ad, dT_rcv_ad = self._constrained_ad(env, p0, settings)
+        T0, g_src, g_rcv = endpoint_time_gradients(
+            env, 850.0, p0, 0.0, 20e3, settings)
+        np.testing.assert_array_equal(np.asarray(T0), T)
+        np.testing.assert_allclose(np.asarray(g_src), dT_src_ad, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(g_rcv), dT_rcv_ad, rtol=1e-8)
+
     def test_table_parity_field_floor(self):
         """On a standard env the identity is floored by the c-vs-dcdz fit
         inconsistency (dcdz_cheb fits the table's central differences for

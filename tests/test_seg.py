@@ -86,6 +86,54 @@ class TestSegFit:
         assert np.abs(got - ref).max() < 0.1
 
 
+class TestConsistentDcdz:
+    """``make_env_data(..., dcdz='consistent')`` — Hamiltonian-consistent
+    dc/dz derived from the c fit (spectral and segment backends)."""
+
+    def test_seg_derivative_matches_finite_differences(self):
+        env = rough_env(dcdz="consistent")
+        assert env.has_seg and not env.has_cheb
+        zlo, zhi = env.z_dom
+        # probe mid-segment (the piecewise fit is discontinuous at segment
+        # boundaries; its derivative only exists inside)
+        h_seg = (zhi - zlo) / SEG_S
+        zq = zlo + h_seg * (np.arange(SEG_S) + 0.5)
+        eps = 1e-3 * h_seg
+        c_seg = np.asarray(env.c_seg, np.float64)
+        d_seg = np.asarray(env.dcdz_seg, np.float64)
+        b = env.seg_basis
+        fd = (seg_eval_np(c_seg, zq + eps, zlo, zhi, basis=b)
+              - seg_eval_np(c_seg, zq - eps, zlo, zhi, basis=b)) / (2 * eps)
+        got = seg_eval_np(d_seg, zq, zlo, zhi, basis=b)
+        # FD truncation (eps^2 f''') dominates at high segment order; the
+        # comparison guards wiring, not the (exact) series derivative
+        np.testing.assert_allclose(got, fd, rtol=5e-3, atol=1e-5)
+        # the stored table is the derivative fit evaluated on the grid
+        tab = seg_eval_np(d_seg, np.asarray(env.z, np.float64), zlo, zhi,
+                          basis=b)
+        np.testing.assert_allclose(np.asarray(env.dcdz, np.float64), tab,
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_consistent_rejects_table_interp(self):
+        z = np.linspace(0, 6000, 101)
+        with pytest.raises(ValueError, match="consistent"):
+            make_env_data(munk_ssp(z), [0.0, 50e3], z, np.full(2, 5000.0),
+                          [0.0, 50e3], interp="table", dcdz="consistent")
+
+    def test_consistent_rejects_unfittable_field(self):
+        z = np.linspace(0, 6000, 3001)
+        c = 1500.0 + 5.0 * np.random.RandomState(1).randn(z.shape[0])
+        with pytest.raises(ValueError, match="consistent"):
+            make_env_data(c, [0.0, 50e3], z, np.full(2, 5000.0),
+                          [0.0, 50e3], dcdz="consistent")
+
+    def test_unknown_dcdz_mode_raises(self):
+        z = np.linspace(0, 6000, 101)
+        with pytest.raises(ValueError, match="unknown dcdz mode"):
+            make_env_data(munk_ssp(z), [0.0, 50e3], z, np.full(2, 5000.0),
+                          [0.0, 50e3], dcdz="exact")
+
+
 class TestSegTrace:
     P0 = np.sin(np.radians(-np.linspace(-16, 16, 48))) / 1555.0
 
