@@ -116,11 +116,23 @@ class RayFan:
         self.n_botts = np.array(n_botts)
         self.n_surfs = np.array(n_surfs)
         self.source_depths = np.array(source_depths)
+        self.alive = np.array(
+            [bool(getattr(ray, "alive", True)) for ray in Rays]
+        )
+        self.death_code = np.array(
+            [int(getattr(ray, "death_code", 0)) for ray in Rays]
+        )
         self.compute_rayids()
 
     @classmethod
-    def from_arrays(cls, thetas, rs, ts, zs, ps, n_botts, n_surfs, source_depths):
-        """Build directly from batched arrays (user sign convention)."""
+    def from_arrays(cls, thetas, rs, ts, zs, ps, n_botts, n_surfs, source_depths,
+                    alive=None, death_code=None):
+        """Build directly from batched arrays (user sign convention).
+
+        ``alive``/``death_code`` are the per-ray termination diagnostics a
+        ``keep_dropped`` fan carries (``integrate.DEATH_CODES``); they
+        default to all-alive and survive every container operation
+        (``__getitem__``, ``__add__``, npz round-trip)."""
         self = cls()
         self.thetas = np.asarray(thetas)
         self.rs = np.asarray(rs)
@@ -130,13 +142,22 @@ class RayFan:
         self.n_botts = np.asarray(n_botts)
         self.n_surfs = np.asarray(n_surfs)
         self.source_depths = np.asarray(source_depths)
+        M = self.thetas.shape[0]
+        self.alive = (np.ones(M, bool) if alive is None
+                      else np.asarray(alive, bool))
+        self.death_code = (np.zeros(M, int) if death_code is None
+                           else np.asarray(death_code, int))
         self.compute_rayids()
         return self
 
     def compute_rayids(self):
         """Signed turning-point count per ray, "b"-suffixed on boundary hits
-        (reference `ray_objects.py:138-155`)."""
-        ray_ids = np.sum(np.diff(np.sign(self.ps)) != 0, axis=1) * np.sign(self.thetas)
+        (reference `ray_objects.py:138-155`).  NaN save points (past a
+        dropped ray's death, reference `launch_rays.py:745-784`) carry no
+        sign information and are excluded from the count."""
+        sign = np.sign(self.ps)
+        finite = np.isfinite(self.ps[:, 1:]) & np.isfinite(self.ps[:, :-1])
+        ray_ids = np.sum((np.diff(sign) != 0) & finite, axis=1) * np.sign(self.thetas)
         b_mask = (self.n_botts == 0) & (self.n_surfs == 0)
         ray_ids_str = [
             str(ray_ids[i]) if b_mask[i] else f"{ray_ids[i]}b"
@@ -216,6 +237,8 @@ class RayFan:
                 "n_botts": self.n_botts,
                 "n_surfs": self.n_surfs,
                 "source_depths": self.source_depths,
+                "alive": self.alive,
+                "death_code": self.death_code,
             }
         }
         io.savemat(filename, data)
@@ -227,6 +250,7 @@ class RayFan:
             thetas=self.thetas, rs=self.rs, ts=self.ts, zs=self.zs, ps=self.ps,
             n_botts=self.n_botts, n_surfs=self.n_surfs,
             source_depths=self.source_depths,
+            alive=self.alive, death_code=self.death_code,
         )
 
     @classmethod
@@ -235,6 +259,9 @@ class RayFan:
         return cls.from_arrays(
             d["thetas"], d["rs"], d["ts"], d["zs"], d["ps"],
             d["n_botts"], d["n_surfs"], d["source_depths"],
+            # archives written before diagnostics were carried lack these
+            alive=d["alive"] if "alive" in d else None,
+            death_code=d["death_code"] if "death_code" in d else None,
         )
 
     # -- container protocol ---------------------------------------------
@@ -258,6 +285,8 @@ class RayFan:
             np.concatenate([self.n_botts, other.n_botts]),
             np.concatenate([self.n_surfs, other.n_surfs]),
             np.concatenate([self.source_depths, other.source_depths]),
+            alive=np.concatenate([self.alive, other.alive]),
+            death_code=np.concatenate([self.death_code, other.death_code]),
         )
 
     def __len__(self):
@@ -273,7 +302,7 @@ class RayFan:
                     f"Index {key} is out of bounds for RayFan with "
                     f"{len(self.thetas)} rays"
                 )
-            return Ray(
+            ray = Ray(
                 r=self.rs[key],
                 y=np.array([self.ts[key], -self.zs[key], -self.ps[key]]),
                 n_bottom=self.n_botts[key],
@@ -281,6 +310,9 @@ class RayFan:
                 launch_angle=self.thetas[key],
                 source_depth=self.source_depths[key],
             )
+            ray.alive = bool(self.alive[key])
+            ray.death_code = int(self.death_code[key])
+            return ray
         if isinstance(key, slice):
             idx = np.arange(len(self.thetas))[key]
         else:
@@ -295,6 +327,7 @@ class RayFan:
             self.thetas[idx], self.rs[idx], self.ts[idx], self.zs[idx],
             self.ps[idx], self.n_botts[idx], self.n_surfs[idx],
             self.source_depths[idx],
+            alive=self.alive[idx], death_code=self.death_code[idx],
         )
 
 

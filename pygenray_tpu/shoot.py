@@ -164,6 +164,7 @@ def shoot_rays(
     dtype=None,
     mesh=None,
     keep_dropped: bool = False,
+    nan_dropped: bool = True,
     backend: str = "auto",
     verbose: bool = False,
 ) -> RayFan:
@@ -176,6 +177,12 @@ def shoot_rays(
     Rays that turn vertical, leave the domain, or bounce backwards are
     dropped from the fan exactly like the reference drops ``None`` rays
     (`launch_rays.py:169-184`).
+
+    With ``keep_dropped=True``, save points past a ray's death are NaN
+    (reference save-grid semantics, `launch_rays.py:745-784`); pass
+    ``nan_dropped=False`` to keep the integrator's frozen last-alive state
+    instead.  The fan's ``alive``/``death_code`` arrays survive slicing,
+    concatenation, and the npz round-trip.
 
     ``verbose`` reports phase progress (the reference shows a per-ray tqdm
     bar, `launch_rays.py:96,159`; the whole batch advances together here,
@@ -221,22 +228,32 @@ def shoot_rays(
     M = int(keep.sum())
     rs_fan = np.broadcast_to(rs, (M, rs.shape[0])).copy()
 
-    fan = RayFan.from_arrays(
+    ts = np.asarray(res.ts, float)[keep]
+    zs = -np.asarray(res.zs, float)[keep]
+    ps = -np.asarray(res.ps, float)[keep]
+    if keep_dropped and nan_dropped:
+        # reference semantics: save points a dropped ray never reached stay
+        # NaN (`launch_rays.py:745-784`) instead of freezing the last alive
+        # state — frozen values LOOK plausible but were never integrated
+        unreached = ~np.asarray(res.alive_save)[keep]
+        ts[unreached] = np.nan
+        zs[unreached] = np.nan
+        ps[unreached] = np.nan
+
+    return RayFan.from_arrays(
         thetas=launch_angles[keep],
         rs=rs_fan,
-        ts=np.asarray(res.ts, float)[keep],
-        zs=-np.asarray(res.zs, float)[keep],
-        ps=-np.asarray(res.ps, float)[keep],
+        ts=ts,
+        zs=zs,
+        ps=ps,
         n_botts=np.asarray(res.n_bott)[keep],
         n_surfs=np.asarray(res.n_surf)[keep],
         source_depths=(
             src_arr[keep].copy() if src_arr.ndim else np.full(M, source_depth, float)
         ),
+        alive=alive[keep],
+        death_code=np.asarray(res.death_code)[keep],
     )
-    if keep_dropped:
-        fan.alive = alive
-        fan.death_code = np.asarray(res.death_code)
-    return fan
 
 
 def shoot_ray(

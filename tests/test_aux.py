@@ -175,6 +175,60 @@ class TestDroppedRayDiagnostics:
             flatearth=False, interp="table", dtype="float64",
         )
         assert len(rf2) == 2
+        assert rf2.alive.all() and (rf2.death_code == 0).all()
+
+    def test_nan_past_death_and_container_protocol(self):
+        """Reference save-grid semantics (`launch_rays.py:745-784`): save
+        points a dropped ray never reached are NaN, and the termination
+        diagnostics survive slicing, concatenation, and the npz round-trip."""
+        env = const_env(c0=1500.0, r_max=40e3)
+        rf = pr.shoot_rays(
+            200.0, 0.0, [-90.0, -45.0, -5.0], 30e3, 10, env,
+            flatearth=False, keep_dropped=True, interp="table", dtype="float64",
+        )
+        dead = ~rf.alive
+        assert dead[0] and rf.alive[2]
+        # the vertical ray dies immediately: every post-death save is NaN
+        assert np.isnan(rf.ts[0, -1]) and np.isnan(rf.zs[0, -1])
+        assert np.isnan(rf.ps[0, -1])
+        # alive rays carry no NaN anywhere
+        assert np.isfinite(rf.ts[rf.alive]).all()
+
+        # slicing keeps the diagnostics aligned
+        sub = rf[np.array([0, 2])]
+        np.testing.assert_array_equal(sub.alive, rf.alive[[0, 2]])
+        np.testing.assert_array_equal(sub.death_code, rf.death_code[[0, 2]])
+        assert np.isnan(sub.ts[0, -1])
+        # int indexing attaches them to the Ray
+        ray0 = rf[0]
+        assert ray0.alive is False and ray0.death_code == rf.death_code[0]
+
+        # concatenation carries them through
+        both = sub + rf[1:2]
+        np.testing.assert_array_equal(
+            both.alive, np.concatenate([sub.alive, rf.alive[1:2]]))
+        np.testing.assert_array_equal(
+            both.death_code,
+            np.concatenate([sub.death_code, rf.death_code[1:2]]))
+
+        # npz round-trip preserves diagnostics and the NaN mask
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "fan.npz")
+            rf.save_npz(path)
+            back = pr.RayFan.load_npz(path)
+        np.testing.assert_array_equal(back.alive, rf.alive)
+        np.testing.assert_array_equal(back.death_code, rf.death_code)
+        np.testing.assert_array_equal(np.isnan(back.ts), np.isnan(rf.ts))
+
+        # nan_dropped=False keeps the frozen last-alive state (all finite)
+        rf_frozen = pr.shoot_rays(
+            200.0, 0.0, [-90.0, -45.0, -5.0], 30e3, 10, env,
+            flatearth=False, keep_dropped=True, nan_dropped=False,
+            interp="table", dtype="float64",
+        )
+        assert np.isfinite(rf_frozen.ts).all()
 
     def test_debug_reports_terminations(self, capsys):
         """``debug=True`` prints per-ray termination diagnostics — the
