@@ -45,8 +45,8 @@ SRC = 1300.0
 KW = dict(flatearth=False, interp="cheb", dx=200.0)
 
 
-def build(c1d, z, nr=8):
-    r = np.linspace(0.0, R_MAX, nr)
+def build(c1d, z, nr=8, r_max=R_MAX):
+    r = np.linspace(0.0, r_max, nr)
     c = np.outer(np.ones(nr), c1d)
     return make_env_data(
         c, r, z, np.full(nr, 5500.0), r,
@@ -54,29 +54,38 @@ def build(c1d, z, nr=8):
     )
 
 
-def eigen_times(env, rds, fan_angles):
+def eigen_times(env, rds, fan_angles, r_max=R_MAX):
     """Eigenray (launch angle, arrival time) lists per receiver depth."""
-    fan = pr.shoot_rays(SRC, 0.0, fan_angles, R_MAX, 2, env, **KW)
-    er = pr.find_eigenrays(fan, rds, SRC, 0.0, R_MAX, 50, env, ztol=0.25, **KW)
+    fan = pr.shoot_rays(SRC, 0.0, fan_angles, r_max, 2, env, **KW)
+    er = pr.find_eigenrays(fan, rds, SRC, 0.0, r_max, 50, env, ztol=0.25, **KW)
     out = []
     for i in range(len(rds)):
+        if len(er.launch_angles[i]) == 0:  # shadow-zone depth
+            out.append((np.empty(0), np.empty(0)))
+            continue
         order = np.argsort(er.launch_angles[i])
         out.append((er.launch_angles[i][order], er.ts[i][order, -1]))
     return out
 
 
-def main():
-    z = np.linspace(0.0, 6000.0, 900)
+def main(smoke=False, outdir=None):
+    """``smoke=True`` shrinks every size for the test suite; ``outdir``
+    redirects the figure."""
+    out = pathlib.Path(outdir) if outdir is not None else OUT
+    # smoke keeps the full range — shorter ranges put receiver depths in
+    # shadow zones with no eigenrays — and shrinks only the fan/grids
+    r_max = R_MAX
+    z = np.linspace(0.0, 6000.0, 500 if smoke else 900)
     c_base = pr.munk_ssp(z)
     dc_true = 2.0 * np.exp(-(((z - 700.0) / 250.0) ** 2))
-    env_base = build(c_base, z)
-    env_pert = build(c_base + dc_true, z)
+    env_base = build(c_base, z, r_max=r_max)
+    env_pert = build(c_base + dc_true, z, r_max=r_max)
     settings = SolverSettings(dx=200.0, interp="cheb")
 
-    fan_angles = np.linspace(-15, 15, 301)
-    rds = np.linspace(400.0, 2400.0, 16)
-    base = eigen_times(env_base, rds, fan_angles)
-    pert = eigen_times(env_pert, rds, fan_angles)
+    fan_angles = np.linspace(-15, 15, 101 if smoke else 301)
+    rds = np.linspace(400.0, 2400.0, 8 if smoke else 16)
+    base = eigen_times(env_base, rds, fan_angles, r_max)
+    pert = eigen_times(env_pert, rds, fan_angles, r_max)
 
     # match arrivals per depth by order (identical multipath topology for a
     # small perturbation); collect δT observations + baseline angles
@@ -93,7 +102,7 @@ def main():
     # --- Fermat forward operator along the baseline eigenrays -------------
     c_src = np.interp(SRC, z, c_base)
     p0 = np.sin(np.radians(-thetas)) / c_src
-    T0, G = pr.fermat_jacobian(env_base, SRC, p0, 0.0, R_MAX, settings, num_save=600)
+    T0, G = pr.fermat_jacobian(env_base, SRC, p0, 0.0, r_max, settings, num_save=600)
 
     # --- truncated-SVD inversion ------------------------------------------
     U, sv, Vt = np.linalg.svd(G, full_matrices=False)
@@ -129,7 +138,7 @@ def main():
     plt.ylabel("depth [m]")
     plt.legend()
     plt.title(f"Tomographic recovery ({thetas.size} eigenrays, corr {corr:.2f})")
-    plt.savefig(OUT / "inversion.png", dpi=120, bbox_inches="tight")
+    plt.savefig(out / "inversion.png", dpi=120, bbox_inches="tight")
     plt.close("all")
 
     assert corr > 0.8, "inversion demo degraded"

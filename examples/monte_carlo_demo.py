@@ -24,24 +24,30 @@ from pygenray_tpu.models import perturbed_munk_tables
 OUT = pathlib.Path(__file__).parent
 
 
-def main():
-    E = 24
-    c_ens, r, z = perturbed_munk_tables(E, r_max=100e3, nr=48, nz=1024, mu_rms=5e-4)
+def main(smoke=False, outdir=None):
+    """``smoke=True`` shrinks the ensemble for the test suite; ``outdir``
+    redirects the figure."""
+    out = pathlib.Path(outdir) if outdir is not None else OUT
+    E = 4 if smoke else 24
+    r_max = 30e3 if smoke else 100e3
+    c_ens, r, z = perturbed_munk_tables(
+        E, r_max=r_max, nr=12 if smoke else 48, nz=1024, mu_rms=5e-4)
     env_ens = pr.make_env_ensemble(c_ens, r, z, np.full(len(r), 5000.0), r)
 
     arr = pr.mc_eigenray_times(
         env_ens,
-        np.linspace(-14.0, 14.0, 512),
+        np.linspace(-14.0, 14.0, 128 if smoke else 512),
         receiver_depth=1300.0,
         source_depth=1300.0,
         source_range=0.0,
-        receiver_range=100e3,
+        receiver_range=r_max,
         ztol=1.0,
     )
 
     t = arr["t"]  # (E, M)
     valid = arr["valid"]
     print(f"arrivals per realization: {valid.sum(axis=1)}")
+    assert valid.any(), "monte-carlo demo found no arrivals"
 
     plt.figure(figsize=(8, 5))
     for e in range(E):
@@ -50,7 +56,7 @@ def main():
     plt.xlabel("arrival time [s]")
     plt.ylabel("realization")
     plt.title("Internal-wave travel-time wander (eigenray arrivals)")
-    plt.savefig(OUT / "mc_arrivals.png", dpi=120, bbox_inches="tight")
+    plt.savefig(out / "mc_arrivals.png", dpi=120, bbox_inches="tight")
     plt.close("all")
 
     # per-arrival rms wander (matching arrivals across realizations by angle)

@@ -44,33 +44,38 @@ R_MAX = 50e3
 SRC_DEPTH = 1300.0
 
 
-def main():
+def main(smoke=False, outdir=None):
+    """``smoke=True`` shrinks the range/fan for the test suite; ``outdir``
+    redirects the figure."""
+    out = pathlib.Path(outdir) if outdir is not None else OUT
+    r_max = 20e3 if smoke else R_MAX
     # one internal-wave realization; seg-backed (the global fit gate fails
     # on this roughness, the segment ladder catches it)
-    c_ens, r, z = perturbed_munk_tables(1, r_max=R_MAX, nr=16, nz=1024,
-                                        seed=11, mu_rms=1e-3)
+    c_ens, r, z = perturbed_munk_tables(1, r_max=r_max, nr=8 if smoke else 16,
+                                        nz=1024, seed=11, mu_rms=1e-3)
     env = make_env_data(c_ens[0], r, z, np.full(len(r), 5000.0), r,
                         interp="seg", dtype="float64")
     print(f"segment fit: basis={env.seg_basis}, K={env.c_seg.shape[1]}")
 
-    angles = np.array([-10.0, -6.0, 0.0, 6.0])
+    angles = (np.array([-8.0, 0.0]) if smoke
+              else np.array([-10.0, -6.0, 0.0, 6.0]))
     c_src = np.interp(SRC_DEPTH, z, c_ens[0][0])
     p0 = np.sin(np.radians(-angles)) / c_src
-    settings = SolverSettings(dx=50.0)
+    settings = SolverSettings(dx=100.0 if smoke else 50.0)
 
     # Fermat Jacobian in the segment basis: (B, K, S) for this
     # range-independent-style projection (collapse the station axis)
-    res0 = trace(env, SRC_DEPTH, p0, 0.0, R_MAX, 2, settings)
+    res0 = trace(env, SRC_DEPTH, p0, 0.0, r_max, 2, settings)
     T_end = np.asarray(res0.ts, np.float64)[:, -1]
     z_end0 = np.asarray(res0.zs, np.float64)[:, -1]
     p_end0 = np.asarray(res0.ps, np.float64)[:, -1]
-    _, G = fermat_jacobian(env, SRC_DEPTH, p0, 0.0, R_MAX, settings,
+    _, G = fermat_jacobian(env, SRC_DEPTH, p0, 0.0, r_max, settings,
                            range_dependent=False)
     print("travel times [s]:", np.round(T_end, 3))
 
     # depth-resolved kernel: response to narrow Gaussian perturbations
     # centred on a depth grid (a numerically friendly delta comb)
-    zq = np.linspace(100.0, 4900.0, 97)
+    zq = np.linspace(100.0, 4900.0, 25 if smoke else 97)
     sigma = 120.0
     kern = np.empty((len(p0), zq.size))
     for j, zc in enumerate(zq):
@@ -89,7 +94,7 @@ def main():
                           dtype="float64",
                           seg_order=env.c_seg.shape[1] - 1,
                           seg_exact_order=True, seg_basis=env.seg_basis)
-    res_p = trace(env_p, SRC_DEPTH, p0, 0.0, R_MAX, 2, settings)
+    res_p = trace(env_p, SRC_DEPTH, p0, 0.0, r_max, 2, settings)
     dT_angle = np.asarray(res_p.ts, np.float64)[:, -1] - T_end
     dz_end = np.asarray(res_p.zs, np.float64)[:, -1] - z_end0
     dT_true = dT_angle - p_end0 * dz_end  # fixed-endpoint response
@@ -113,8 +118,8 @@ def main():
     ax.set_title("Rough-field travel-time sensitivity (segment basis)")
     ax.grid(alpha=0.25, lw=0.5)
     fig.tight_layout()
-    fig.savefig(OUT / "rough_field_sensitivity.png", dpi=120)
-    print(f"wrote {OUT / 'rough_field_sensitivity.png'}")
+    fig.savefig(out / "rough_field_sensitivity.png", dpi=120)
+    print(f"wrote {out / 'rough_field_sensitivity.png'}")
 
 
 if __name__ == "__main__":

@@ -28,19 +28,26 @@ from pygenray_tpu.integrate import SolverSettings
 OUT = pathlib.Path(__file__).parent
 
 
-def main():
-    z = np.linspace(0.0, 6000.0, 1200)
-    r = np.linspace(0.0, 100e3, 8)
+def main(smoke=False, outdir=None):
+    """``smoke=True`` shrinks the grid/range for the test suite; ``outdir``
+    redirects the figure."""
+    out = pathlib.Path(outdir) if outdir is not None else OUT
+    r_max = 30e3 if smoke else 100e3
+    z = np.linspace(0.0, 6000.0, 500 if smoke else 1200)
+    r = np.linspace(0.0, r_max, 8)
     c = np.outer(np.ones(8), pr.munk_ssp(z))
     env = make_env_data(c, r, z, np.full(8, 5500.0), r, dtype="float64")
 
-    angles = np.array([-12.0, -8.0, -4.0, 0.0, 4.0, 8.0, 12.0])
+    angles = (np.array([-8.0, 0.0, 8.0]) if smoke
+              else np.array([-12.0, -8.0, -4.0, 0.0, 4.0, 8.0, 12.0]))
     c_src = np.interp(1300.0, z, c[0])
     p0 = np.sin(np.radians(-angles)) / c_src
 
     T0, jac = pr.travel_time_jacobian(
-        env, 1300.0, p0, 0.0, 100e3, SolverSettings(dx=100.0, interp="cheb")
+        env, 1300.0, p0, 0.0, r_max,
+        SolverSettings(dx=200.0 if smoke else 100.0, interp="cheb")
     )
+    assert np.isfinite(np.asarray(jac)).all()
 
     # convert coefficient-space gradients to dT/dc(z) kernels: evaluate the
     # dual pairing against delta-like bumps, i.e. chebval of the Jacobian
@@ -53,7 +60,7 @@ def main():
     plt.ylabel("depth [m]")
     plt.legend(title="launch angle")
     plt.title("Travel-time sensitivity kernels (AD through the ray engine)")
-    plt.savefig(OUT / "sensitivity_kernels.png", dpi=120, bbox_inches="tight")
+    plt.savefig(out / "sensitivity_kernels.png", dpi=120, bbox_inches="tight")
     plt.close("all")
 
     # quantitative check: a +1 m/s warm layer at 1000±200 m

@@ -434,6 +434,8 @@ class EigenRays:
         (all depths by default). Returns the axes."""
         ax = _target_axes(ax)
         for ridx in self._depth_indices(ridxs):
+            if self.ts[ridx].size == 0:  # depth with zero eigenrays
+                continue
             ax.scatter(self.ts[ridx][:, -1], self.received_angles[ridx], **kwargs)
         ax.set_xlabel("time [s]")
         ax.set_ylabel("received angle [deg]")
