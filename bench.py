@@ -769,7 +769,67 @@ def bench_event_groups():
         }))
 
 
+def bench_cpu_oracle():
+    """Single-core CPU baseline: the reference architecture's cost.
+
+    Times the clean-room scipy oracle (`tests/reference_impl.py` — the
+    same event-segmented adaptive-RK45 design as the reference's
+    `launch_rays.py:325-484`/`integration_processes.py:26-98`; the
+    reference itself cannot run here, numba is unavailable) on
+
+      (a) the golden regression geometry: Munk, 5 angles ±8°, 50 km,
+          rtol=1e-9 (the reference package's own test configuration), and
+      (b) a 1,024-ray ±15° fan to 100 km on the headline bench env —
+          the geometry the TPU rays_per_sec_chip metric runs at B=102,400.
+
+    Emits one JSON line per config with single-core rays/s, so the README
+    speedup claim is measured, not inferred.  Pure CPU: never touches the
+    device (safe while the tunnel is down).
+    """
+    sys.path.insert(0, str(pathlib.Path(__file__).parent / "tests"))
+    import reference_impl as oracle
+
+    z = np.linspace(0.0, 6000.0, NZ)
+    r = np.linspace(0.0, R_MAX, NR)
+    c = np.outer(np.ones(NR), oracle.munk_profile(z))
+    oenv = oracle.OracleEnv.from_tables(c, r, z, np.full(NR, 5000.0), r)
+
+    configs = [
+        ("cpu_oracle_rays_per_sec_golden",
+         np.linspace(-8.0, 8.0, 5), 50e3,
+         "golden regression geometry: Munk fan, 5 angles ±8°, 50 km, "
+         "rtol=1e-9, single core (scipy RK45 event-segmented oracle)"),
+        ("cpu_oracle_rays_per_sec",
+         np.linspace(-ANGLE_SPAN, ANGLE_SPAN, 1024), R_MAX,
+         "headline geometry: Munk fan, 1,024 angles ±15°, 100 km, "
+         "rtol=1e-9, single core (scipy RK45 event-segmented oracle)"),
+    ]
+    for metric, angles, x_rcv, desc in configs:
+        done = 0
+        t0 = time.perf_counter()
+        for th in angles:
+            # oracle uses the ODE angle convention (positive = downward)
+            out = oracle.trace_ray_oracle(
+                oenv, SRC_DEPTH, 0.0, -float(th), x_rcv, NUM_SAVE,
+                rtol=1e-9)
+            done += out is not None
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": metric,
+            "value": round(len(angles) / wall, 2),
+            "unit": "rays/s",
+            "vs_baseline": None,
+            "config": desc,
+            "wall_s": round(wall, 2),
+            "rays_completed": int(done),
+            "rays_total": int(len(angles)),
+        }))
+
+
 if __name__ == "__main__":
+    if "--cpu-oracle" in sys.argv:
+        bench_cpu_oracle()
+        sys.exit(0)
     if "--event-groups" in sys.argv:
         if not device_ready():
             print(json.dumps({"metric": "event_groups_sweep", "value": 0,

@@ -85,15 +85,18 @@ class SolverSettings:
     # answer.  The calm range rides as a runtime scalar — per-fan
     # classification does not recompile.
     calm: bool = True
-    # Pallas only, experimental: split each grid block's per-step crossing
-    # branch into this many row groups, each gated by its own any(cross)
-    # scalar.  The fan is angle-sorted, so bounce phases are coherent
-    # within a group — between bounce clusters a quiet group skips the
-    # crossing machinery its block-mates trigger.  1 = one branch per
-    # block (the hardware-verified default); values that do not divide the
-    # block's rows into >=8-row groups fall back to 1.  Identical results
-    # (the event fix is a where() merge per lane).
-    event_groups: int = 1
+    # Pallas only: split each grid block's per-step crossing branch into
+    # this many row groups, each gated by its own any(cross) scalar.  The
+    # fan is angle-sorted, so bounce phases are coherent within a group —
+    # between bounce clusters a quiet group skips the crossing machinery
+    # its block-mates trigger.  Hardware sweep (bench.py --event-groups,
+    # 2026-08-19, headline fan): G=8 sustains 21.9M rays/s calm-on vs
+    # 20.1M at G=1 (+9%) and is >= neutral full-event; G=16 regresses.
+    # Values that do not divide the block's rows into >=8-row groups fall
+    # back to 1 (so small fans keep the whole-tile branch).  Identical
+    # results (the event fix is a where() merge per lane); counters match
+    # G=1 exactly on hardware at every granularity.
+    event_groups: int = 8
 
 
 @partial(
