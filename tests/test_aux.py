@@ -261,6 +261,45 @@ class TestSettingsFor:
         s = pr.settings_for(dx=33.0)
         assert s.dx == 33.0
 
+    def test_rtol_tracks_achieved_accuracy(self):
+        """Property test for the reference-compat ``rtol`` kwarg: the
+        dx = 50·(rtol/1e-9)^¼ map (shoot.py) is designed so the fixed-step
+        RK4 engine's O(dx⁴) travel-time error scales ∝ rtol.  On a smooth
+        (spectral) profile the 4th order holds: sweep two decades against a
+        self-converged dx=5 reference and assert the achieved relative
+        error (a) tracks the requested rtol decade-for-decade and (b) beats
+        it in absolute calibration (measured ≈1e-4·rtol on Munk).
+
+        The map is honest only for smooth RHS: with ``interp="table"`` the
+        bilinear field is C⁰ across grid lines, RK4 degrades to ~O(dx^0.6),
+        and the achieved error is interpolation-limited (measured ~1e-9
+        relative regardless of rtol) — documented as nominal in
+        docs/api.md."""
+        env = munk_env(r_max=35e3, nr=20, nz=400)
+        angles = [-8.0, -3.0, 2.0, 7.0]
+        kw = dict(flatearth=False, interp="auto", dtype="float64")
+
+        ref = pr.shoot_rays(1300.0, 0.0, angles, 30e3, 5, env, dx=5.0, **kw)
+        t_ref = ref.ts[:, -1]
+        assert len(ref) == len(angles)
+
+        errs = {}
+        for rtol in (1e-5, 1e-7, 1e-9):
+            fan = pr.shoot_rays(1300.0, 0.0, angles, 30e3, 5, env,
+                                rtol=rtol, **kw)
+            errs[rtol] = float(np.max(np.abs(fan.ts[:, -1] - t_ref) / t_ref))
+
+        # (a) proportional tracking: each 100x rtol decrease buys between
+        # 10x and 1000x error decrease (pure-power-law region of the map;
+        # measured ~70-100x per two decades).
+        for hi, lo in ((1e-5, 1e-7), (1e-7, 1e-9)):
+            ratio = errs[hi] / max(errs[lo], 1e-16)
+            assert 10.0 < ratio < 1000.0, (errs, ratio)
+        # (b) absolute calibration: achieved relative error ≤ rtol itself
+        # (measured headroom ~1e4; the bound is the user-facing contract).
+        for rtol, e in errs.items():
+            assert e <= rtol, (rtol, e)
+
 
 class TestVerticalSourceArray:
     def test_per_ray_source_depths(self):
