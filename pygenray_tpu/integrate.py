@@ -97,6 +97,21 @@ class SolverSettings:
     # results (the event fix is a where() merge per lane); counters match
     # G=1 exactly on hardware at every granularity.
     event_groups: int = 8
+    # Pallas only: dynamic calm windows in non-calm blocks.  After each
+    # event segment the kernel bounds, from the block's distance to the
+    # audit band and its host-classified Snell slope bound (classify_dyn),
+    # how many upcoming save segments provably cannot touch a boundary and
+    # runs them through the event-free body — phase-aware skipping between
+    # bounce clusters that the static all-range calm proof cannot express.
+    # Audited like static calm: a violated bound dies with DEATH_CODES[5],
+    # never a silent missed reflection.  Auto-classification applies only
+    # where it measures a win (bench.py --dyn, hardware 2026-08-19):
+    # range-dependent fields (+6.5% sustained) and fans without a static
+    # calm proof (+6.9%); a static-calm-covered range-independent fan
+    # skips it (measured -5.5%: boundary-block bounce phases decohere and
+    # the countdown pins at 0).  Off in interpret mode unless a table is
+    # passed explicitly (same FMA-contraction reasoning as calm).
+    dyn_calm: bool = True
 
 
 @partial(
@@ -591,6 +606,7 @@ def trace(
     num_save: int,
     settings: SolverSettings = SolverSettings(),
     calm=None,
+    dyn=None,
 ) -> TraceResult:
     """Trace a batch of rays from range ``x0`` to ``x1`` (x1 > x0).
 
@@ -604,7 +620,9 @@ def trace(
     ``calm`` optionally supplies a precomputed calm-block range
     (`ops.pallas_stepper.classify_calm`) for callers that jit around
     trace() — classification needs concrete launch parameters, so it
-    cannot run on traced ``p0``.
+    cannot run on traced ``p0``.  ``dyn`` likewise supplies a precomputed
+    dynamic-window table (`ops.pallas_stepper.classify_dyn`,
+    ``settings.dyn_calm``) for the kernel path.
     """
     if not x1 > x0:
         raise ValueError("trace requires x1 > x0; mirror the environment for backwards shots")
@@ -693,7 +711,8 @@ def trace(
         p0 = jnp.asarray(p0)
         p0 = p0[None] if p0.ndim == 0 else p0
         return trace_pallas_cached(
-            env, z0, p0, geom, settings, interpret=not on_tpu, calm=calm
+            env, z0, p0, geom, settings, interpret=not on_tpu, calm=calm,
+            dyn=dyn,
         )
 
     p0 = jnp.atleast_1d(jnp.asarray(p0))

@@ -139,6 +139,7 @@ def trace_ensemble(
     settings: SolverSettings = SolverSettings(),
     mesh=None,
     calm=None,
+    dyn=None,
 ) -> TraceResult:
     """Trace a (possibly per-realization) angle batch through every
     realization: ``p0`` is (B,) shared or (E, B) per-realization; returns a
@@ -147,6 +148,8 @@ def trace_ensemble(
     ``calm`` optionally supplies the (E, 4) per-realization calm-range
     table (``ops.pallas_stepper.classify_calm_ensemble``) for callers that
     jit around this function; on TPU it is classified automatically.
+    ``dyn`` likewise supplies the (E, nblocks, 4) per-realization
+    dynamic-window tables (``classify_dyn_ensemble``, ``settings.dyn_calm``).
 
     ``mesh``: an optional 1D ``jax.sharding.Mesh`` — realizations are
     embarrassingly parallel (the TPU-native replacement for the reference's
@@ -230,7 +233,7 @@ def trace_ensemble(
         if pallas_supported(env0, settings, _use_cheb(env0, settings)):
             return _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom,
                                           settings, interpret=not on_tpu,
-                                          calm=calm)
+                                          calm=calm, dyn=dyn)
 
     fn = lambda env, p: _trace_impl(env, z0, p, geom, settings)
     return jax.vmap(fn, in_axes=(0, p_axis))(env_ens, p0)
@@ -240,14 +243,17 @@ _ENS_PALLAS_CACHE = LRUCache(32)
 
 
 def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings,
-                           interpret=False, calm=None):
+                           interpret=False, calm=None, dyn=None):
     """All E per-realization mega-kernel launches unrolled inside one
     jitted call — one host dispatch for the whole ensemble trace.
 
     ``calm`` optionally supplies the (E, 4) per-realization calm-range
     table (``classify_calm_ensemble``); by default it is classified on the
     host (memoized per ensemble+fan), so each realization's launch skips
-    the event machinery for its provably-safe blocks."""
+    the event machinery for its provably-safe blocks.  ``dyn`` likewise
+    supplies the (E, nblocks, 4) dynamic-window tables
+    (``classify_dyn_ensemble``) so boundary blocks skip the event body
+    between bounce clusters."""
     from .ops.pallas_stepper import (
         _calm_disabled,
         _classify_calm_cached,
@@ -259,28 +265,38 @@ def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings,
     if calm is None and settings.calm and not interpret:
         calm = _classify_calm_cached(env_ens, z0, p0, geom, settings,
                                      ensemble=True)
+    # same auto-dyn policy as trace_pallas_cached: windows win on RD
+    # fields and calm-less fans, lose on static-calm-covered RI fans
+    if (dyn is None and settings.dyn_calm and not interpret
+            and (bool(env_ens.range_dependent) or calm is None)):
+        dyn = _classify_calm_cached(env_ens, z0, p0, geom, settings,
+                                    ensemble="dyn_ens")
     cm_tab = (_calm_disabled((E, 4)) if calm is None
               else jnp.asarray(calm, jnp.float32))
+    use_dyn = dyn is not None
     key = (env_struct_key(env_ens), geom, settings, p0.shape, p_axis,
-           z0a.shape, bool(interpret))
+           z0a.shape, bool(interpret), use_dyn)
     fn = _ENS_PALLAS_CACHE.get(key)
     if fn is None:
 
         # z0 is a runtime argument (never baked into the closure): two
         # same-shape calls with different source depths must not share a
         # traced constant
-        def run(envs, p, zz, cm):
+        def run(envs, p, zz, cm, dy=None):
             outs = []
             for e in range(E):
                 env_e = jax.tree_util.tree_map(lambda a: a[e], envs)
                 p_e = p[e] if p_axis == 0 else p
                 res = trace_pallas(env_e, zz, p_e, geom, settings,
-                                   interpret=interpret, calm=cm[e])
+                                   interpret=interpret, calm=cm[e],
+                                   dyn=None if dy is None else dy[e])
                 outs.append(res)
             return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
 
         fn = jax.jit(run)
         _ENS_PALLAS_CACHE.put(key, fn)
+    if use_dyn:
+        return fn(env_ens, p0, z0a, cm_tab, jnp.asarray(dyn, jnp.float32))
     return fn(env_ens, p0, z0a, cm_tab)
 
 

@@ -226,7 +226,7 @@ def _station_step_handles(k, STW, nblk, st_dma_blk, st_handle, KP):
 
 
 def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
-                 event_groups=1):
+                 event_groups=1, dyn=False):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
      b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan,
@@ -245,12 +245,12 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
     _nblk = -(-(nseg * sps) // STW)
 
     def kernel(
-        calm_ref,
+        calm_ref, dyn_ref,
         p0_ref, z0_ref, ccoef_ref, cpcoef_ref, bacoef_ref, b0s_ref, b1s_ref,
         xoob_ref, st_tab_ref, stiw_ref,
         ts_out, zs_out, ps_out, nsurf_out, nbott_out, death_out, dseg_out,
         T_s, Tc_s, z_s, zc_s, p_s, kT_s, kz_s, kp_s, al_s, ns_s, nb_s, de_s,
-        ds_s, bd_s, stage_s, st_s, sti_s, sem, stsem, stisem, stb_s,
+        ds_s, bd_s, stage_s, st_s, sti_s, sem, stsem, stisem, stb_s, cnt_s,
     ):
         ib = pl.program_id(0)
 
@@ -395,7 +395,13 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
         # go silent: calm blocks die with death code 5 the moment a ray
         # enters the launcher's guard band, which sits strictly inside the
         # classified-safe region — before any un-reflected step is taken.
-        def _make_step(calm):
+        def _make_step(calm, gb=None):
+          # ``gb`` supplies the calm guard-band bounds (a thunk returning
+          # (lo, hi)); default reads the launcher-classified band from
+          # calm_ref, the dynamic-window body reads its block row instead
+          if gb is None:
+              gb = lambda: (calm_ref[2], calm_ref[3])
+
           def step_body(k, _):
             T = T_s[...]
             Tc = Tc_s[...]
@@ -581,7 +587,8 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
                 # guard-band audit (death code 5) + host x-domain exits;
                 # the z-domain oob check is subsumed by the strictly
                 # tighter guard band
-                guard = (z_n > calm_ref[3]) | (z_n < calm_ref[2])
+                g_lo, g_hi = gb()
+                guard = (z_n > g_hi) | (z_n < g_lo)
                 if any_x_oob:
                     xo = xoob_ref[k] > 0.5
                 else:
@@ -617,8 +624,8 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
 
           return step_body
 
-        def _make_seg(calm):
-            sb = _make_step(calm)
+        def _make_seg(calm, gb=None):
+            sb = _make_step(calm, gb)
 
             def seg_body(seg, _):
                 lax.fori_loop(seg * sps, (seg + 1) * sps, sb, 0)
@@ -641,7 +648,57 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
 
         @pl.when(~is_calm)
         def _():
-            lax.fori_loop(0, nseg, _make_seg(False), 0)
+            if not dyn:
+                lax.fori_loop(0, nseg, _make_seg(False), 0)
+            else:
+                # dynamic calm windows (settings.dyn_calm): after each event
+                # segment, the block's min distance D to the audit band
+                # [aud_lo, aud_hi] bounds how long any ray needs to reach a
+                # boundary — |dz/dx| <= tan(theta_max) with theta_max from
+                # the (drift-inflated) Snell invariant (classify_dyn), so
+                # the next floor((D - slack)/wstep) segments provably cross
+                # nothing and run the event-free body.  Phase-aware where
+                # the static range is not: a bouncing block skips the
+                # crossing machinery between its bounce clusters.  The
+                # audit band sits strictly inside the true boundaries, so
+                # a violated bound dies with death code 5, never a missed
+                # reflection.
+                wstep = dyn_ref[ib, 0]
+                slack = dyn_ref[ib, 1]
+                aud_lo = dyn_ref[ib, 2]
+                aud_hi = dyn_ref[ib, 3]
+                en = wstep > 0.0
+                seg_evt = _make_seg(False)
+                seg_win = _make_seg(True, gb=lambda: (aud_lo, aud_hi))
+                cnt_s[0] = 0
+
+                def dyn_body(seg, _):
+                    c = cnt_s[0]
+
+                    @pl.when(c > 0)
+                    def _():
+                        seg_win(seg, 0)
+                        cnt_s[0] = c - 1
+
+                    @pl.when(c <= 0)
+                    def _():
+                        seg_evt(seg, 0)
+                        z = z_s[...] - zc_s[...]
+                        dist = jnp.minimum(z - aud_lo, aud_hi - z)
+                        dist = jnp.where(al_s[...] > 0.5, dist,
+                                         jnp.float32(3.4e38))
+                        D = jnp.min(dist)
+                        n = jnp.where(
+                            en,
+                            (jnp.minimum(D, jnp.float32(1e9)) - slack)
+                            / jnp.maximum(wstep, jnp.float32(1e-9)),
+                            0.0,
+                        )
+                        cnt_s[0] = jnp.clip(n, 0.0, 65536.0).astype(jnp.int32)
+
+                    return 0
+
+                lax.fori_loop(0, nseg, dyn_body, 0)
 
         nsurf_out[0] = ns_s[...]
         nbott_out[0] = nb_s[...]
@@ -2027,8 +2084,13 @@ def classify_calm_ensemble(env_ens, z0, p0, geom, settings=None):
     return np.stack(rows)
 
 
-def _classify_safe_mask(env, z0, p0, geom, settings):
-    """Per-ray boundary-safety mask (see ``classify_calm``), or None."""
+def _classify_safe_mask(env, z0, p0, geom, settings, full=False):
+    """Per-ray boundary-safety mask (see ``classify_calm``), or None.
+
+    With ``full=True`` also returns the per-ray invariant ``a``, its drift
+    allowance ``da``, and the station window — the inputs ``classify_dyn``
+    needs for its slope bound.
+    """
     from ..envdata import host_profile_tables
     from ..integrate import SolverSettings, _use_cheb, _use_seg
 
@@ -2079,21 +2141,92 @@ def _classify_safe_mask(env, z0, p0, geom, settings):
     c_min_bott = _fit_band_min(env, use_seg, lo_i, hi_i, bmin - M, bmin)
     c_win = c_h[lo_i:hi_i]
 
-    # range-dependence drift allowance for the invariant
+    # range-dependence drift allowance for the invariant: first the global
+    # worst-gradient bound (da0), then — using da0 to bound each ray's own
+    # reachable depth band — a window-by-window re-integration maxing the
+    # gradient over that band only.  Internal-wave perturbations are
+    # surface-intensified (N(z) ~ exp(-z/1000)): a ducted ray whose band
+    # never nears the surface sees a fraction of the global gradient, which
+    # is what lets IW-perturbed ensembles prove calm blocks at all.
     c_min_tab = float(c_win.min())
-    if c_win.shape[0] > 1:
-        dr = np.diff(r_h[lo_i:hi_i])
-        cx_max = float((np.abs(np.diff(c_win, axis=0))
-                        / dr[:, None]).max())
-    else:
-        cx_max = 0.0
     cos_floor = np.maximum(a * c_min_tab, 0.5)
-    da = abs(x1 - x0) * cx_max / (cos_floor * c_min_tab * c_min_tab)
+    if c_win.shape[0] > 1:
+        rw = r_h[lo_i:hi_i]
+        G = np.abs(np.diff(c_win, axis=0)) / np.diff(rw)[:, None]
+        da = _banded_drift(G, rw, c_win, x0, x1, a,
+                           cos_floor * c_min_tab * c_min_tab)
+    else:
+        da = np.zeros_like(a)
 
     safe = (((a - da) * c_min_surf > 1.0)
             & ((a - da) * c_min_bott > 1.0)
             & np.isfinite(p))
+    if full:
+        return safe, bmin, a, da, p, use_seg, lo_i, hi_i
     return safe, bmin
+
+
+def _banded_drift(G, rw, c_win, x0, x1, a, denom):
+    """Band-restricted drift allowance, integrated window-by-window along
+    the ray's traversal.
+
+    ``G`` (n_win, nz) is the table's per-station-window |∂c/∂r| — which is
+    exactly the |c_x| of the field the kernel integrates, since intermediate
+    ranges are linear station blends.  Induction over windows in traversal
+    order: if the true invariant drift at the start of window w is ≤ da(w),
+    then during w (whose own drift increment is a-priori ≤ the window's
+    column-max bound ``cap``) the ray can only occupy depths where
+    ``c_w(z) ≤ 1/(a - da(w) - cap)`` (cos θ = a_true·c ≤ 1), so the true
+    increment is ≤ Δx_w · max over that band's contiguous hull of G_w.
+    A ducted ray whose running drift stays under its surface Snell margin
+    therefore keeps a surface-excluding band — and with it the small
+    in-duct gradients — for the whole range, instead of the old global
+    worst-gradient bound whose one-shot band was self-defeatingly wide.
+
+    The 0.5 m/s haircut on the window column minimum covers table-vs-fit
+    deviation in the *band edges* (the safety test itself stays
+    fit-evaluated); a larger haircut only widens bands, i.e. is
+    conservative.  Returns the per-ray total drift allowance.
+    """
+    nz = G.shape[1]
+    # station windows clipped to the traversed range, in traversal order
+    xa, xb = min(x0, x1), max(x0, x1)
+    wlen = np.maximum(np.minimum(rw[1:], xb) - np.maximum(rw[:-1], xa), 0.0)
+    order = np.flatnonzero(wlen > 0.0)
+    if x1 < x0:
+        order = order[::-1]
+
+    da = np.zeros_like(a)
+    for i in order:
+        g = G[i]
+        cmin_w = np.minimum(c_win[i], c_win[i + 1]) - 0.5
+        # hull bounds of {z : cmin_w(z) <= t} via the running-min envelopes
+        m_fwd = np.minimum.accumulate(cmin_w)        # non-increasing
+        m_bwd = np.minimum.accumulate(cmin_w[::-1])[::-1]  # non-decreasing
+        cap = wlen[i] * float(g.max()) / denom  # a-priori in-window overshoot
+        t = 1.0 / np.maximum(a - da - cap, 1e-12)
+        lo = nz - np.searchsorted(m_fwd[::-1], t, side="right")
+        hi = np.searchsorted(m_bwd, t, side="right") - 1
+        empty = hi < lo  # ray provably cannot occupy this window at all
+        if empty.all():
+            continue
+        # band max via cummaxes around the common core (bands are nested:
+        # they are sublevel-set hulls of one threshold family); empty-hull
+        # rays are clamped to the core and masked out below
+        lo_c = np.clip(np.where(empty, 0, lo), 0, nz - 1)
+        hi_c = np.clip(np.where(empty, nz - 1, hi), 0, nz - 1)
+        L0 = int(lo_c[~empty].max())
+        H0 = int(hi_c[~empty].min())
+        if L0 <= H0:
+            core = g[L0:H0 + 1].max()
+            left = np.maximum.accumulate(g[L0::-1])[::-1]
+            right = np.maximum.accumulate(g[H0:])
+            gmax = np.maximum(core, np.maximum(left[lo_c], right[hi_c - H0]))
+        else:  # degenerate (non-nested edge case): direct per-ray slices
+            gmax = np.array([g[l:h + 1].max() if h >= l else 0.0
+                             for l, h in zip(lo_c, hi_c)])
+        da = da + np.where(empty, 0.0, wlen[i] * gmax / denom)
+    return da
 
 
 def _calm_range_from_mask(safe, bmin):
@@ -2118,6 +2251,89 @@ def _calm_range_from_mask(safe, bmin):
     if best_hi == best_lo:
         return None
     return np.array([best_lo, best_hi, 0.5 * M, bmin - 0.5 * M], np.float32)
+
+
+def classify_dyn(env, z0, p0, geom, settings=None):
+    """Per-block dynamic-window parameters for the mega-kernel's non-calm
+    branch: an (nblocks, 4) float32 table of ``[wstep, slack, aud_lo,
+    aud_hi]`` rows, or None when classification declines.
+
+    ``wstep`` is an upper bound on how far (in depth, meters) any ray of
+    the block can move per save segment: |dz/dx| = |tan θ| with
+    cos θ = a_true·c ≥ (a − da)·c_lb, where ``da`` is the banded drift
+    allowance and ``c_lb`` a sampled-plus-haircut lower bound of the fit
+    over the whole column (a larger haircut only shortens windows —
+    conservative).  The kernel then proves, from its runtime distance D to
+    the audit band, that the next ⌊(D − slack)/wstep⌋ segments cannot
+    touch a boundary and runs them event-free.  Blocks whose slope bound
+    degenerates (a − da ≤ 0, or sin θ within 0.1% of the vertical-death
+    limit, which also guarantees no in-window vertical deaths) get
+    ``wstep = 0`` (disabled).
+    """
+    from ..integrate import SolverSettings
+
+    if settings is None:
+        settings = SolverSettings()
+    got = _classify_safe_mask(env, z0, p0, geom, settings, full=True)
+    if got is None:
+        return None
+    safe, bmin, a, da, p, use_seg, lo_i, hi_i = got
+    x0, x1, h, sps, nseg = geom
+    M = CALM_MARGIN_M
+    aud_lo = 0.25 * M
+    aud_hi = bmin - 0.25 * M
+    if aud_hi <= aud_lo:
+        return None
+
+    zlo, zhi = env.z_dom
+    zq = np.linspace(zlo, zhi, 4096)
+    c_lb = float(_fit_eval_np(env, use_seg, slice(lo_i, hi_i), zq).min()) - 1.0
+    if c_lb <= 0.0:
+        return None
+    cos_lb = (a - da) * c_lb
+    sin_lim = math.sin(math.radians(settings.vertical_limit_deg))
+    smax = np.sqrt(np.maximum(1.0 - np.square(np.minimum(cos_lb, 1.0)), 0.0))
+    valid = (cos_lb > 0.05) & (smax < 0.999 * sin_lim) & np.isfinite(p)
+    tan = np.where(valid, smax / np.maximum(cos_lb, 1e-6), np.inf)
+
+    B = tan.size
+    nblocks, R, Bb, Bpad = _layout(B)
+    tan_b = np.pad(tan, (0, Bpad - B), mode="edge").reshape(nblocks, -1).max(1)
+    ok = np.isfinite(tan_b)
+    if not ok.any():
+        return None
+    seg_len = sps * h
+    wstep = np.where(ok, 1.15 * tan_b * seg_len, 0.0)
+    slack = np.where(ok, 2.0 * h * tan_b + 1.0, 0.0)
+    return np.stack(
+        [wstep, slack, np.full(nblocks, aud_lo), np.full(nblocks, aud_hi)],
+        axis=1,
+    ).astype(np.float32)
+
+
+def classify_dyn_ensemble(env_ens, z0, p0, geom, settings=None):
+    """Per-realization dynamic-window tables for an ensemble trace:
+    (E, nblocks, 4) float32 (rows as in ``classify_dyn``; an all-zero
+    realization row disables its launch's windows), or None when
+    classification declines entirely.  One overlapped host pull, like
+    ``classify_calm_ensemble``."""
+    leaves = (p0, z0, *jax.tree_util.tree_leaves(env_ens))
+    if any(isinstance(x, jax.core.Tracer) for x in leaves):
+        return None
+    env_host, p0h = jax.device_get((env_ens, p0))
+    p0h = np.asarray(p0h)
+    E = env_host.c.shape[0]
+    nblocks = _layout(p0h.shape[-1])[0]
+    rows = []
+    for e in range(E):
+        env_e = jax.tree_util.tree_map(lambda a: a[e], env_host)
+        p_e = p0h[e] if p0h.ndim == 2 else p0h
+        row = classify_dyn(env_e, z0, p_e, geom, settings)
+        rows.append(row if row is not None
+                    else np.zeros((nblocks, 4), np.float32))
+    if all((r[:, 0] <= 0.0).all() for r in rows):
+        return None
+    return np.stack(rows)
 
 
 _CALM_CACHE = {}  # (id(env), id(p0), z0 key, geom) -> (4,) f32 or None
@@ -2161,7 +2377,11 @@ def _classify_calm_cached(env, z0, p0, geom, settings=None, n_shards=1,
     k = (id(env), id(p0), z0_key, geom, interp, n_shards, ensemble)
     if k in _CALM_CACHE:
         return _CALM_CACHE[k]
-    if ensemble:
+    if ensemble == "dyn":
+        calm = classify_dyn(env, z0, p0, geom, settings)
+    elif ensemble == "dyn_ens":
+        calm = classify_dyn_ensemble(env, z0, p0, geom, settings)
+    elif ensemble:
         calm = classify_calm_ensemble(env, z0, p0, geom, settings)
     elif n_shards > 1:
         calm = classify_calm_sharded(env, z0, p0, geom, settings, n_shards)
@@ -2178,28 +2398,40 @@ def _classify_calm_cached(env, z0, p0, geom, settings=None, n_shards=1,
     return calm
 
 
-def _get_fn(env, geom, settings, p_shape, z_shape, interpret=False):
-    key = (env_struct_key(env), geom, settings, p_shape, z_shape, interpret)
+def _get_fn(env, geom, settings, p_shape, z_shape, interpret=False,
+            use_dyn=False):
+    key = (env_struct_key(env), geom, settings, p_shape, z_shape, interpret,
+           use_dyn)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(
-            lambda envarg, p, z, cm: trace_pallas(
-                envarg, z, p, geom, settings, interpret=interpret, calm=cm
+        if use_dyn:
+            fn = jax.jit(
+                lambda envarg, p, z, cm, dy: trace_pallas(
+                    envarg, z, p, geom, settings, interpret=interpret,
+                    calm=cm, dyn=dy
+                )
             )
-        )
+        else:
+            fn = jax.jit(
+                lambda envarg, p, z, cm: trace_pallas(
+                    envarg, z, p, geom, settings, interpret=interpret,
+                    calm=cm
+                )
+            )
         _JIT_CACHE.put(key, fn)
     return fn
 
 
 def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False,
-                        calm=None):
+                        calm=None, dyn=None):
     """Memoized jitted kernel launcher keyed on the environment *structure*
     (shapes/dtypes/static metadata), so traces over same-shaped environments
     — eigenray iterations, Monte-Carlo realizations — reuse one executable.
     The calm-block range rides as a runtime argument: per-fan classification
     never recompiles.  ``calm`` overrides the classifier (callers jitting
     around trace() can classify their concrete fan once on the host and
-    thread the range through the trace).
+    thread the range through the trace); ``dyn`` likewise overrides
+    ``classify_dyn`` for the dynamic-window table (``settings.dyn_calm``).
     """
     z0a = jnp.asarray(z0, env.c.dtype)
     # No auto-classification in interpret mode: the interpreter contracts
@@ -2210,9 +2442,24 @@ def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False,
     # the calm path is exercised by passing ``calm=`` explicitly.
     if calm is None and settings.calm and not interpret:
         calm = _classify_calm_cached(env, z0, p0, geom, settings)
+    # auto-dyn policy (hardware-measured, bench.py --dyn 2026-08-19):
+    # dynamic windows win where the event body still runs often — RD
+    # fields (+6.5% sustained) and fans with no static calm proof (+6.9%)
+    # — but a range-independent fan whose mid blocks are already
+    # static-calm LOSES 5.5% (boundary-block bounce phases decohere, the
+    # countdown pins at 0, and the per-segment machinery is pure
+    # overhead).  Explicit ``dyn=`` always wins over the policy.
+    if (dyn is None and settings.dyn_calm and not interpret
+            and (env.range_dependent or calm is None)):
+        dyn = _classify_calm_cached(env, z0, p0, geom, settings,
+                                    ensemble="dyn")
     if calm is None:
         calm = _calm_disabled()
-    fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, interpret)
+    use_dyn = dyn is not None
+    fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, interpret,
+                 use_dyn)
+    if use_dyn:
+        return fn(env, p0, z0a, jnp.asarray(calm), jnp.asarray(dyn))
     return fn(env, p0, z0a, jnp.asarray(calm))
 
 
@@ -2371,7 +2618,7 @@ def _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow=False):
 
 
 def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
-                 calm=None):
+                 calm=None, dyn=None):
     """Run the mega-kernel; returns a TraceResult (ODE convention).
 
     ``p0`` is (B,); B is padded internally to a multiple of the lane block.
@@ -2379,6 +2626,15 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
     guard_hi]`` from ``classify_calm`` — grid blocks in [blk_lo, blk_hi)
     take the event-free step path (None disables; the values are runtime
     scalars, so per-fan calm ranges never recompile).
+
+    ``dyn`` is an optional (nblocks, 4) f32 table from ``classify_dyn``
+    (rows ``[wstep, slack, aud_lo, aud_hi]``; ``wstep <= 0`` disables that
+    block): non-calm blocks then run the countdown-windowed loop — the
+    event-free body between bounce clusters, proven per segment from the
+    block's distance to the audit band and its Snell slope bound.  The
+    table is runtime data, but whether the windowed loop is COMPILED is
+    static (``dyn is None`` keys the kernel build), so passing/omitting it
+    recompiles once per launcher.
     """
     from ..integrate import TraceResult
     from ..ops.interp import interval_index, linear_interp
@@ -2403,6 +2659,12 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
         calm = jnp.zeros((4,), dtype)
     else:
         calm = jnp.asarray(calm, dtype)
+    use_dyn = dyn is not None
+    if use_dyn:
+        dyn = jnp.asarray(dyn, dtype)
+        assert dyn.shape == (nblocks, 4), (dyn.shape, nblocks)
+    else:
+        dyn = jnp.zeros((1, 4), dtype)
 
     rd = bool(env.range_dependent)
     use_cheb = _use_cheb(env, settings)
@@ -2461,7 +2723,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
     )
 
     kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps, STW,
-                          event_groups=settings.event_groups)
+                          event_groups=settings.event_groups, dyn=use_dyn)
 
     num_save = nseg + 1
     out_shape = [
@@ -2490,6 +2752,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
             pltpu.SemaphoreType.DMA,  # init-row copy
             # segment-mode blended station planes [c_m, cp_m, c_1, cp_1]
             pltpu.VMEM((4, K, 128) if (rd and use_seg) else (1, 1, 128), dtype),
+            pltpu.SMEM((1,), jnp.int32),  # dynamic-window countdown
         ]
     )
 
@@ -2498,6 +2761,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
     blocked = pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # calm range + guard band
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # per-block dynamic-window rows
         blocked,  # p0
         blocked,  # z0
         vmem_full,  # ccoef
@@ -2528,7 +2792,8 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(calm, p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, st_tab, stiw)
+    )(calm, dyn, p0p, z0p, ccoef, cpcoef, bacoef, b0s, b1s, xoob, st_tab,
+      stiw)
 
     def unblock(a):  # (num_save, nblocks, R, 128) -> (B, num_save)
         return a.reshape(num_save, Bpad).T[:B]

@@ -107,6 +107,54 @@ class TestEnsembleTrace:
             np.asarray(res_c.zs), np.asarray(res_0.zs), atol=5e-2
         )
 
+    def test_ensemble_dyn_windows_match_event_path(self):
+        """Per-realization dynamic-window tables (classify_dyn_ensemble)
+        through the unrolled ensemble kernel: a bouncing fan with windows
+        must reproduce the event path exactly — every bounce, every death,
+        no audit kills."""
+        import jax.numpy as jnp
+
+        from pygenray_tpu.environment import munk_ssp
+        from pygenray_tpu.integrate import SolverSettings, _plan
+        from pygenray_tpu.ops.pallas_stepper import classify_dyn_ensemble
+
+        z = np.linspace(0, 6000, 400)
+        r = np.linspace(0, 50e3, 16)
+        c_ens = np.array([
+            np.tile(munk_ssp(z, sofar_depth=1300.0 + 40.0 * e), (16, 1))
+            for e in range(2)
+        ])
+        env_ens = make_env_ensemble(
+            c_ens, r, z, np.full(16, 4600.0), r, dtype="float32"
+        )
+        s = SolverSettings(dx=500.0, backend="pallas")
+        angles = np.linspace(-18, 18, 96)  # steep: genuinely bounces
+        c0 = float(c_ens[0, 0, np.searchsorted(z, 1300.0)])
+        p0 = (np.sin(np.radians(-angles)) / c0).astype(np.float32)
+        h, sps, nseg = _plan(0.0, 50e3, 10, s.dx)
+        geom = (0.0, 50e3, float(h), int(sps), int(nseg))
+        tab = classify_dyn_ensemble(env_ens, 1300.0, p0, geom, s)
+        assert tab is not None and tab.shape == (2, 1, 4)
+        assert np.all(tab[:, :, 0] > 0)
+
+        res_d = trace_ensemble(env_ens, 1300.0, p0, 0.0, 50e3, 10, s,
+                               dyn=jnp.asarray(tab))
+        res_0 = trace_ensemble(env_ens, 1300.0, p0, 0.0, 50e3, 10, s)
+        assert np.asarray(res_0.n_surf).sum() > 0
+        assert not np.any(np.asarray(res_d.death_code) == 5)
+        np.testing.assert_array_equal(
+            np.asarray(res_d.death_code), np.asarray(res_0.death_code)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_d.n_surf), np.asarray(res_0.n_surf)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_d.n_bott), np.asarray(res_0.n_bott)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_d.ts), np.asarray(res_0.ts), atol=5e-6
+        )
+
     def test_unperturbed_realization_matches_single_trace(self):
         """An ensemble whose first member is unperturbed must reproduce the
         plain single-environment trace bit-for-bit."""

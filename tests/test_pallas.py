@@ -557,6 +557,138 @@ class TestCalmBlocks:
         )
 
 
+class TestDynCalmWindows:
+    """Dynamic calm windows (settings.dyn_calm): non-calm blocks prove,
+    from their runtime distance to the audit band and a host-classified
+    Snell slope bound, that upcoming save segments cannot touch a boundary
+    and run them event-free — phase-aware skipping between bounce clusters.
+    Audited with death code 5, never silent."""
+
+    def _fan(self, env, angles, z0=1300.0, x1=60e3, dx=200.0, num_save=10):
+        s = SolverSettings(dx=dx)
+        h, sps, nseg = _plan(0.0, x1, num_save, s.dx)
+        geom = (0.0, x1, h, sps, nseg)
+        c_src = np.interp(z0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = jnp.asarray(
+            np.sin(np.radians(-np.asarray(angles))) / c_src, jnp.float32
+        )
+        return s, geom, p0
+
+    def test_classifier_rows(self):
+        from pygenray_tpu.ops.pallas_stepper import _layout, classify_dyn
+
+        env = _env()
+        s, geom, p0 = self._fan(env, np.linspace(-18, 18, 256))
+        dyn = classify_dyn(env, jnp.float32(1300.0), p0, geom, s)
+        assert dyn is not None
+        nblocks = _layout(p0.shape[0])[0]
+        assert dyn.shape == (nblocks, 4)
+        # wstep bounds block depth motion per segment: positive, and at
+        # least sin(18°)-steep per segment for a fan reaching 18°
+        x0, x1, h, sps, nseg = geom
+        assert (dyn[:, 0] > np.sin(np.radians(18.0)) * sps * h).all()
+        # audit band strictly inside the water column
+        assert 0.0 < dyn[0, 2] < dyn[0, 3] < 4600.0
+        # a steeper fan gets a larger slope bound (shorter windows)
+        _, _, p_steep = self._fan(env, np.linspace(-30, 30, 256))
+        dyn2 = classify_dyn(env, jnp.float32(1300.0), p_steep, geom, s)
+        assert dyn2 is not None and dyn2[0, 0] > dyn[0, 0]
+
+    def test_windowed_path_matches_event_path(self):
+        """Bouncing fan: windows fire between bounce clusters yet every
+        bounce, death, and travel time matches the plain event path
+        (bitwise in interpret mode: windowed segments are provably
+        crossing-free, so both graphs take the same plain-update writes)."""
+        from pygenray_tpu.ops.pallas_stepper import classify_dyn
+
+        env = _env()
+        s, geom, p0 = self._fan(env, np.linspace(-18, 18, 256))
+        dyn = classify_dyn(env, jnp.float32(1300.0), p0, geom, s)
+        assert dyn is not None
+        base = trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
+        assert np.asarray(base.n_surf).sum() > 0  # fan genuinely bounces
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True, dyn=dyn)
+        assert not np.any(np.asarray(out.death_code) == 5)
+        np.testing.assert_array_equal(
+            np.asarray(base.death_code), np.asarray(out.death_code)
+        )
+        np.testing.assert_array_equal(np.asarray(base.n_surf), np.asarray(out.n_surf))
+        np.testing.assert_array_equal(np.asarray(base.n_bott), np.asarray(out.n_bott))
+        np.testing.assert_allclose(np.asarray(base.ts), np.asarray(out.ts),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(base.zs), np.asarray(out.zs),
+                                   atol=1e-2)
+
+    def test_windowed_path_matches_event_path_rd(self):
+        """Range-dependent field: the drift-inflated slope bound stays
+        sound (classify_dyn deflates the invariant by the banded drift
+        allowance before bounding tan θ)."""
+        from pygenray_tpu.ops.pallas_stepper import classify_dyn
+
+        nz, nr = 512, 8
+        z = np.linspace(0, 6000, nz)
+        r = np.linspace(0, 50e3, nr)
+        c = np.array([munk_ssp(z, sofar_depth=1300 + 0.002 * ri) for ri in r])
+        bathy = np.linspace(4400.0, 4900.0, nr)
+        env = _no_pow(make_env_data(c, r, z, bathy, r, dtype=jnp.float32))
+        s, geom, p0 = self._fan(env, np.linspace(-16, 16, 160), x1=50e3)
+        dyn = classify_dyn(env, jnp.float32(1300.0), p0, geom, s)
+        assert dyn is not None
+        base = trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True, dyn=dyn)
+        assert not np.any(np.asarray(out.death_code) == 5)
+        np.testing.assert_array_equal(
+            np.asarray(base.death_code), np.asarray(out.death_code)
+        )
+        np.testing.assert_array_equal(np.asarray(base.n_surf), np.asarray(out.n_surf))
+        np.testing.assert_array_equal(np.asarray(base.n_bott), np.asarray(out.n_bott))
+        np.testing.assert_allclose(np.asarray(base.ts), np.asarray(out.ts),
+                                   atol=5e-6)
+
+    def test_audit_catches_unsound_table(self):
+        """A deliberately unsound table (tiny wstep → giant windows) must
+        kill boundary-bound rays with death code 5 — the windowed path
+        executes, and a violated bound is never a silently missed
+        reflection."""
+        env = _env()
+        s, geom, p0 = self._fan(env, np.linspace(-18, 18, 256))
+        # audit band must hug THIS env's boundaries: a band that overlaps
+        # where rays legitimately dwell keeps the block's distance D
+        # negative at every segment end, and windows (correctly) never
+        # activate at all
+        bad = np.array([[1e-3, 0.0, 7.5, 4600.0 - 7.5]], np.float32)
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True, dyn=bad)
+        dc = np.asarray(out.death_code)
+        assert np.any(dc == 5)
+        assert set(np.unique(dc)) <= {0, 5}
+
+    def test_combined_with_static_calm(self):
+        """calm= and dyn= together: static-calm blocks keep the event-free
+        whole-trace body, the boundary blocks window dynamically; results
+        still match the plain event path exactly."""
+        from pygenray_tpu.ops.pallas_stepper import classify_calm, classify_dyn
+
+        env = _env()
+        # wide batch so the layout yields several blocks
+        s, geom, p0 = self._fan(env, np.linspace(-16, 16, 64 * 1024))
+        calm = classify_calm(env, jnp.float32(1300.0), p0, geom, s)
+        dyn = classify_dyn(env, jnp.float32(1300.0), p0, geom, s)
+        assert calm is not None and dyn is not None and dyn.shape[0] > 1
+        base = trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True,
+                           calm=calm, dyn=dyn)
+        assert not np.any(np.asarray(out.death_code) == 5)
+        np.testing.assert_array_equal(
+            np.asarray(base.death_code), np.asarray(out.death_code)
+        )
+        np.testing.assert_array_equal(np.asarray(base.n_surf),
+                                      np.asarray(out.n_surf))
+        np.testing.assert_array_equal(np.asarray(base.n_bott),
+                                      np.asarray(out.n_bott))
+        np.testing.assert_allclose(np.asarray(base.ts), np.asarray(out.ts),
+                                   atol=5e-6)
+
+
 class TestEventGroups:
     """Sub-block event granularity (settings.event_groups): the crossing
     machinery is gated per row group instead of per block.  The event fix
