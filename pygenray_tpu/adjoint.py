@@ -36,6 +36,8 @@ __all__ = [
     "cheb_derivative_matrix",
     "travel_time_jacobian",
     "travel_time_jacobian_2d",
+    "travel_times_of_coef",
+    "travel_time_coef_vjp",
     "fermat_jacobian",
     "perturbation_response",
     "endpoint_time_gradients",
@@ -242,6 +244,178 @@ def travel_time_jacobian_2d(
     T_end = T_of(cc0)
     jac = jax.jit(jax.jacfwd(T_of))(cc0)  # (B, nr, K)
     return T_end, jac
+
+
+def travel_times_of_coef(
+    env: EnvData,
+    z0,
+    p0,
+    x0: float,
+    x1: float,
+    settings: SolverSettings = SolverSettings(),
+):
+    """Differentiable map from spectral coefficients to receiver travel
+    times, with a reverse-mode rule at kernel speed.
+
+    Returns ``f`` with ``f(cc) -> T_end (B,)``, where ``cc`` is the c
+    Chebyshev table — ``(K,)`` for a range-independent environment
+    (``travel_time_jacobian`` convention), ``(nr, K)`` for a
+    range-dependent one (``travel_time_jacobian_2d``) — and the dc/dz
+    field is chained consistently through the spectral derivative
+    operator.  ``jax.grad`` of any misfit through ``f`` contracts the
+    cotangent via a ``jax.custom_vjp`` rule: the tangent map is LINEAR in
+    the coefficient direction, so its transpose is assembled from the
+    coefficient-tangent kernel's unit-direction launches and contracted
+    with the cotangent ON DEVICE, inside one jitted dispatch — chunked
+    over direction rows so no (B, nr, K) Jacobian is ever materialized
+    beyond a bounded per-chunk transient.  Falls back to ``jax.vjp``
+    through the XLA scan where the kernel is unsupported (f64, table
+    interpolation, non-TPU without ``backend="pallas"``).
+
+    This is the vjp companion to ``travel_time_jacobian``/``_2d``: use
+    those when the full Jacobian is the product; use this inside
+    gradient-based inversion loops where only Jᵀv is needed.
+    """
+    if not _use_cheb(env, settings):
+        raise ValueError("travel_times_of_coef requires a spectral environment")
+
+    h, sps, nseg = _plan(float(x0), float(x1), 2, settings.dx)
+    geom = (float(x0), float(x1), float(h), int(sps), int(nseg))
+    settings_x = dataclasses.replace(settings, backend="xla", kahan=False)
+    s_k = dataclasses.replace(settings, kahan=False)
+
+    nr, K = env.c_cheb.shape
+    zlo, zhi = env.z_dom
+    D = jnp.asarray(cheb_derivative_matrix(K, zlo, zhi), env.c_cheb.dtype)
+    p0j = jnp.atleast_1d(jnp.asarray(p0, env.c.dtype))
+    rd = bool(env.range_dependent)
+    if rd:
+        cp_offset = env.dcdz_cheb - env.c_cheb @ D.T  # (nr, K)
+    else:
+        cp_offset = env.dcdz_cheb[0] - D @ env.c_cheb[0]  # (K,)
+
+    from .integrate import trace
+
+    def env_with(cc):
+        if rd:
+            cc2 = cc
+            cp2 = cp_offset + cc @ D.T
+        else:
+            cc2 = jnp.broadcast_to(cc, env.c_cheb.shape)
+            cp2 = jnp.broadcast_to(cp_offset + D @ cc, env.dcdz_cheb.shape)
+        return dataclasses.replace(env, c_cheb=cc2, dcdz_cheb=cp2,
+                                   poly_ok=False)
+
+    @jax.custom_vjp
+    def f(cc):
+        return trace(env_with(cc), z0, p0j, x0, x1, 2, settings_x).ts[:, -1]
+
+    def f_fwd(cc):
+        return f(cc), cc
+
+    def f_bwd(cc, v):
+        from .ops.pallas_stepper import tangent_supported
+
+        env2 = env_with(cc)
+        on_tpu = jax.default_backend() == "tpu"
+        kernel_ok = (
+            settings.backend != "xla"
+            and tangent_supported(env2, s_k, True)
+            and (on_tpu or settings.backend == "pallas")
+        )
+        if kernel_ok:
+            dc = jnp.eye(K, dtype=jnp.float32)
+            dcp = D.T.astype(jnp.float32)  # row k = D @ e_k
+            _, g = _coef_vjp_cached(env2, z0, p0j, dc, dcp,
+                                    jnp.asarray(v, jnp.float32), geom, s_k,
+                                    not on_tpu, rd)
+            return (g.astype(cc.dtype),)
+        _, pull = jax.vjp(
+            lambda c: _trace_impl(env_with(c), z0, p0j, geom,
+                                  settings_x).ts[:, -1],
+            cc,
+        )
+        return pull(v)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def travel_time_coef_vjp(
+    env: EnvData,
+    z0,
+    p0,
+    x0: float,
+    x1: float,
+    v,
+    settings: SolverSettings = SolverSettings(),
+):
+    """Convenience Jᵀv: contract a travel-time cotangent ``v (B,)`` against
+    the coefficient Jacobian without materializing it.  Returns
+    ``(T_end (B,), g)`` with ``g (K,)`` (range-independent) or ``(nr, K)``
+    (range-dependent).  See ``travel_times_of_coef``."""
+    f = travel_times_of_coef(env, z0, p0, x0, x1, settings)
+    cc = env.c_cheb if env.range_dependent else env.c_cheb[0]
+    T_end, pull = jax.vjp(f, cc)
+    (g,) = pull(jnp.asarray(v, T_end.dtype))
+    return T_end, g
+
+
+_COEF_VJP_CACHE = None
+
+# per-chunk transient cap for the direction-chunked cotangent contraction:
+# each kernel launch materializes (nr, Dk, B) tangents in HBM before the
+# on-device contraction reduces them to (nr, Dk)
+_COEF_VJP_CHUNK_ELEMS = 1 << 26
+
+
+def _coef_vjp_cached(env, z0, p0, dcoef, dcpcoef, v, geom, settings,
+                     interpret, rd):
+    """Memoized jitted Jᵀv launcher: unit-direction coefficient-tangent
+    kernel launches (chunked over direction rows) with the cotangent
+    contraction fused into the same jitted dispatch."""
+    global _COEF_VJP_CACHE
+    from .utils.cache import LRUCache, env_struct_key
+
+    if _COEF_VJP_CACHE is None:
+        _COEF_VJP_CACHE = LRUCache(64)
+    from .ops.pallas_stepper import (
+        trace_pallas_coef_tangent,
+        trace_pallas_coef_tangent_rd,
+    )
+
+    Kdir = dcoef.shape[0]
+    B = p0.shape[0]
+    nr = env.c_cheb.shape[0] if rd else 1
+    Dk = max(1, min(Kdir, _COEF_VJP_CHUNK_ELEMS // max(1, nr * B)))
+    bounds = [(i, min(i + Dk, Kdir)) for i in range(0, Kdir, Dk)]
+
+    def run(envarg, zz, p, dc, dcp, vv):
+        T_end, gs = None, []
+        for lo, hi in bounds:
+            if rd:
+                outs = trace_pallas_coef_tangent_rd(
+                    envarg, zz, p, dc[lo:hi], dcp[lo:hi], geom, settings,
+                    interpret=interpret,
+                )
+                gs.append(jnp.einsum("jdb,b->jd", outs[3], vv))
+            else:
+                outs = trace_pallas_coef_tangent(
+                    envarg, zz, p, dc[lo:hi], dcp[lo:hi], geom, settings,
+                    interpret=interpret,
+                )
+                gs.append(outs[3] @ vv)
+            T_end = outs[0]
+        return T_end, jnp.concatenate(gs, axis=-1)
+
+    z0a = jnp.asarray(z0, jnp.float32)
+    key = (env_struct_key(env), geom, settings, p0.shape, dcoef.shape,
+           z0a.shape, bool(interpret), bool(rd), tuple(bounds))
+    fn = _COEF_VJP_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(run)
+        _COEF_VJP_CACHE.put(key, fn)
+    return fn(env, z0a, p0, dcoef, dcpcoef, v)
 
 
 _COEF_RD_CACHE = None

@@ -211,6 +211,110 @@ class TestTravelTimeJacobian2D:
         )
 
 
+class TestCoefVjp:
+    """Reverse-mode coefficient gradients at kernel speed: jax.grad of a
+    misfit through ``travel_times_of_coef`` must equal Jᵀv assembled from
+    the forward Jacobian, with the cotangent contraction running through
+    the coefficient-tangent kernel (O(1) launches) instead of a transposed
+    scan."""
+
+    def _rd_env(self):
+        z = np.linspace(0, 6000, 500)
+        r = np.linspace(0, 20e3, 4)
+        c = np.array([munk_ssp(z, sofar_depth=1300 + 0.01 * ri) for ri in r])
+        env = make_env_data(c, r, z, np.full(4, 5500.0), r, dtype=jnp.float32)
+        assert env.range_dependent
+        c_src = np.interp(1300.0, z, c[0])
+        p0 = np.float32(np.sin(np.radians(-np.array([-8.0, 6.0]))) / c_src)
+        return env, p0
+
+    def test_grad_matches_jacfwd_rd(self):
+        import jax
+
+        from pygenray_tpu.adjoint import (
+            travel_time_jacobian_2d,
+            travel_times_of_coef,
+        )
+
+        env, p0 = self._rd_env()
+        s = SolverSettings(dx=200.0, interp="cheb", backend="pallas",
+                           kahan=False)
+        f = travel_times_of_coef(env, 1300.0, p0, 0.0, 20e3, s)
+        T = np.asarray(f(env.c_cheb))
+        T_obs = T + np.array([1e-3, -2e-3], np.float32)
+
+        def misfit(cc):
+            d = f(cc) - jnp.asarray(T_obs)
+            return 0.5 * jnp.sum(d * d)
+
+        g = np.asarray(jax.grad(misfit)(env.c_cheb))  # (nr, K)
+
+        T_f, jac_f = travel_time_jacobian_2d(env, 1300.0, p0, 0.0, 20e3, s,
+                                             mode="fwd")
+        v = np.asarray(T_f) - T_obs
+        g_ref = np.einsum("b,bjk->jk", v, np.asarray(jac_f))
+        assert g.shape == g_ref.shape == env.c_cheb.shape
+        scale = np.abs(g_ref).max()
+        np.testing.assert_allclose(g, g_ref, atol=3e-3 * scale)
+
+    def test_grad_matches_jacfwd_ri_and_chunks(self):
+        """Range-independent variant, forced through tiny direction chunks
+        to exercise the bounded-transient path."""
+        import jax
+
+        import pygenray_tpu.adjoint as adj
+
+        z = np.linspace(0, 6000, 500)
+        r = np.linspace(0, 20e3, 4)
+        c = np.outer(np.ones(4), munk_ssp(z))
+        env = make_env_data(c, r, z, np.full(4, 5500.0), r, dtype=jnp.float32)
+        assert not env.range_dependent
+        c_src = np.interp(1300.0, z, c[0])
+        p0 = np.float32(np.sin(np.radians(-np.array([-8.0, 6.0]))) / c_src)
+        s = SolverSettings(dx=200.0, interp="cheb", backend="pallas",
+                           kahan=False)
+
+        old = adj._COEF_VJP_CHUNK_ELEMS
+        adj._COEF_VJP_CHUNK_ELEMS = 8  # a few directions per launch
+        try:
+            T, g = adj.travel_time_coef_vjp(
+                env, 1300.0, p0, 0.0, 20e3, np.array([1.0, -0.5], np.float32),
+                s,
+            )
+        finally:
+            adj._COEF_VJP_CHUNK_ELEMS = old
+        T_f, jac_f = adj.travel_time_jacobian(env, 1300.0, p0, 0.0, 20e3, s,
+                                              mode="fwd")
+        g_ref = np.array([1.0, -0.5]) @ np.asarray(jac_f)
+        assert np.asarray(g).shape == g_ref.shape
+        scale = np.abs(g_ref).max()
+        np.testing.assert_allclose(np.asarray(g), g_ref, atol=3e-3 * scale)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T_f), atol=1e-4)
+
+    def test_fallback_f64_scan(self):
+        """f64 (kernel unsupported): the custom rule falls back to jax.vjp
+        through the scan and still matches the forward Jacobian."""
+        import jax
+
+        from pygenray_tpu.adjoint import (
+            travel_time_jacobian,
+            travel_times_of_coef,
+        )
+
+        env = _env(nz=500, nr=4)
+        c_src = float(munk_ssp(np.asarray([1300.0]))[0])
+        p0 = np.sin(np.radians(-np.array([-6.0, 4.0]))) / c_src
+        s = SolverSettings(dx=300.0)
+        f = travel_times_of_coef(env, 1300.0, p0, 0.0, 20e3, s)
+        cc0 = env.c_cheb[0]
+        T, pull = jax.vjp(f, cc0)
+        (g,) = pull(jnp.array([1.0, 2.0], T.dtype))
+        T_f, jac = travel_time_jacobian(env, 1300.0, p0, 0.0, 20e3, s)
+        g_ref = np.array([1.0, 2.0]) @ np.asarray(jac)
+        np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-6, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T_f), atol=1e-9)
+
+
 class TestFermatJacobian:
     def test_fermat_ad_endpoint_identity(self):
         """The fixed-angle AD Jacobian and the fixed-endpoint Fermat kernel
