@@ -696,13 +696,65 @@ def bench_extra_configs():
 
 
 
+def _make_sustained(env, p0, settings, calm, dyn, trace, lax, jax, jnp,
+                    reps=2):
+    """Closure measuring per-trace device seconds: dependency-chained
+    multi-trace dispatch differenced against the single-trace dispatch
+    (tunnel dispatch fee cancels).  One measurement ~= a few seconds."""
+
+    def best(n):
+        @jax.jit
+        def fn(p):
+            acc = jnp.zeros((), p.dtype)
+            pin = p
+            for _ in range(n):
+                r = trace(env, SRC_DEPTH, pin, 0.0, R_MAX, NUM_SAVE,
+                          settings, calm=calm, dyn=dyn)
+                acc = acc + r.ts.sum()
+                pin = lax.optimization_barrier(p)
+            return acc
+
+        float(fn(p0))  # warm + FETCH
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(p0))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    def measure():
+        t1, t9 = best(1), best(9)
+        return max((t9 - t1) / 8.0, 1e-9)
+
+    return measure
+
+
+def _ab_paired(mA, mB, pairs=5):
+    """Interleaved A/B: adjacent (A, B) measurements share the tunnel's
+    minute-scale throughput drift (observed ~9% same-program spread across
+    runs hours apart), so the MEDIAN of per-pair ratios isolates the real
+    effect.  Returns (median speedup of B over A, best A s, best B s,
+    per-pair speedups)."""
+    ratios, a_s, b_s = [], [], []
+    for _ in range(pairs):
+        a = mA()
+        b = mB()
+        a_s.append(a)
+        b_s.append(b)
+        ratios.append(a / b)
+    return (sorted(ratios)[len(ratios) // 2], min(a_s), min(b_s),
+            [round(r, 4) for r in ratios])
+
+
 def bench_event_groups():
-    """Sustained-throughput sweep over settings.event_groups on the
-    headline config (one JSON line per variant) — the measurement that
-    decides whether the sub-block crossing branch closes the event-vs-
-    event-free gap.  Runs full-event (calm off, every block pays the
-    crossing branch: the clean A/B of branch granularity) and calm-on
-    (production path: only the boundary blocks run the event body)."""
+    """Interleaved A/B of settings.event_groups on the headline config —
+    the measurement that decides the sub-block crossing-branch default.
+    NOTE: before 2026-08-19 the group split required R % (8G) == 0, which
+    silently fell back to one whole-tile branch at the headline layout
+    (R=115) — the old 5-point sweep measured five identical G=1 programs
+    and its +9% "win" was tunnel jitter.  The quantum split now engages
+    for any R; this A/B interleaves G=1 and G=G pairs so minute-scale
+    drift cancels in the per-pair ratios."""
     import dataclasses
 
     import jax
@@ -724,56 +776,42 @@ def bench_event_groups():
                         np.asarray(env.c))
     p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, dtype)
 
-    def sustained(settings, calm):
-        def best(n):
-            @jax.jit
-            def fn(p):
-                acc = jnp.zeros((), p.dtype)
-                pin = p
-                for _ in range(n):
-                    r = trace(env, SRC_DEPTH, pin, 0.0, R_MAX, NUM_SAVE,
-                              settings, calm=calm)
-                    acc = acc + r.ts.sum()
-                    pin = lax.optimization_barrier(p)
-                return acc
-
-            float(fn(p0))  # warm + FETCH
-            b = float("inf")
-            for _ in range(4):
-                t0 = time.perf_counter()
-                float(fn(p0))
-                b = min(b, time.perf_counter() - t0)
-            return b
-
-        t1, t9 = best(1), best(9)
-        return NUM_RAYS / max((t9 - t1) / 8.0, 1e-9)
-
-    base = SolverSettings(dx=200.0)
+    base = SolverSettings(dx=200.0, dyn_calm=False)
     h, sps, nseg = _plan(0.0, R_MAX, NUM_SAVE, base.dx)
     calm_r = classify_calm(env, SRC_DEPTH, p0,
                            (0.0, R_MAX, float(h), sps, nseg), base)
 
-    # correctness reference: G=1 full-event counters
-    ref = None
-    for G in (1, 2, 4, 8, 16):
-        s_g = dataclasses.replace(base, event_groups=G, calm=False)
-        r_g = trace(env, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE, s_g)
-        nb = np.asarray(r_g.n_bott)
-        dc = np.asarray(r_g.death_code)
-        if ref is None:
-            ref = (nb, dc)
-        ok = bool(np.array_equal(nb, ref[0]) and np.array_equal(dc, ref[1]))
-        full = sustained(s_g, None)
-        s_gc = dataclasses.replace(base, event_groups=G)
-        calm_on = sustained(s_gc, calm_r)
-        print(json.dumps({
-            "metric": "event_groups_sweep",
-            "event_groups": G,
-            "full_event_rays_per_sec": round(full, 1),
-            "calm_rays_per_sec": round(calm_on, 1),
-            "counters_match_g1": ok,
-            "unit": "rays/s",
-        }))
+    s1 = dataclasses.replace(base, event_groups=1)
+    ref = trace(env, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE,
+                dataclasses.replace(s1, calm=False))
+    nb1 = np.asarray(ref.n_bott)
+    dc1 = np.asarray(ref.death_code)
+
+    mk = lambda s, cm: _make_sustained(env, p0, s, cm, None, trace, lax,
+                                       jax, jnp)
+    for G in (4, 8, 16):
+        s_g = dataclasses.replace(base, event_groups=G)
+        r_g = trace(env, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE,
+                    dataclasses.replace(s_g, calm=False))
+        ok = bool(
+            np.array_equal(np.asarray(r_g.n_bott), nb1)
+            and np.array_equal(np.asarray(r_g.death_code), dc1)
+        )
+        for tag, cm in (("full-event", None), ("calm-on", calm_r)):
+            sA = dataclasses.replace(s1, calm=cm is not None)
+            sB = dataclasses.replace(s_g, calm=cm is not None)
+            med, a, b, rr = _ab_paired(mk(sA, cm), mk(sB, cm))
+            print(json.dumps({
+                "metric": "event_groups_ab",
+                "event_groups": G,
+                "config": tag,
+                "median_speedup_vs_g1": round(med, 4),
+                "g1_rays_per_sec": round(NUM_RAYS / a, 1),
+                "gN_rays_per_sec": round(NUM_RAYS / b, 1),
+                "pair_speedups": rr,
+                "counters_match_g1": ok,
+                "unit": "rays/s",
+            }), flush=True)
 
 
 def bench_dyn_calm():
@@ -800,30 +838,6 @@ def bench_dyn_calm():
 
     dtype = jnp.float32
 
-    def sustained(env, p0, settings, calm, dyn):
-        def best(n):
-            @jax.jit
-            def fn(p):
-                acc = jnp.zeros((), p.dtype)
-                pin = p
-                for _ in range(n):
-                    r = trace(env, SRC_DEPTH, pin, 0.0, R_MAX, NUM_SAVE,
-                              settings, calm=calm, dyn=dyn)
-                    acc = acc + r.ts.sum()
-                    pin = lax.optimization_barrier(p)
-                return acc
-
-            float(fn(p0))  # warm + FETCH
-            b = float("inf")
-            for _ in range(4):
-                t0 = time.perf_counter()
-                float(fn(p0))
-                b = min(b, time.perf_counter() - t0)
-            return b
-
-        t1, t9 = best(1), best(9)
-        return NUM_RAYS / max((t9 - t1) / 8.0, 1e-9)
-
     def measure(tag, env, settings, calm_on):
         angles = np.linspace(-ANGLE_SPAN, ANGLE_SPAN, NUM_RAYS)
         c_src = bilinear_np(0.0, SRC_DEPTH, np.asarray(env.r),
@@ -846,14 +860,18 @@ def bench_dyn_calm():
         )
         dt = float(np.max(np.abs(np.asarray(r0.ts[:, -1], float)
                                  - np.asarray(r1.ts[:, -1], float))))
-        off = sustained(env, p0, settings, calm, None)
-        on = sustained(env, p0, settings, calm, dyn)
+        m_off = _make_sustained(env, p0, settings, calm, None, trace, lax,
+                                jax, jnp)
+        m_on = _make_sustained(env, p0, settings, calm, dyn, trace, lax,
+                               jax, jnp)
+        med, a, b, rr = _ab_paired(m_off, m_on)
         print(json.dumps({
-            "metric": "dyn_calm_sweep",
+            "metric": "dyn_calm_ab",
             "config": tag,
-            "dyn_off_rays_per_sec": round(off, 1),
-            "dyn_on_rays_per_sec": round(on, 1),
-            "speedup": round(on / off, 4),
+            "dyn_off_rays_per_sec": round(NUM_RAYS / a, 1),
+            "dyn_on_rays_per_sec": round(NUM_RAYS / b, 1),
+            "median_speedup": round(med, 4),
+            "pair_speedups": rr,
             "counters_match": ok,
             "max_dt_s": dt,
             "dyn_blocks_enabled": int((np.asarray(dyn)[:, 0] > 0).sum())
@@ -862,9 +880,13 @@ def bench_dyn_calm():
         }), flush=True)
 
     env = build_env(dtype)
-    measure("headline full-event", env, SolverSettings(dx=200.0, calm=False),
+    # dyn_calm=False everywhere: calm/dyn tables are passed EXPLICITLY per
+    # arm — the dyn-off arm must not auto-classify its own window table
+    measure("headline full-event", env,
+            SolverSettings(dx=200.0, calm=False, dyn_calm=False),
             calm_on=False)
-    measure("headline calm-on", env, SolverSettings(dx=200.0), calm_on=True)
+    measure("headline calm-on", env, SolverSettings(dx=200.0, dyn_calm=False),
+            calm_on=True)
 
     # RD config (bench config 1 geometry)
     z = np.linspace(0.0, 6000.0, NZ)
@@ -872,7 +894,8 @@ def bench_dyn_calm():
     c_rd = np.array([munk_ssp(z, sofar_depth=1300 + 0.002 * ri) for ri in r])
     bathy = np.linspace(4400.0, 4900.0, 64)
     env_rd = make_env_data(c_rd, r, z, bathy, r, dtype=dtype)
-    measure("rd calm-on", env_rd, SolverSettings(dx=100.0), calm_on=True)
+    measure("rd calm-on", env_rd, SolverSettings(dx=100.0, dyn_calm=False),
+            calm_on=True)
 
 
 def bench_cpu_oracle():

@@ -696,7 +696,7 @@ def trace(
                 # (n_shards, 4) table from classify_calm_sharded)
                 return trace_pallas_sharded(
                     env, z0, p0, geom, settings, interpret=not on_tpu,
-                    calm=calm,
+                    calm=calm, dyn=dyn,
                 )
         return _trace_impl_cached(env, z0, p0, geom, settings)
 

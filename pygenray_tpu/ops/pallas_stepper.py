@@ -233,14 +233,24 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
      use_seg) = consts
 
     # sub-block event granularity (settings.event_groups): group slices
-    # must land on 8-sublane tile boundaries, else fall back to one branch
-    # per block
-    n_groups = (
-        event_groups
-        if (event_groups > 1 and R % event_groups == 0
-            and (R // event_groups) % 8 == 0)
-        else 1
-    )
+    # are built from 8-row sublane quanta — every group START is
+    # 8-aligned (Mosaic's hard constraint); the LAST group absorbs any
+    # ragged tail rows (whole-tile stores of a non-multiple-of-8 R are
+    # already sublane-masked, so a ragged trailing slice is too).  The
+    # old guard (R % G == 0 and (R//G) % 8 == 0) silently fell back to
+    # one whole-tile branch at the headline layout (R=115) — the quantum
+    # split engages for any R with at least two quanta.
+    n_q = R // 8
+    if event_groups > 1 and n_q >= 2:
+        G = min(event_groups, n_q)
+        base, rem = divmod(n_q, G)
+        sizes = [(base + (1 if i < rem else 0)) * 8 for i in range(G)]
+        sizes[-1] += R - 8 * n_q  # ragged tail rows
+        starts = [sum(sizes[:i]) for i in range(G)]
+        group_slices = [slice(s, s + z) for s, z in zip(starts, sizes)]
+    else:
+        group_slices = [slice(0, R)]
+    n_groups = len(group_slices)
 
     _nblk = -(-(nseg * sps) // STW)
 
@@ -570,9 +580,7 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
                     # group.  Angle-sorted fans keep bounce phases coherent
                     # within a group, so between bounce clusters a quiet
                     # group skips the whole crossing machinery.
-                    RG = R // n_groups
-                    for gi in range(n_groups):
-                        sl = slice(gi * RG, (gi + 1) * RG)
+                    for sl in group_slices:
 
                         @pl.when(jnp.any(cross[sl]))
                         def _(sl=sl):
@@ -2311,6 +2319,30 @@ def classify_dyn(env, z0, p0, geom, settings=None):
     ).astype(np.float32)
 
 
+def classify_dyn_sharded(env, z0, p0, geom, settings=None, n_shards=1):
+    """Per-shard dynamic-window tables for a fan sharded over a 1-D mesh
+    axis: (n_shards, nblocks_local, 4) float32 (rows as in
+    ``classify_dyn`` for each shard's local block layout), or None when
+    classification declines entirely."""
+    leaves = (p0, z0, *jax.tree_util.tree_leaves(env))
+    if any(isinstance(x, jax.core.Tracer) for x in leaves):
+        return None
+    p0h = np.asarray(jax.device_get(p0)).ravel()
+    B = p0h.size
+    if n_shards < 1 or B % n_shards:
+        return None
+    Bl = B // n_shards
+    nblocks = _layout(Bl)[0]
+    rows = []
+    for i in range(n_shards):
+        row = classify_dyn(env, z0, p0h[i * Bl:(i + 1) * Bl], geom, settings)
+        rows.append(row if row is not None
+                    else np.zeros((nblocks, 4), np.float32))
+    if all((r[:, 0] <= 0.0).all() for r in rows):
+        return None
+    return np.stack(rows)
+
+
 def classify_dyn_ensemble(env_ens, z0, p0, geom, settings=None):
     """Per-realization dynamic-window tables for an ensemble trace:
     (E, nblocks, 4) float32 (rows as in ``classify_dyn``; an all-zero
@@ -2381,6 +2413,8 @@ def _classify_calm_cached(env, z0, p0, geom, settings=None, n_shards=1,
         calm = classify_dyn(env, z0, p0, geom, settings)
     elif ensemble == "dyn_ens":
         calm = classify_dyn_ensemble(env, z0, p0, geom, settings)
+    elif ensemble == "dyn_sh":
+        calm = classify_dyn_sharded(env, z0, p0, geom, settings, n_shards)
     elif ensemble:
         calm = classify_calm_ensemble(env, z0, p0, geom, settings)
     elif n_shards > 1:
@@ -2487,7 +2521,7 @@ def shardable_pallas(p0, z0a) -> bool:
 
 
 def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False,
-                         calm=None):
+                         calm=None, dyn=None):
     """Mega-kernel fan trace over a device mesh: one kernel launch per device
     via ``jax.shard_map`` on the ray axis, environment replicated.
 
@@ -2499,6 +2533,9 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False,
     (n_shards, 4) per-shard calm-range table (``classify_calm_sharded``);
     by default each shard's range is classified on the host, so every
     device skips the event machinery for its own provably-safe blocks.
+    ``dyn`` is an optional (n_shards, nblocks_local, 4) per-shard
+    dynamic-window table (``classify_dyn_sharded``); the auto policy
+    matches trace_pallas_cached (RD fields or calm-less fans only).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -2517,15 +2554,23 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False,
                                      n_shards=n_shards)
     cm_tab = (_calm_disabled((n_shards, 4)) if calm is None
               else jnp.asarray(calm, jnp.float32))
+    if (dyn is None and settings.dyn_calm and not interpret
+            and (env.range_dependent or calm is None)):
+        dyn = _classify_calm_cached(env, z0, p0, geom, settings,
+                                    n_shards=n_shards, ensemble="dyn_sh")
+    use_dyn = dyn is not None
+    dy_tab = (jnp.asarray(dyn, jnp.float32) if use_dyn
+              else jnp.zeros((n_shards, 1, 4), jnp.float32))
 
     key = (env_struct_key(env), geom, settings, p0.shape, z0a.shape,
-           mesh, axis, interpret)
+           mesh, axis, interpret, use_dyn)
     fn = _SHARD_CACHE.get(key)
     if fn is None:
 
-        def local(envarg, zz, pp, cm):
+        def local(envarg, zz, pp, cm, dy):
             res = trace_pallas(envarg, zz, pp, geom, settings,
-                               interpret=interpret, calm=cm[0])
+                               interpret=interpret, calm=cm[0],
+                               dyn=dy[0] if use_dyn else None)
             return (res.ts, res.zs, res.ps, res.alive_save,
                     res.n_bott, res.n_surf, res.alive, res.death_code)
 
@@ -2536,7 +2581,7 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False,
                 local,
                 mesh=mesh,
                 in_specs=(P(), ray1 if z_per_ray else P(), ray1,
-                          P(axis, None)),
+                          P(axis, None), P(axis, None, None)),
                 out_specs=(ray2, ray2, ray2, ray2, ray1, ray1, ray1, ray1),
                 # pallas_call out_shapes carry no varying-mesh-axes metadata
                 check_vma=False,
@@ -2545,7 +2590,7 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False,
         _SHARD_CACHE.put(key, fn)
 
     ts, zs, ps, alive_save, n_bott, n_surf, alive, death = fn(
-        env, z0a, p0, cm_tab
+        env, z0a, p0, cm_tab, dy_tab
     )
     num_save = nseg + 1
     rs = x0 + (x1 - x0) * jnp.arange(num_save, dtype=dtype) / nseg

@@ -721,16 +721,29 @@ class TestEventGroups:
         # bouncing fan wide enough that bounce clusters stagger across the
         # 16 rows (B=2048 -> one block of 16 rows; G=2 -> two 8-row groups)
         angles = np.linspace(-18, 18, 2048)
-        s = SolverSettings(dx=200.0)
+        s = SolverSettings(dx=200.0, event_groups=1)
         ref = self._run(env, angles, s)
         out = self._run(env, angles, dataclasses.replace(s, event_groups=2))
         assert int(np.asarray(ref.n_bott).sum()) > 0  # events exercised
         self._assert_equiv(ref, out)
 
+    def test_ragged_rows_split_into_quantum_groups(self):
+        """R not divisible by 8·G: groups are built from 8-row quanta with
+        the ragged tail rows absorbed into the last group (the headline
+        layout R=115 hit the old guard's silent whole-tile fallback).
+        Counters must still match G=1 exactly."""
+        env = _env()
+        angles = np.linspace(-18, 18, 2560)  # R=20 rows: quanta [8, 12]
+        s = SolverSettings(dx=200.0, event_groups=1)
+        ref = self._run(env, angles, s)
+        out = self._run(env, angles, dataclasses.replace(s, event_groups=8))
+        assert int(np.asarray(ref.n_bott).sum()) > 0
+        self._assert_equiv(ref, out)
+
     def test_invalid_group_count_falls_back(self):
         env = _env()
         angles = np.linspace(-18, 18, 512)  # R=4 rows: no valid 8-row split
-        s = SolverSettings(dx=200.0)
+        s = SolverSettings(dx=200.0, event_groups=1)
         ref = self._run(env, angles, s)
         out = self._run(env, angles, dataclasses.replace(s, event_groups=3))
         # fallback is the whole-tile branch: identical graph, identical

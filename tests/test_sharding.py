@@ -232,6 +232,54 @@ def test_sharded_calm_blocks_match_event_path():
     )
 
 
+def test_sharded_dyn_windows_match_event_path():
+    """Per-shard dynamic-window tables (classify_dyn_sharded): a bouncing
+    sharded fan with windows reproduces the event path exactly on every
+    device — all bounces, no audit deaths."""
+    import jax.numpy as jnp
+
+    import pygenray_tpu.ops.pallas_stepper as ps
+    from pygenray_tpu.envdata import make_env_data
+    from pygenray_tpu.environment import munk_ssp
+    from pygenray_tpu.integrate import SolverSettings, _plan
+
+    z = np.linspace(0, 6000, 512)
+    r = np.linspace(0, 50e3, 8)
+    c = np.outer(np.ones(8), munk_ssp(z))
+    envd = make_env_data(c, r, z, np.full(8, 4600.0), r, dtype=jnp.float32)
+    s = SolverSettings(dx=500.0, backend="pallas")
+    mesh = make_mesh()
+    angles = np.linspace(-18, 18, 1024)  # steep: genuinely bounces
+    c_src = np.interp(1300.0, z, c[0])
+    p0_host = (np.sin(np.radians(-angles)) / c_src).astype(np.float32)
+    p0 = shard_rays(jnp.asarray(p0_host), mesh)
+
+    h, sps, nseg = _plan(0.0, 50e3, 10, s.dx)
+    geom = (0.0, 50e3, float(h), int(sps), int(nseg))
+    tab = ps.classify_dyn_sharded(envd, 1300.0, p0_host, geom, s, n_shards=8)
+    assert tab is not None and tab.shape == (8, 1, 4)
+    assert np.all(tab[:, :, 0] > 0)
+
+    res_d = ps.trace_pallas_sharded(envd, 1300.0, p0, geom, s,
+                                    interpret=True, dyn=tab)
+    res_0 = ps.trace_pallas_sharded(envd, 1300.0, p0, geom, s,
+                                    interpret=True)
+    assert np.asarray(res_0.n_surf).sum() > 0
+    assert not np.any(np.asarray(res_d.death_code) == 5)
+    np.testing.assert_array_equal(
+        np.asarray(res_d.death_code), np.asarray(res_0.death_code)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_d.n_surf), np.asarray(res_0.n_surf)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_d.n_bott), np.asarray(res_0.n_bott)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_d.ts), np.asarray(res_0.ts), atol=5e-6
+    )
+
+
 def test_sharded_pallas_dispatch_matches_unsharded_kernel():
     """A sharded fan on a supported (spectral f32) environment must go
     through the per-device mega-kernel (shard_map) and agree with the
