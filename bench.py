@@ -897,6 +897,64 @@ def bench_dyn_calm():
     measure("rd calm-on", env_rd, SolverSettings(dx=100.0, dyn_calm=False),
             calm_on=True)
 
+    # MC internal-wave ensemble (bench config 4 geometry) — the production
+    # case for dynamic windows: IW drift never proves static calm, so
+    # every block pays the event body without them
+    from pygenray_tpu.integrate import _plan as _plan_mc
+    from pygenray_tpu.models.internal_waves import perturbed_munk_tables
+    from pygenray_tpu.montecarlo import make_env_ensemble, trace_ensemble
+    from pygenray_tpu.ops.pallas_stepper import classify_dyn_ensemble
+
+    E, BMC = 16, 65536
+    c_ens, r_mc, z_mc = perturbed_munk_tables(E, r_max=R_MAX, nr=32,
+                                              nz=1024, seed=0)
+    env_ens = make_env_ensemble(c_ens, r_mc, z_mc, np.full(32, 5000.0), r_mc)
+    mc_angles = np.linspace(-ANGLE_SPAN, ANGLE_SPAN, BMC)
+    c_src_mc = float(munk_ssp(np.asarray([SRC_DEPTH]))[0])
+    p0_mc = jnp.asarray(np.sin(np.radians(-mc_angles)) / c_src_mc, dtype)
+    s_mc = SolverSettings(dx=200.0, dyn_calm=False)
+    h, sps, nseg = _plan_mc(0.0, R_MAX, 2, s_mc.dx)
+    geom = (0.0, R_MAX, float(h), int(sps), int(nseg))
+    dyn_mc = classify_dyn_ensemble(env_ens, SRC_DEPTH, p0_mc, geom, s_mc)
+
+    def mc_measure(dy):
+        def run():
+            return float(jnp.sum(trace_ensemble(
+                env_ens, SRC_DEPTH, p0_mc, 0.0, R_MAX, 2, s_mc, dyn=dy
+            ).ts))
+
+        run()  # warm + fetch
+        b = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    r0 = trace_ensemble(env_ens, SRC_DEPTH, p0_mc, 0.0, R_MAX, 2, s_mc)
+    r1 = trace_ensemble(env_ens, SRC_DEPTH, p0_mc, 0.0, R_MAX, 2, s_mc,
+                        dyn=jnp.asarray(dyn_mc, jnp.float32))
+    ok = bool(
+        np.array_equal(np.asarray(r0.n_bott), np.asarray(r1.n_bott))
+        and np.array_equal(np.asarray(r0.n_surf), np.asarray(r1.n_surf))
+        and np.array_equal(np.asarray(r0.death_code),
+                           np.asarray(r1.death_code))
+    )
+    med, a, b, rr = _ab_paired(
+        lambda: mc_measure(None),
+        lambda: mc_measure(jnp.asarray(dyn_mc, jnp.float32)),
+    )
+    print(json.dumps({
+        "metric": "dyn_calm_ab",
+        "config": "mc iw-ensemble (16x65536 rays)",
+        "dyn_off_rays_per_sec": round(E * BMC / a, 1),
+        "dyn_on_rays_per_sec": round(E * BMC / b, 1),
+        "median_speedup": round(med, 4),
+        "pair_speedups": rr,
+        "counters_match": ok,
+        "unit": "rays/s",
+    }), flush=True)
+
 
 def bench_cpu_oracle():
     """Single-core CPU baseline: the reference architecture's cost.

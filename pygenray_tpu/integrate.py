@@ -106,12 +106,14 @@ class SolverSettings:
     # runs them through the event-free body — phase-aware skipping between
     # bounce clusters that the static all-range calm proof cannot express.
     # Audited like static calm: a violated bound dies with DEATH_CODES[5],
-    # never a silent missed reflection.  Auto-classification applies only
-    # where it measures a win (bench.py --dyn, hardware 2026-08-19):
-    # range-dependent fields (+6.5% sustained) and fans without a static
-    # calm proof (+6.9%); a static-calm-covered range-independent fan
-    # skips it (measured -5.5%: boundary-block bounce phases decohere and
-    # the countdown pins at 0).  Off in interpret mode unless a table is
+    # never a silent missed reflection.  Auto-classification applies ONLY
+    # when the static calm classifier declined — the paired hardware A/B
+    # (bench.py --dyn, 2026-08-19) measures +5% median there (calm-off
+    # headline; rough/IW ensembles are the production case, their drift
+    # never proves static calm), but neutral (RD calm-on +0.9%) to mildly
+    # negative (headline calm-on -2.3%: boundary-block bounce phases
+    # decohere and the countdown pins at 0) when static calm already
+    # covers the quiet blocks.  Off in interpret mode unless a table is
     # passed explicitly (same FMA-contraction reasoning as calm).
     dyn_calm: bool = True
 

@@ -265,10 +265,11 @@ def _trace_ensemble_pallas(env_ens, z0, p0, p_axis, geom, settings,
     if calm is None and settings.calm and not interpret:
         calm = _classify_calm_cached(env_ens, z0, p0, geom, settings,
                                      ensemble=True)
-    # same auto-dyn policy as trace_pallas_cached: windows win on RD
-    # fields and calm-less fans, lose on static-calm-covered RI fans
+    # same auto-dyn policy as trace_pallas_cached: windows only when the
+    # static classifier declined (rough/IW ensembles — the production
+    # case); neutral-to-negative elsewhere in the paired A/B
     if (dyn is None and settings.dyn_calm and not interpret
-            and (bool(env_ens.range_dependent) or calm is None)):
+            and calm is None):
         dyn = _classify_calm_cached(env_ens, z0, p0, geom, settings,
                                     ensemble="dyn_ens")
     cm_tab = (_calm_disabled((E, 4)) if calm is None

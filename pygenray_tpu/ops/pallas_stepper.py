@@ -2476,15 +2476,17 @@ def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False,
     # the calm path is exercised by passing ``calm=`` explicitly.
     if calm is None and settings.calm and not interpret:
         calm = _classify_calm_cached(env, z0, p0, geom, settings)
-    # auto-dyn policy (hardware-measured, bench.py --dyn 2026-08-19):
-    # dynamic windows win where the event body still runs often — RD
-    # fields (+6.5% sustained) and fans with no static calm proof (+6.9%)
-    # — but a range-independent fan whose mid blocks are already
-    # static-calm LOSES 5.5% (boundary-block bounce phases decohere, the
-    # countdown pins at 0, and the per-segment machinery is pure
-    # overhead).  Explicit ``dyn=`` always wins over the policy.
+    # auto-dyn policy (hardware-measured, bench.py --dyn interleaved
+    # paired A/B, 2026-08-19): dynamic windows win only where NO static
+    # calm proof exists and every block pays the event body (+5% median
+    # on the calm-off headline; rough/IW ensembles are the production
+    # case — their drift never proves static calm).  With static calm
+    # present they measure neutral (RD +0.9%) to mildly negative
+    # (headline -2.3%: boundary-block bounce phases decohere and the
+    # countdown pins at 0), so the policy applies them only when the
+    # static classifier declined.  Explicit ``dyn=`` always wins.
     if (dyn is None and settings.dyn_calm and not interpret
-            and (env.range_dependent or calm is None)):
+            and calm is None):
         dyn = _classify_calm_cached(env, z0, p0, geom, settings,
                                     ensemble="dyn")
     if calm is None:
@@ -2555,7 +2557,7 @@ def trace_pallas_sharded(env, z0, p0, geom, settings, interpret=False,
     cm_tab = (_calm_disabled((n_shards, 4)) if calm is None
               else jnp.asarray(calm, jnp.float32))
     if (dyn is None and settings.dyn_calm and not interpret
-            and (env.range_dependent or calm is None)):
+            and calm is None):
         dyn = _classify_calm_cached(env, z0, p0, geom, settings,
                                     n_shards=n_shards, ensemble="dyn_sh")
     use_dyn = dyn is not None

@@ -20,6 +20,7 @@ DEMOS = [
     "sensitivity_kernel_demo",
     "monte_carlo_demo",
     "inversion_demo",
+    "gradient_inversion_demo",
     "localization_demo",
     "rough_field_sensitivity_demo",
 ]
