@@ -1956,9 +1956,11 @@ def trace_pallas_coef_tangent_rd(env, z0, p0, dcoef, dcpcoef, geom, settings,
             first(ns), first(nb), first(dc))
 
 
+BB_MAX = 16384  # rays per grid block (module-level so experiments can A/B it)
+
+
 def _layout(B: int):
     """Ray-block layout: (nblocks, rows, block size, padded batch)."""
-    BB_MAX = 16384
     nblocks = max(1, -(-B // BB_MAX))
     R = -(-B // (nblocks * 128))
     Bb = R * 128
