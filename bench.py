@@ -814,14 +814,20 @@ def bench_event_groups():
             }), flush=True)
 
 
-def bench_dyn_calm():
+def bench_dyn_calm(only=None):
     """Sustained throughput with dynamic calm windows off/on (one JSON line
     per variant) — the measurement that decides settings.dyn_calm's
     default.  Three axes on the headline config: full-event (calm off,
     every block may window between bounce clusters), calm-on (production:
     only the 2 boundary blocks run the event body — windows attack exactly
-    the remaining gap), plus the RD config calm-on.  A correctness gate
-    asserts counters/death codes match dyn-off exactly on hardware."""
+    the remaining gap), plus the RD config calm-on and the MC
+    internal-wave ensemble.  A correctness gate asserts counters/death
+    codes match dyn-off exactly on hardware.  ``only`` (from extra
+    ``--dyn`` CLI tokens) selects configs by substring, e.g.
+    ``python bench.py --dyn mc`` runs just the ensemble arm."""
+
+    def want(tag):
+        return only is None or any(o in tag for o in only)
     import jax
     import jax.numpy as jnp
 
@@ -839,6 +845,8 @@ def bench_dyn_calm():
     dtype = jnp.float32
 
     def measure(tag, env, settings, calm_on):
+        if not want(tag):
+            return
         angles = np.linspace(-ANGLE_SPAN, ANGLE_SPAN, NUM_RAYS)
         c_src = bilinear_np(0.0, SRC_DEPTH, np.asarray(env.r),
                             np.asarray(env.z), np.asarray(env.c))
@@ -900,6 +908,8 @@ def bench_dyn_calm():
     # MC internal-wave ensemble (bench config 4 geometry) — the production
     # case for dynamic windows: IW drift never proves static calm, so
     # every block pays the event body without them
+    if not want("mc iw-ensemble"):
+        return
     from pygenray_tpu.integrate import _plan as _plan_mc
     from pygenray_tpu.models.internal_waves import perturbed_munk_tables
     from pygenray_tpu.montecarlo import make_env_ensemble, trace_ensemble
@@ -1029,7 +1039,9 @@ if __name__ == "__main__":
             print(json.dumps({"metric": "dyn_calm_sweep", "value": 0,
                               "error": "accelerator unreachable"}))
             sys.exit(1)
-        bench_dyn_calm()
+        only = [a for a in sys.argv[sys.argv.index("--dyn") + 1:]
+                if not a.startswith("-")]
+        bench_dyn_calm(only=only or None)
         sys.exit(0)
     if not device_ready():
         # one structured line so a driver capturing stdout records the

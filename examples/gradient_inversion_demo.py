@@ -20,6 +20,7 @@ never materialized.
     python examples/gradient_inversion_demo.py
 """
 
+import os
 import pathlib
 import sys
 
@@ -34,7 +35,13 @@ from matplotlib import pyplot as plt
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/pygenray_tpu_jax_cache")
+# persistent compile cache: overridable so the test suite (which runs the
+# demos in-process) uses its own session-private directory instead of
+# contending with concurrently-running benchmark processes for the shared
+# one (concurrent writers segfaulted the cache-write path once)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PYGENRAY_JAX_CACHE",
+                                 "/tmp/pygenray_tpu_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pygenray_tpu as pr

@@ -17,6 +17,7 @@ Runs on the TPU in float32 (δT signals are ms-scale against the engine's
     python examples/inversion_demo.py
 """
 
+import os
 import pathlib
 import sys
 
@@ -32,7 +33,13 @@ import numpy.polynomial.chebyshev as ncheb
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/pygenray_tpu_jax_cache")
+# persistent compile cache: overridable so the test suite (which runs the
+# demos in-process) uses its own session-private directory instead of
+# contending with concurrently-running benchmark processes for the shared
+# one (concurrent writers segfaulted the cache-write path once)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PYGENRAY_JAX_CACHE",
+                                 "/tmp/pygenray_tpu_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pygenray_tpu as pr

@@ -12,7 +12,11 @@ so each arm switch flushes the jit launcher cache and reclassifies calm
 for its own block layout; XLA's persistent compile cache makes the
 reflushes cheap after the first pair.
 
-    python experiments/bbmax_ab.py [ALT_BB_MAX ...]
+    python experiments/bbmax_ab.py [--rd] [ALT_BB_MAX ...]
+
+``--rd`` measures the range-dependent bench config (config 1 geometry,
+dx=100) instead of the headline Munk fan — the other tracked sustained
+metric a BB_MAX default change could move.
 """
 
 import json
@@ -41,7 +45,8 @@ from pygenray_tpu.utils.cache import LRUCache
 R_MAX, NUM_RAYS, NUM_SAVE, SRC = bench.R_MAX, bench.NUM_RAYS, bench.NUM_SAVE, bench.SRC_DEPTH
 
 
-def make_arm(env, p0, settings, bb):
+def make_arm(env, p0, settings, bb, src=None):
+    src = SRC if src is None else src
     h, sps, nseg = _plan(0.0, R_MAX, NUM_SAVE, settings.dx)
     geom = (0.0, R_MAX, float(h), sps, nseg)
 
@@ -51,7 +56,7 @@ def make_arm(env, p0, settings, bb):
         # its own layout (persistent XLA cache keeps recompiles cheap)
         ps._JIT_CACHE = LRUCache(256)
         ps._CALM_CACHE.clear()
-        calm = ps.classify_calm(env, SRC, p0, geom, settings)
+        calm = ps.classify_calm(env, src, p0, geom, settings)
 
         def best(n):
             @jax.jit
@@ -59,7 +64,7 @@ def make_arm(env, p0, settings, bb):
                 acc = jnp.zeros((), p.dtype)
                 pin = p
                 for _ in range(n):
-                    acc = acc + trace(env, SRC, pin, 0.0, R_MAX, NUM_SAVE,
+                    acc = acc + trace(env, src, pin, 0.0, R_MAX, NUM_SAVE,
                                       settings, calm=calm).ts.sum()
                     pin = lax.optimization_barrier(p)
                 return acc
@@ -79,13 +84,27 @@ def make_arm(env, p0, settings, bb):
 
 
 def main():
-    alts = [int(a) for a in sys.argv[1:]] or [8192, 32768]
-    env = bench.build_env(jnp.float32)
+    rd = "--rd" in sys.argv
+    alts = [int(a) for a in sys.argv[1:] if a != "--rd"] or [8192, 32768]
+    if rd:
+        # bench config 1 geometry (range-dependent Munk + sloped bottom)
+        from pygenray_tpu.envdata import make_env_data
+        from pygenray_tpu.environment import munk_ssp
+
+        z = np.linspace(0.0, 6000.0, bench.NZ)
+        r = np.linspace(0.0, R_MAX, 64)
+        c_rd = np.array([munk_ssp(z, sofar_depth=1300 + 0.002 * ri)
+                         for ri in r])
+        env = make_env_data(c_rd, r, z, np.linspace(4400.0, 4900.0, 64), r,
+                            dtype=jnp.float32)
+        s = SolverSettings(dx=100.0, dyn_calm=False)
+    else:
+        env = bench.build_env(jnp.float32)
+        s = SolverSettings(dx=200.0, dyn_calm=False)
     angles = np.linspace(-bench.ANGLE_SPAN, bench.ANGLE_SPAN, NUM_RAYS)
     c_src = bilinear_np(0.0, SRC, np.asarray(env.r), np.asarray(env.z),
                         np.asarray(env.c))
     p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, jnp.float32)
-    s = SolverSettings(dx=200.0, dyn_calm=False)
 
     base = 16384
     for alt in alts:
@@ -94,6 +113,7 @@ def main():
         med, a, b, rr = bench._ab_paired(mA, mB)
         print(json.dumps({
             "metric": "bb_max_ab",
+            "config": "rd" if rd else "headline",
             "base": base,
             "alt": alt,
             "median_speedup_vs_base": round(med, 4),

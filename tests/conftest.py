@@ -10,6 +10,16 @@ and backend-independent.
 """
 
 import os
+import tempfile
+
+# The example demos (run in-process by test_examples.py) enable JAX's
+# persistent compile cache at import.  Point them at a session-private
+# directory: sharing /tmp/pygenray_tpu_jax_cache with concurrently
+# running benchmark processes has segfaulted the cache-write path.
+os.environ.setdefault(
+    "PYGENRAY_JAX_CACHE",
+    tempfile.mkdtemp(prefix="pygenray_test_jax_cache_"),
+)
 
 # append-if-absent (NOT setdefault): a pre-set XLA_FLAGS (CI dump flags
 # etc.) must not silently drop the 8-device virtual mesh the sharding
