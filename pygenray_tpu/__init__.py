@@ -30,6 +30,7 @@ from .adjoint import (
     travel_time_jacobian,
     travel_time_jacobian_2d,
 )
+from .amplitudes import Arrivals, arrival_amplitudes
 from .ray_objects import EigenRays, Ray, RayFan
 from .ops.host import (
     bilinear_np,
@@ -76,6 +77,8 @@ __all__ = [
     "fermat_jacobian",
     "endpoint_time_gradients",
     "perturbation_response",
+    "Arrivals",
+    "arrival_amplitudes",
     "Ray",
     "RayFan",
     "EigenRays",
