@@ -16,6 +16,7 @@ import pytest
 EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
 
 DEMOS = [
+    "amplitude_demo",
     "timefront_demo",
     "sensitivity_kernel_demo",
     "monte_carlo_demo",
