@@ -31,6 +31,7 @@ from .adjoint import (
     travel_time_jacobian_2d,
 )
 from .amplitudes import Arrivals, arrival_amplitudes
+from .response import Response, impulse_response, synthesize_response
 from .ray_objects import EigenRays, Ray, RayFan
 from .ops.host import (
     bilinear_np,
@@ -79,6 +80,9 @@ __all__ = [
     "perturbation_response",
     "Arrivals",
     "arrival_amplitudes",
+    "Response",
+    "synthesize_response",
+    "impulse_response",
     "Ray",
     "RayFan",
     "EigenRays",

@@ -1,0 +1,201 @@
+"""Band-limited channel impulse response from ray arrivals.
+
+The reference package (`/root/reference/src/pygenray/`) stops at arrival
+kinematics; `amplitudes.arrival_amplitudes` adds the complex arrival
+factors, and this module finishes the pipeline with the quantity an
+ocean-acoustics user ultimately wants at the receiver: the **received
+waveform** for a band-limited source — the superposition of wave
+packets, one per eigenray, each delayed by its travel time, scaled by
+its spreading amplitude, and rotated by its reflection/caustic phase.
+
+Synthesis is the standard analytic-signal construction (Jensen,
+Kuperman, Porter & Schmidt, *Computational Ocean Acoustics*, ch. 8.4):
+for a source wavelet with complex analytic signal ``s_a(t)``, arrival
+``k`` contributes ``A_k exp(i phi_k) s_a(t - t_k)`` and the real
+received waveform is the real part of the sum.  Multiplying the
+*analytic* signal by ``exp(i phi_k)`` is what makes the frequency-flat
+KMAH ``-pi/2`` act as the 90-degree (Hilbert) rotation of the arrival
+shape — the classic caustic-distorted wavelet — while a surface bounce
+(``phi = pi``) simply inverts it.
+
+The default wavelet is a Gaussian-envelope cosine at ``center_frequency``
+whose power spectrum has full width ``bandwidth`` at -3 dB; its envelope
+std is ``sigma_t = sqrt(2 ln 2) / (pi * bandwidth)``.  All of this is
+host-side numpy post-processing: the device work (one traced fan with a
+forward tangent) already happened inside ``arrival_amplitudes``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .amplitudes import Arrivals, arrival_amplitudes
+
+__all__ = ["Response", "synthesize_response", "impulse_response"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Response:
+    """Received band-limited waveform at one receiver.
+
+    ``waveform`` is the real received pressure (relative to the source
+    level at 1 m); ``analytic`` its complex analytic signal, so
+    ``envelope() = |analytic|`` is the arrival-packet envelope whose
+    peaks sit at the eigenray travel times.
+    """
+
+    t: np.ndarray               # (nt,) time grid (s)
+    waveform: np.ndarray        # (nt,) real received waveform
+    analytic: np.ndarray        # (nt,) complex analytic waveform
+    arrivals: Arrivals          # the per-eigenray factors that built it
+    center_frequency: float     # Hz
+    bandwidth: float            # -3 dB full power bandwidth (Hz)
+
+    def envelope(self) -> np.ndarray:
+        return np.abs(self.analytic)
+
+    def plot(self, ax=None):
+        """Waveform + envelope with arrival-time markers."""
+        from matplotlib import pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots(figsize=(8, 4))
+        ax.plot(self.t, self.waveform, lw=0.7, label="waveform")
+        ax.plot(self.t, self.envelope(), lw=1.2, label="envelope")
+        ok = self.arrivals.alive & np.isfinite(self.arrivals.amplitude)
+        for tk in self.arrivals.travel_time[ok]:
+            ax.axvline(tk, color="k", lw=0.5, alpha=0.3)
+        ax.set_xlabel("time (s)")
+        ax.set_ylabel("pressure re 1 m")
+        ax.legend(loc="upper right", fontsize=8)
+        return ax
+
+
+def synthesize_response(
+    arrivals: Arrivals,
+    center_frequency: float,
+    *,
+    bandwidth: float = None,
+    fs: float = None,
+    t: np.ndarray = None,
+) -> Response:
+    """Sum band-limited wave packets from an `Arrivals` set.
+
+    ``bandwidth`` defaults to ``center_frequency / 2``; ``fs`` (sample
+    rate) to ``8 * center_frequency``.  Pass an explicit time grid ``t``
+    to synthesize several receivers onto a common axis; otherwise the
+    grid spans the arrival spread padded by 4 envelope-sigmas per side.
+    Dead rays (NaN amplitude) are skipped; raises if no arrival is alive.
+    """
+    fc = float(center_frequency)
+    if fc <= 0.0:
+        raise ValueError("center_frequency must be positive")
+    bw = fc / 2.0 if bandwidth is None else float(bandwidth)
+    sigma_t = np.sqrt(2.0 * np.log(2.0)) / (np.pi * bw)
+
+    ok = np.asarray(arrivals.alive, bool) & np.isfinite(arrivals.amplitude)
+    if not ok.any():
+        raise ValueError("synthesize_response: no alive arrivals")
+    tk = np.asarray(arrivals.travel_time, float)[ok]
+    ak = np.asarray(arrivals.amplitude, float)[ok]
+    ph = np.asarray(arrivals.phase, float)[ok]
+
+    if t is None:
+        if fs is None:
+            fs = 8.0 * fc
+        pad = 4.0 * sigma_t
+        t0 = tk.min() - pad
+        nt = int(np.ceil((tk.max() + pad - t0) * fs)) + 1
+        t = t0 + np.arange(nt) / fs
+    else:
+        t = np.asarray(t, float)
+
+    # analytic wavelet per arrival; (K, nt) then summed.  Memory guard:
+    # chunk the arrival axis so K x nt complex temporaries stay small.
+    analytic = np.zeros(t.shape, np.complex128)
+    factor = ak * np.exp(1j * ph)
+    chunk = max(1, int(4e6 // max(t.size, 1)))
+    for i in range(0, tk.size, chunk):
+        tau = t[None, :] - tk[i : i + chunk, None]
+        wa = np.exp(-0.5 * (tau / sigma_t) ** 2 + 2j * np.pi * fc * tau)
+        analytic += (factor[i : i + chunk, None] * wa).sum(axis=0)
+
+    return Response(
+        t=t,
+        waveform=analytic.real,
+        analytic=analytic,
+        arrivals=arrivals,
+        center_frequency=fc,
+        bandwidth=bw,
+    )
+
+
+def impulse_response(
+    source_depth: float,
+    source_range: float,
+    receiver_depth: float,
+    receiver_range: float,
+    environment,
+    center_frequency: float,
+    *,
+    bandwidth: float = None,
+    fs: float = None,
+    t: np.ndarray = None,
+    launch_angles=None,
+    num_rays: int = 1024,
+    max_angle: float = 15.0,
+    num_save: int = 512,
+    ztol: float = 1.0,
+    rtol: float = 1e-9,
+    flatearth: bool = True,
+    dx: float = None,
+    interp: str = "auto",
+    dtype=None,
+    backend: str = "auto",
+) -> Response:
+    """End-to-end received waveform at one receiver.
+
+    Shoots a fan (``num_rays`` angles in ``[-max_angle, max_angle]``
+    unless explicit ``launch_angles`` are given), finds the eigenrays
+    reaching ``receiver_depth`` at ``receiver_range``, evaluates their
+    complex arrival factors (`arrival_amplitudes` — one tangent-seeded
+    kernel launch), and synthesizes the band-limited waveform.  Extra
+    kwargs flow to the trace (dx, interp, dtype, backend).
+
+    For a vertical array, run `eigenrays.find_eigenrays` once over all
+    depths yourself, then `arrival_amplitudes` + `synthesize_response`
+    per depth with a shared ``t`` grid.
+    """
+    from .eigenrays import find_eigenrays
+    from .shoot import shoot_rays
+
+    if launch_angles is None:
+        launch_angles = np.linspace(-abs(max_angle), abs(max_angle), num_rays)
+    launch_angles = np.atleast_1d(np.asarray(launch_angles, float))
+    kw = dict(dx=dx, interp=interp, dtype=dtype, backend=backend)
+
+    fan = shoot_rays(
+        source_depth, source_range, launch_angles, receiver_range,
+        num_save, environment, rtol=rtol, flatearth=flatearth, **kw,
+    )
+    erays = find_eigenrays(
+        fan, np.asarray([float(receiver_depth)]), source_depth,
+        source_range, receiver_range, num_save, environment,
+        ztol=ztol, rtol=rtol, flatearth=flatearth, **kw,
+    )
+    th_eig = np.asarray(erays.launch_angles[0], float)
+    if th_eig.size == 0:
+        raise ValueError(
+            "impulse_response: no eigenrays found — widen the fan "
+            f"(max_angle={max_angle}) or loosen ztol ({ztol})"
+        )
+    arr = arrival_amplitudes(
+        source_depth, source_range, th_eig, receiver_range, environment,
+        num_save=max(int(num_save), 256), rtol=rtol, flatearth=flatearth,
+        **kw,
+    )
+    return synthesize_response(
+        arr, center_frequency, bandwidth=bandwidth, fs=fs, t=t
+    )

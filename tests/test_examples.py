@@ -17,6 +17,7 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
 
 DEMOS = [
     "amplitude_demo",
+    "impulse_response_demo",
     "timefront_demo",
     "sensitivity_kernel_demo",
     "monte_carlo_demo",

@@ -1,0 +1,191 @@
+"""Impulse-response synthesis tests.
+
+The synthesis layer is pure host-side post-processing, so the unit tests
+pin it exactly against hand-built wave packets: a zero-phase arrival IS
+the Gaussian-cosine wavelet scaled and delayed; a surface bounce
+(phase pi) inverts it; a caustic (phase -pi/2) rotates the carrier by a
+quarter cycle (the Hilbert-transformed packet); superposition is linear.
+The end-to-end test runs the real pipeline (fan -> eigenrays ->
+amplitudes -> waveform) on an isovelocity slab, where the direct path's
+arrival time and spreading amplitude are known in closed form.
+"""
+
+import numpy as np
+import pytest
+
+import pygenray_tpu as pt
+from pygenray_tpu.amplitudes import Arrivals
+from pygenray_tpu.envdata import make_env_data
+from pygenray_tpu.response import synthesize_response
+
+
+def one_arrival(amplitude=0.5, t=1.0, phase=0.0, alive=True):
+    """Minimal single-arrival Arrivals for synthesis unit tests."""
+    f = lambda v: np.asarray([v], float)
+    return Arrivals(
+        theta0=f(0.0),
+        amplitude=f(amplitude),
+        tl_db=f(-20 * np.log10(amplitude)),
+        phase=f(phase),
+        kmah=np.asarray([0]),
+        travel_time=f(t),
+        z_r=f(-500.0),
+        theta_r=f(0.0),
+        n_surf=np.asarray([0]),
+        n_bott=np.asarray([0]),
+        alive=np.asarray([alive]),
+        death_code=np.asarray([0 if alive else 2]),
+    )
+
+
+def cat(a, b):
+    """Concatenate two Arrivals field-wise."""
+    import dataclasses
+
+    return Arrivals(**{
+        k: np.concatenate([getattr(a, k), getattr(b, k)])
+        for k in (fld.name for fld in dataclasses.fields(Arrivals))
+    })
+
+
+FC, BW = 100.0, 40.0
+SIGMA = np.sqrt(2 * np.log(2)) / (np.pi * BW)
+
+
+def expected_packet(t, t0, amp, phase):
+    tau = t - t0
+    return amp * np.exp(-0.5 * (tau / SIGMA) ** 2) * np.cos(
+        2 * np.pi * FC * tau + phase
+    )
+
+
+class TestSynthesis:
+    def test_single_arrival_is_the_wavelet(self):
+        r = synthesize_response(one_arrival(0.5, 1.0), FC, bandwidth=BW)
+        np.testing.assert_allclose(
+            r.waveform, expected_packet(r.t, 1.0, 0.5, 0.0), atol=1e-12
+        )
+        # envelope peaks at the travel time, at the arrival amplitude
+        i = np.argmax(r.envelope())
+        assert abs(r.t[i] - 1.0) <= 1.0 / (8 * FC)
+        # the grid need not sample the exact peak; 1/(2 fs) off costs ~3e-6
+        np.testing.assert_allclose(r.envelope()[i], 0.5, rtol=1e-5)
+
+    def test_time_grid_covers_the_packet(self):
+        r = synthesize_response(one_arrival(1.0, 2.0), FC, bandwidth=BW)
+        assert r.t[0] <= 2.0 - 3 * SIGMA and r.t[-1] >= 2.0 + 3 * SIGMA
+        # edge values are negligible (packet fully inside the window)
+        assert abs(r.waveform[0]) < 1e-3 and abs(r.waveform[-1]) < 1e-3
+
+    def test_surface_phase_inverts_the_packet(self):
+        t = np.linspace(0.8, 1.2, 2001)
+        r0 = synthesize_response(one_arrival(phase=0.0), FC, bandwidth=BW, t=t)
+        rp = synthesize_response(one_arrival(phase=np.pi), FC, bandwidth=BW, t=t)
+        np.testing.assert_allclose(rp.waveform, -r0.waveform, atol=1e-12)
+
+    def test_kmah_rotates_the_carrier_a_quarter_cycle(self):
+        t = np.linspace(0.8, 1.2, 2001)
+        r = synthesize_response(
+            one_arrival(1.0, 1.0, phase=-np.pi / 2), FC, bandwidth=BW, t=t
+        )
+        # cos(x - pi/2) = sin(x): the Hilbert-rotated packet
+        tau = t - 1.0
+        want = np.exp(-0.5 * (tau / SIGMA) ** 2) * np.sin(2 * np.pi * FC * tau)
+        np.testing.assert_allclose(r.waveform, want, atol=1e-12)
+        # same envelope as the unrotated packet
+        r0 = synthesize_response(one_arrival(1.0, 1.0), FC, bandwidth=BW, t=t)
+        np.testing.assert_allclose(r.envelope(), r0.envelope(), atol=1e-12)
+
+    def test_superposition_is_linear(self):
+        a = one_arrival(0.5, 1.0, 0.0)
+        b = one_arrival(0.25, 1.05, np.pi)
+        t = np.linspace(0.8, 1.3, 4001)
+        rab = synthesize_response(cat(a, b), FC, bandwidth=BW, t=t)
+        ra = synthesize_response(a, FC, bandwidth=BW, t=t)
+        rb = synthesize_response(b, FC, bandwidth=BW, t=t)
+        np.testing.assert_allclose(
+            rab.waveform, ra.waveform + rb.waveform, atol=1e-12
+        )
+
+    def test_dead_arrivals_are_skipped_and_all_dead_raises(self):
+        a = one_arrival(0.5, 1.0)
+        d = one_arrival(2.0, 1.1, alive=False)
+        d = Arrivals(**{
+            **{f: getattr(d, f) for f in (
+                "theta0", "tl_db", "phase", "kmah", "travel_time", "z_r",
+                "theta_r", "n_surf", "n_bott", "alive", "death_code")},
+            "amplitude": np.asarray([np.nan]),
+        })
+        t = np.linspace(0.8, 1.3, 1001)
+        r = synthesize_response(cat(a, d), FC, bandwidth=BW, t=t)
+        ra = synthesize_response(a, FC, bandwidth=BW, t=t)
+        np.testing.assert_allclose(r.waveform, ra.waveform, atol=1e-12)
+        with pytest.raises(ValueError, match="no alive arrivals"):
+            synthesize_response(d, FC, bandwidth=BW, t=t)
+
+    def test_chunked_sum_matches_direct(self):
+        # many arrivals force the chunk loop; compare against one shot
+        rng = np.random.RandomState(0)
+        n = 257
+        arr = Arrivals(**{
+            "theta0": np.zeros(n),
+            "amplitude": rng.uniform(0.1, 1.0, n),
+            "tl_db": np.zeros(n),
+            "phase": rng.uniform(-np.pi, np.pi, n),
+            "kmah": np.zeros(n, int),
+            "travel_time": rng.uniform(1.0, 1.2, n),
+            "z_r": np.zeros(n),
+            "theta_r": np.zeros(n),
+            "n_surf": np.zeros(n, int),
+            "n_bott": np.zeros(n, int),
+            "alive": np.ones(n, bool),
+            "death_code": np.zeros(n, int),
+        })
+        t = np.linspace(0.9, 1.3, 50000)  # big grid -> small chunks
+        r = synthesize_response(arr, FC, bandwidth=BW, t=t)
+        tau = t[None, :] - arr.travel_time[:, None]
+        direct = (
+            arr.amplitude[:, None]
+            * np.exp(-0.5 * (tau / SIGMA) ** 2)
+            * np.cos(2 * np.pi * FC * tau + arr.phase[:, None])
+        ).sum(axis=0)
+        np.testing.assert_allclose(r.waveform, direct, atol=1e-9)
+
+
+class TestEndToEnd:
+    def test_isovelocity_direct_path(self):
+        """Direct arrival on a 1500 m/s slab: t = s/c, peak amp = 1/s."""
+        c0, depth, rng_km = 1500.0, 2000.0, 5e3
+        z = np.linspace(0.0, depth, 64)
+        r = np.linspace(0.0, 10e3, 8)
+        c = np.full((r.size, z.size), c0)
+        env = make_env_data(c, r, z, np.full(r.size, depth), r,
+                            dtype=np.float64)
+        resp = pt.impulse_response(
+            1000.0, 0.0, 1000.0, rng_km, env, center_frequency=50.0,
+            bandwidth=25.0, num_rays=33, max_angle=8.0, num_save=200,
+            dx=25.0, flatearth=False,
+        )
+        t_direct = rng_km / c0
+        env_peaks = resp.envelope()
+        i = np.argmax(env_peaks)
+        assert abs(resp.t[i] - t_direct) < 2e-3
+        np.testing.assert_allclose(env_peaks[i], 1.0 / rng_km, rtol=0.05)
+        # the arrivals the waveform was built from are in the container
+        assert resp.arrivals.alive.any()
+        assert np.isfinite(resp.waveform).all()
+
+    def test_no_eigenrays_raises(self):
+        c0, depth = 1500.0, 2000.0
+        z = np.linspace(0.0, depth, 64)
+        r = np.linspace(0.0, 10e3, 8)
+        c = np.full((r.size, z.size), c0)
+        env = make_env_data(c, r, z, np.full(r.size, depth), r,
+                            dtype=np.float64)
+        with pytest.raises(ValueError, match="no eigenrays"):
+            # a 2-ray steep fan cannot bracket the shallow receiver
+            pt.impulse_response(
+                1000.0, 0.0, 10.0, 5e3, env, center_frequency=50.0,
+                launch_angles=np.asarray([7.9, 8.0]), num_save=100,
+                dx=50.0, flatearth=False,
+            )
