@@ -697,7 +697,7 @@ def bench_extra_configs():
 
 
 def _make_sustained(env, p0, settings, calm, dyn, trace, lax, jax, jnp,
-                    reps=2):
+                    reps=2, hot=False):
     """Closure measuring per-trace device seconds: dependency-chained
     multi-trace dispatch differenced against the single-trace dispatch
     (tunnel dispatch fee cancels).  One measurement ~= a few seconds."""
@@ -709,7 +709,7 @@ def _make_sustained(env, p0, settings, calm, dyn, trace, lax, jax, jnp,
             pin = p
             for _ in range(n):
                 r = trace(env, SRC_DEPTH, pin, 0.0, R_MAX, NUM_SAVE,
-                          settings, calm=calm, dyn=dyn)
+                          settings, calm=calm, dyn=dyn, hot=hot)
                 acc = acc + r.ts.sum()
                 pin = lax.optimization_barrier(p)
             return acc
@@ -966,6 +966,96 @@ def bench_dyn_calm(only=None):
     }), flush=True)
 
 
+def bench_hot(only=None):
+    """Interleaved A/B + hardware equivalence gate for the hot-block
+    kernel variant (settings.hot / classify_hot): non-calm blocks whose
+    rays bounce nearly every step compile the crossing fix UNconditionally
+    — no per-step any(cross) vector->scalar reduction, no duplicate plain
+    update.  Measures the headline calm-on config (the 2 boundary blocks
+    are the attack surface) and the RD calm-on config.  The gate compares
+    the FULL save grids element-wise on hardware — the hot body's where()
+    merges are lane-wise identical expressions, so any mismatch is a bug,
+    not noise.  ``only`` (extra ``--hot`` CLI tokens) selects configs by
+    substring."""
+
+    def want(tag):
+        return only is None or any(o in tag for o in only)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pygenray_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from jax import lax
+
+    from pygenray_tpu.envdata import make_env_data
+    from pygenray_tpu.environment import munk_ssp
+    from pygenray_tpu.integrate import SolverSettings, _plan, trace
+    from pygenray_tpu.ops.host import bilinear_np
+    from pygenray_tpu.ops.pallas_stepper import classify_calm, classify_hot
+
+    dtype = jnp.float32
+
+    def measure(tag, env, settings):
+        if not want(tag):
+            return
+        angles = np.linspace(-ANGLE_SPAN, ANGLE_SPAN, NUM_RAYS)
+        c_src = bilinear_np(0.0, SRC_DEPTH, np.asarray(env.r),
+                            np.asarray(env.z), np.asarray(env.c))
+        p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, dtype)
+        h, sps, nseg = _plan(0.0, R_MAX, NUM_SAVE, settings.dx)
+        geom = (0.0, R_MAX, float(h), sps, nseg)
+        calm = classify_calm(env, SRC_DEPTH, p0, geom, settings)
+        hot_cls = bool(classify_hot(env, SRC_DEPTH, p0, geom, settings))
+        # hardware equivalence gate: full save grids, element-wise
+        r0 = trace(env, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE, settings,
+                   calm=calm, hot=False)
+        r1 = trace(env, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE, settings,
+                   calm=calm, hot=True)
+        ok = bool(
+            np.array_equal(np.asarray(r0.n_bott), np.asarray(r1.n_bott))
+            and np.array_equal(np.asarray(r0.n_surf), np.asarray(r1.n_surf))
+            and np.array_equal(np.asarray(r0.death_code),
+                               np.asarray(r1.death_code))
+        )
+        dt = float(np.max(np.abs(np.asarray(r0.ts, float)
+                                 - np.asarray(r1.ts, float))))
+        dz = float(np.max(np.abs(np.asarray(r0.zs, float)
+                                 - np.asarray(r1.zs, float))))
+        m_off = _make_sustained(env, p0, settings, calm, None, trace, lax,
+                                jax, jnp, hot=False)
+        m_on = _make_sustained(env, p0, settings, calm, None, trace, lax,
+                               jax, jnp, hot=True)
+        med, a, b, rr = _ab_paired(m_off, m_on)
+        print(json.dumps({
+            "metric": "hot_blocks_ab",
+            "config": tag,
+            "hot_off_rays_per_sec": round(NUM_RAYS / a, 1),
+            "hot_on_rays_per_sec": round(NUM_RAYS / b, 1),
+            "median_speedup": round(med, 4),
+            "pair_speedups": rr,
+            "counters_match": ok,
+            "max_dt_s": dt,
+            "max_dz_m": dz,
+            "classify_hot": hot_cls,
+            "unit": "rays/s",
+        }), flush=True)
+
+    env = build_env(dtype)
+    # hot tables are passed EXPLICITLY per arm; dyn stays out of the way
+    measure("headline calm-on", env, SolverSettings(dx=200.0, dyn_calm=False,
+                                                    hot="off"))
+
+    z = np.linspace(0.0, 6000.0, NZ)
+    r = np.linspace(0.0, R_MAX, 64)
+    c_rd = np.array([munk_ssp(z, sofar_depth=1300 + 0.002 * ri) for ri in r])
+    bathy = np.linspace(4400.0, 4900.0, 64)
+    env_rd = make_env_data(c_rd, r, z, bathy, r, dtype=dtype)
+    measure("rd calm-on", env_rd, SolverSettings(dx=100.0, dyn_calm=False,
+                                                 hot="off"))
+
+
 def bench_cpu_oracle():
     """Single-core CPU baseline: the reference architecture's cost.
 
@@ -1042,6 +1132,15 @@ if __name__ == "__main__":
         only = [a for a in sys.argv[sys.argv.index("--dyn") + 1:]
                 if not a.startswith("-")]
         bench_dyn_calm(only=only or None)
+        sys.exit(0)
+    if "--hot" in sys.argv:
+        if not device_ready():
+            print(json.dumps({"metric": "hot_blocks_ab", "value": 0,
+                              "error": "accelerator unreachable"}))
+            sys.exit(1)
+        only = [a for a in sys.argv[sys.argv.index("--hot") + 1:]
+                if not a.startswith("-")]
+        bench_hot(only=only or None)
         sys.exit(0)
     if not device_ready():
         # one structured line so a driver capturing stdout records the

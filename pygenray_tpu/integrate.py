@@ -116,6 +116,24 @@ class SolverSettings:
     # covers the quiet blocks.  Off in interpret mode unless a table is
     # passed explicitly (same FMA-contraction reasoning as calm).
     dyn_calm: bool = True
+    # Pallas only: hot-block compilation policy.  "auto" asks classify_hot
+    # whether every NON-calm block is expected to trip the crossing branch
+    # nearly every step (its rays provably bounce; headline boundary
+    # stripes estimate ~50-80 expected crossings/step) and, when so,
+    # compiles those blocks' event fix UNconditionally — removing the
+    # per-step any(cross) vector->scalar reduction and the duplicate plain
+    # update.  MEASURED NEGATIVE — default "off".  The interleaved paired
+    # A/B (bench.py --hot, 2026-08-19) shows the branch QUIET steps are
+    # still frequent enough that always paying the fix arithmetic swamps
+    # the saved reduction: headline calm-on 0.845x, RD calm-on 0.757x
+    # median speedup (pairs tight to ±1%).  The measurement's byproduct is
+    # load-bearing: the hot and branched bodies are BITWISE identical on
+    # hardware (max |Δt| = 0.0 over the full 102,400-ray save grids),
+    # proving the fix's where() merges reduce exactly to the plain update
+    # on non-crossing lanes — a wrong setting costs speed, never
+    # correctness.  Requires a classified calm range riding with the
+    # launch when "auto"; ignored when dyn windows engage.
+    hot: str = "off"  # off | auto
 
 
 @partial(
@@ -611,6 +629,7 @@ def trace(
     settings: SolverSettings = SolverSettings(),
     calm=None,
     dyn=None,
+    hot=None,
 ) -> TraceResult:
     """Trace a batch of rays from range ``x0`` to ``x1`` (x1 > x0).
 
@@ -626,7 +645,9 @@ def trace(
     trace() — classification needs concrete launch parameters, so it
     cannot run on traced ``p0``.  ``dyn`` likewise supplies a precomputed
     dynamic-window table (`ops.pallas_stepper.classify_dyn`,
-    ``settings.dyn_calm``) for the kernel path.
+    ``settings.dyn_calm``) for the kernel path, and ``hot`` a precomputed
+    hot-block decision (`ops.pallas_stepper.classify_hot`, a static bool
+    — it selects which kernel variant compiles for the non-calm blocks).
     """
     if not x1 > x0:
         raise ValueError("trace requires x1 > x0; mirror the environment for backwards shots")
@@ -716,7 +737,7 @@ def trace(
         p0 = p0[None] if p0.ndim == 0 else p0
         return trace_pallas_cached(
             env, z0, p0, geom, settings, interpret=not on_tpu, calm=calm,
-            dyn=dyn,
+            dyn=dyn, hot=hot,
         )
 
     p0 = jnp.atleast_1d(jnp.asarray(p0))

@@ -226,7 +226,7 @@ def _station_step_handles(k, STW, nblk, st_dma_blk, st_handle, KP):
 
 
 def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
-                 event_groups=1, dyn=False):
+                 event_groups=1, dyn=False, hot=False):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
      b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan,
@@ -405,10 +405,18 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
         # go silent: calm blocks die with death code 5 the moment a ray
         # enters the launcher's guard band, which sits strictly inside the
         # classified-safe region — before any un-reflected step is taken.
-        def _make_step(calm, gb=None):
+        def _make_step(calm, gb=None, hot=False):
           # ``gb`` supplies the calm guard-band bounds (a thunk returning
           # (lo, hi)); default reads the launcher-classified band from
-          # calm_ref, the dynamic-window body reads its block row instead
+          # calm_ref, the dynamic-window body reads its block row instead.
+          # ``hot`` (static, non-calm blocks only) runs the crossing fix
+          # UNconditionally: blocks whose rays bounce nearly every step
+          # (classify_hot) pay the event arithmetic anyway, so the
+          # per-step any(cross) vector->scalar reduction and the duplicate
+          # plain update are pure overhead there.  The fix's where()
+          # merges reduce to the plain update on non-crossing lanes, so
+          # results are bitwise identical on hardware (same guarantee the
+          # calm/event equivalence gate checks).
           if gb is None:
               gb = lambda: (calm_ref[2], calm_ref[3])
 
@@ -460,24 +468,27 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
 
             # -- plain update first: valid whenever no lane in the block
             # crosses a boundary this step (the common case, so the crossing
-            # machinery below runs only when jnp.any(cross))
-            dT_m = jnp.where(upd, dT, 0.0)
-            dz_m = jnp.where(upd, dz, 0.0)
-            if use_kahan:
-                yk = dT_m - Tc
-                T_n0 = T + yk
-                Tc_s[...] = (T_n0 - T) - yk
-                T_s[...] = T_n0
-                yz = dz_m - zc
-                z_n0 = z + yz
-                zc_s[...] = (z_n0 - z) - yz
-                z_s[...] = z_n0
-            else:
-                T_s[...] = T + dT_m
-                z_s[...] = z + dz_m
-            p_s[...] = jnp.where(upd, p1, p)
+            # machinery below runs only when jnp.any(cross)).  Hot blocks
+            # skip it: their unconditional fix writes every state lane-wise.
+            if calm or not hot:
+                dT_m = jnp.where(upd, dT, 0.0)
+                dz_m = jnp.where(upd, dz, 0.0)
+                if use_kahan:
+                    yk = dT_m - Tc
+                    T_n0 = T + yk
+                    Tc_s[...] = (T_n0 - T) - yk
+                    T_s[...] = T_n0
+                    yz = dz_m - zc
+                    z_n0 = z + yz
+                    zc_s[...] = (z_n0 - z) - yz
+                    z_s[...] = z_n0
+                else:
+                    T_s[...] = T + dT_m
+                    z_s[...] = z + dz_m
+                p_s[...] = jnp.where(upd, p1, p)
             if not calm:
-                bd_s[...] = jnp.zeros_like(T)
+                if not hot:
+                    bd_s[...] = jnp.zeros_like(T)
 
                 def _event_fix(sl):
                     # crossing localization, reflection and the Heun remainder,
@@ -569,7 +580,12 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
                     ns_s[ix] = ns_s[ix] + (cross_ & surf_ & upd_).astype(jnp.int32)
                     nb_s[ix] = nb_s[ix] + (cross_ & bott_ & upd_).astype(jnp.int32)
 
-                if n_groups <= 1:
+                if hot:
+                    # hot block: some lane crosses nearly every step, so
+                    # gate nothing — no any(cross) reduction, no branch
+                    _event_fix(None)
+
+                elif n_groups <= 1:
 
                     @pl.when(jnp.any(cross))
                     def _():
@@ -632,8 +648,8 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
 
           return step_body
 
-        def _make_seg(calm, gb=None):
-            sb = _make_step(calm, gb)
+        def _make_seg(calm, gb=None, hot=False):
+            sb = _make_step(calm, gb, hot)
 
             def seg_body(seg, _):
                 lax.fori_loop(seg * sps, (seg + 1) * sps, sb, 0)
@@ -657,7 +673,7 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
         @pl.when(~is_calm)
         def _():
             if not dyn:
-                lax.fori_loop(0, nseg, _make_seg(False), 0)
+                lax.fori_loop(0, nseg, _make_seg(False, hot=hot), 0)
             else:
                 # dynamic calm windows (settings.dyn_calm): after each event
                 # segment, the block's min distance D to the audit band
@@ -2098,8 +2114,9 @@ def _classify_safe_mask(env, z0, p0, geom, settings, full=False):
     """Per-ray boundary-safety mask (see ``classify_calm``), or None.
 
     With ``full=True`` also returns the per-ray invariant ``a``, its drift
-    allowance ``da``, and the station window — the inputs ``classify_dyn``
-    needs for its slope bound.
+    allowance ``da``, the station window, and the boundary-band fit minima
+    — the inputs ``classify_dyn`` (slope bound) and ``classify_hot``
+    (provable-bounce test) need.
     """
     from ..envdata import host_profile_tables
     from ..integrate import SolverSettings, _use_cheb, _use_seg
@@ -2172,7 +2189,8 @@ def _classify_safe_mask(env, z0, p0, geom, settings, full=False):
             & ((a - da) * c_min_bott > 1.0)
             & np.isfinite(p))
     if full:
-        return safe, bmin, a, da, p, use_seg, lo_i, hi_i
+        return (safe, bmin, a, da, p, use_seg, lo_i, hi_i,
+                c_min_surf, c_min_bott)
     return safe, bmin
 
 
@@ -2287,7 +2305,7 @@ def classify_dyn(env, z0, p0, geom, settings=None):
     got = _classify_safe_mask(env, z0, p0, geom, settings, full=True)
     if got is None:
         return None
-    safe, bmin, a, da, p, use_seg, lo_i, hi_i = got
+    safe, bmin, a, da, p, use_seg, lo_i, hi_i, _, _ = got
     x0, x1, h, sps, nseg = geom
     M = CALM_MARGIN_M
     aud_lo = 0.25 * M
@@ -2370,6 +2388,68 @@ def classify_dyn_ensemble(env_ens, z0, p0, geom, settings=None):
     return np.stack(rows)
 
 
+# minimum expected boundary crossings per step, per non-calm block, for
+# the hot-block (unconditional event body) compilation to engage.  The
+# launch-angle estimate below underestimates near-boundary slopes, so 2.0
+# leaves a wide true margin; the headline boundary stripes measure ~50-80.
+HOT_MIN_CROSS = 2.0
+
+
+def classify_hot(env, z0, p0, geom, settings=None):
+    """Host policy for the hot-block kernel variant: True when EVERY
+    non-calm grid block is expected to trip the crossing branch nearly
+    every step, so compiling its event fix unconditionally (no per-step
+    ``any(cross)`` vector->scalar reduction, no duplicate plain update)
+    only removes overhead.
+
+    MEASURED NEGATIVE as a default policy (bench.py --hot, 2026-08-19
+    interleaved paired A/B: headline calm-on 0.845x, RD 0.757x — quiet
+    steps are still frequent enough that always paying the fix arithmetic
+    swamps the saved reduction), so ``SolverSettings.hot`` defaults to
+    "off"; the classifier drives the experimental "auto" mode.
+
+    Unlike ``classify_calm`` this needs no proof — a wrong answer costs
+    speed, never correctness (the unconditional fix is lane-wise
+    equivalent to the branched one: bitwise identical on hardware, the
+    --hot gate) — but the estimate is still built
+    conservatively toward NOT hot: a ray counts as bouncing only when
+    even a favorable invariant drift cannot lift its Snell turning point
+    out of a boundary band, and its crossing rate uses the launch-angle
+    slope ``tan θ0`` (a lower bound on the near-boundary slope).  A
+    bouncing ray touches a boundary about every ``bmin/tan θ0`` of range,
+    so a block's expected crossings per step is ``Σ h·tanθ0/bmin`` over
+    its bouncing rays; hot requires every non-calm block to clear
+    ``HOT_MIN_CROSS``.
+    """
+    from ..integrate import SolverSettings
+
+    if settings is None:
+        settings = SolverSettings()
+    got = _classify_safe_mask(env, z0, p0, geom, settings, full=True)
+    if got is None:
+        return False
+    safe, bmin, a, da, p, use_seg, lo_i, hi_i, c_surf, c_bott = got
+    x0, x1, h, sps, nseg = geom
+
+    bounce = ((((a + da) * c_surf <= 1.0) | ((a + da) * c_bott <= 1.0))
+              & np.isfinite(p) & (a > 0.0))
+    tan0 = np.abs(p) / np.maximum(a, 1e-12)
+    rate = np.where(bounce, abs(h) * tan0 / bmin, 0.0)
+
+    B = rate.size
+    nblocks, R, Bb, Bpad = _layout(B)
+    # zero-pad: padded lanes duplicate the edge ray and cross at the SAME
+    # steps, so they add no new any(cross) events
+    rate_b = np.pad(rate, (0, Bpad - B)).reshape(nblocks, -1).sum(1)
+    mask = np.ones(nblocks, bool)
+    calm_row = _calm_range_from_mask(safe, bmin)
+    if calm_row is not None:
+        mask[int(calm_row[0]):int(calm_row[1])] = False
+    if not mask.any():
+        return False
+    return bool(rate_b[mask].min() >= HOT_MIN_CROSS)
+
+
 _CALM_CACHE = {}  # (id(env), id(p0), z0 key, geom) -> (4,) f32 or None
 _CALM_OFF = {}  # backend name -> device-resident all-zeros (disables calm)
 
@@ -2411,7 +2491,9 @@ def _classify_calm_cached(env, z0, p0, geom, settings=None, n_shards=1,
     k = (id(env), id(p0), z0_key, geom, interp, n_shards, ensemble)
     if k in _CALM_CACHE:
         return _CALM_CACHE[k]
-    if ensemble == "dyn":
+    if ensemble == "hot":
+        calm = classify_hot(env, z0, p0, geom, settings)  # a plain bool
+    elif ensemble == "dyn":
         calm = classify_dyn(env, z0, p0, geom, settings)
     elif ensemble == "dyn_ens":
         calm = classify_dyn_ensemble(env, z0, p0, geom, settings)
@@ -2423,7 +2505,7 @@ def _classify_calm_cached(env, z0, p0, geom, settings=None, n_shards=1,
         calm = classify_calm_sharded(env, z0, p0, geom, settings, n_shards)
     else:
         calm = classify_calm(env, z0, p0, geom, settings)
-    if calm is not None:
+    if calm is not None and ensemble != "hot":
         calm = jnp.asarray(calm)  # device-resident: one H2D, not per call
     try:
         for obj in (env, p0) + ((z0_obj,) if z0_obj is not None else ()):
@@ -2435,9 +2517,9 @@ def _classify_calm_cached(env, z0, p0, geom, settings=None, n_shards=1,
 
 
 def _get_fn(env, geom, settings, p_shape, z_shape, interpret=False,
-            use_dyn=False):
+            use_dyn=False, hot=False):
     key = (env_struct_key(env), geom, settings, p_shape, z_shape, interpret,
-           use_dyn)
+           use_dyn, hot)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         if use_dyn:
@@ -2451,7 +2533,7 @@ def _get_fn(env, geom, settings, p_shape, z_shape, interpret=False,
             fn = jax.jit(
                 lambda envarg, p, z, cm: trace_pallas(
                     envarg, z, p, geom, settings, interpret=interpret,
-                    calm=cm
+                    calm=cm, hot=hot
                 )
             )
         _JIT_CACHE.put(key, fn)
@@ -2459,7 +2541,7 @@ def _get_fn(env, geom, settings, p_shape, z_shape, interpret=False,
 
 
 def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False,
-                        calm=None, dyn=None):
+                        calm=None, dyn=None, hot=None):
     """Memoized jitted kernel launcher keyed on the environment *structure*
     (shapes/dtypes/static metadata), so traces over same-shaped environments
     — eigenray iterations, Monte-Carlo realizations — reuse one executable.
@@ -2491,11 +2573,24 @@ def trace_pallas_cached(env, z0, p0, geom, settings, interpret=False,
             and calm is None):
         dyn = _classify_calm_cached(env, z0, p0, geom, settings,
                                     ensemble="dyn")
+    use_dyn = dyn is not None
+    # hot-block policy: non-calm blocks whose rays provably bounce nearly
+    # every step compile the event fix unconditionally (classify_hot — a
+    # scheduling decision, lane-wise equivalent either way).  Auto is
+    # gated off in interpret mode like calm (the interpreter contracts
+    # FMAs differently across the two graph shapes; on hardware they are
+    # bitwise identical — bench.py --hot equivalence gate).  Explicit
+    # ``hot=`` always wins (callers jitting around trace() classify on
+    # the host, like ``calm=``).
+    if hot is None:
+        hot = (settings.hot == "auto" and not interpret and not use_dyn
+               and calm is not None
+               and _classify_calm_cached(env, z0, p0, geom, settings,
+                                         ensemble="hot"))
     if calm is None:
         calm = _calm_disabled()
-    use_dyn = dyn is not None
     fn = _get_fn(env, geom, settings, p0.shape, z0a.shape, interpret,
-                 use_dyn)
+                 use_dyn, bool(hot))
     if use_dyn:
         return fn(env, p0, z0a, jnp.asarray(calm), jnp.asarray(dyn))
     return fn(env, p0, z0a, jnp.asarray(calm))
@@ -2667,7 +2762,7 @@ def _station_rows(env, dtype, K, KP, x0, xsm, xs1, use_pow=False):
 
 
 def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
-                 calm=None, dyn=None):
+                 calm=None, dyn=None, hot: bool = False):
     """Run the mega-kernel; returns a TraceResult (ODE convention).
 
     ``p0`` is (B,); B is padded internally to a multiple of the lane block.
@@ -2684,6 +2779,13 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
     table is runtime data, but whether the windowed loop is COMPILED is
     static (``dyn is None`` keys the kernel build), so passing/omitting it
     recompiles once per launcher.
+
+    ``hot`` (static bool) compiles the non-calm blocks' step with the
+    crossing fix UNconditional — no per-step ``any(cross)`` reduction and
+    no duplicate plain update.  Purely a scheduling decision: the fix's
+    ``where()`` merges reduce to the plain update on non-crossing lanes,
+    so a wrong setting costs speed, never correctness (``classify_hot``
+    is the host policy).  Ignored when ``dyn`` windows are active.
     """
     from ..integrate import TraceResult
     from ..ops.interp import interval_index, linear_interp
@@ -2772,7 +2874,8 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
     )
 
     kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps, STW,
-                          event_groups=settings.event_groups, dyn=use_dyn)
+                          event_groups=settings.event_groups, dyn=use_dyn,
+                          hot=bool(hot) and not use_dyn)
 
     num_save = nseg + 1
     out_shape = [

@@ -751,3 +751,97 @@ class TestEventGroups:
         np.testing.assert_array_equal(np.asarray(ref.ts), np.asarray(out.ts))
         np.testing.assert_array_equal(np.asarray(ref.n_bott),
                                       np.asarray(out.n_bott))
+
+
+class TestHotBlocks:
+    """Hot-block kernel variant (settings.hot / classify_hot): non-calm
+    blocks whose rays bounce nearly every step compile the crossing fix
+    UNconditionally — no per-step any(cross) reduction, no duplicate plain
+    update.  Lane-wise the fix's where() merges are the identical
+    expressions, so counters and death codes must match the branched body
+    exactly; travel times to interpret-mode FMA tolerance (bench.py --hot
+    gates element-wise equality on hardware)."""
+
+    def _run(self, env, angles, s, hot, x1=50e3, num_save=10):
+        h, sps, nseg = _plan(0.0, x1, num_save, s.dx)
+        geom = (0.0, x1, h, sps, nseg)
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = jnp.asarray(np.sin(np.radians(-np.asarray(angles))) / c_src,
+                         jnp.float32)
+        return trace_pallas(env, 1300.0, p0, geom, s, interpret=True,
+                            hot=hot)
+
+    def test_hot_matches_branched_body(self):
+        env = _env()
+        angles = np.linspace(-24, 24, 256)  # bouncing fan
+        s = SolverSettings(dx=200.0)
+        ref = self._run(env, angles, s, hot=False)
+        out = self._run(env, angles, s, hot=True)
+        assert int(np.asarray(ref.n_bott).sum()) > 0  # events exercised
+        np.testing.assert_array_equal(np.asarray(ref.n_surf),
+                                      np.asarray(out.n_surf))
+        np.testing.assert_array_equal(np.asarray(ref.n_bott),
+                                      np.asarray(out.n_bott))
+        np.testing.assert_array_equal(np.asarray(ref.death_code),
+                                      np.asarray(out.death_code))
+        np.testing.assert_array_equal(np.asarray(ref.alive_save),
+                                      np.asarray(out.alive_save))
+        # chaotic multi-bounce rays amplify interpret-mode contraction
+        # ulps; most lanes are bitwise identical even here
+        d = np.abs(np.asarray(ref.ts) - np.asarray(out.ts))
+        np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(out.ts),
+                                   atol=2e-4)
+        assert np.median(d) == 0.0
+        np.testing.assert_allclose(np.asarray(ref.zs), np.asarray(out.zs),
+                                   atol=2.0)
+
+    def test_hot_with_calm_range_touches_only_noncalm_blocks(self):
+        """A calm row + hot: calm blocks run the calm body either way, so
+        a fully-calm fan is untouched by the hot flag (identical results),
+        while the kernel still compiles."""
+        from pygenray_tpu.ops.pallas_stepper import classify_calm
+
+        env = _env()
+        angles = np.linspace(-8, 8, 128)  # fully ducted -> whole fan calm
+        s = SolverSettings(dx=200.0)
+        h, sps, nseg = _plan(0.0, 50e3, 10, s.dx)
+        geom = (0.0, 50e3, h, sps, nseg)
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        p0 = jnp.asarray(np.sin(np.radians(-np.asarray(angles))) / c_src,
+                         jnp.float32)
+        calm = classify_calm(env, jnp.float32(1300.0), p0, geom, s)
+        assert calm is not None
+        ref = trace_pallas(env, 1300.0, p0, geom, s, interpret=True,
+                           calm=calm, hot=False)
+        out = trace_pallas(env, 1300.0, p0, geom, s, interpret=True,
+                           calm=calm, hot=True)
+        np.testing.assert_array_equal(np.asarray(ref.ts), np.asarray(out.ts))
+        np.testing.assert_array_equal(np.asarray(ref.death_code),
+                                      np.asarray(out.death_code))
+
+    def test_classify_hot_policy(self):
+        from pygenray_tpu.ops.pallas_stepper import classify_hot
+
+        env = _env()
+        s = SolverSettings(dx=200.0)
+        h, sps, nseg = _plan(0.0, 50e3, 10, s.dx)
+        geom = (0.0, 50e3, h, sps, nseg)
+        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
+        mk = lambda a, n: jnp.asarray(
+            np.sin(np.radians(-np.linspace(-a, a, n))) / c_src, jnp.float32)
+        # dense bouncing fan: every (single) block crosses constantly
+        assert classify_hot(env, jnp.float32(1300.0), mk(28.0, 4096), geom, s)
+        # fully ducted fan: the calm range covers every block -> nothing
+        # left to run hot
+        assert not classify_hot(env, jnp.float32(1300.0), mk(8.0, 4096),
+                                geom, s)
+        # sparse bouncing fan: expected crossings/step below the threshold
+        assert not classify_hot(env, jnp.float32(1300.0), mk(28.0, 8),
+                                geom, s)
+        # traced inputs: declines (jit-safe)
+        under_jit = jax.jit(
+            lambda p: jnp.float32(
+                classify_hot(env, jnp.float32(1300.0), p, geom, s)
+            )
+        )(mk(28.0, 4096))
+        assert float(under_jit) == 0.0
