@@ -87,6 +87,18 @@ class Arrivals:
     def __len__(self):
         return self.theta0.shape[0]
 
+    def save_npz(self, filename):
+        """Numpy-native export (round-trips with ``Arrivals.load_npz``)."""
+        np.savez(filename, **{
+            f.name: getattr(self, f.name)
+            for f in dataclasses.fields(self)
+        })
+
+    @classmethod
+    def load_npz(cls, filename):
+        d = np.load(filename)
+        return cls(**{f.name: d[f.name] for f in dataclasses.fields(cls)})
+
 
 def arrival_amplitudes(
     source_depth: float,

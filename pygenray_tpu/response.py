@@ -56,6 +56,28 @@ class Response:
     def envelope(self) -> np.ndarray:
         return np.abs(self.analytic)
 
+    def save_npz(self, filename):
+        """Numpy-native export (round-trips with ``Response.load_npz``);
+        the source ``Arrivals`` ride along under ``arrivals_*`` keys."""
+        np.savez(
+            filename, t=self.t, analytic=self.analytic,
+            center_frequency=self.center_frequency, bandwidth=self.bandwidth,
+            **{f"arrivals_{f.name}": getattr(self.arrivals, f.name)
+               for f in dataclasses.fields(Arrivals)},
+        )
+
+    @classmethod
+    def load_npz(cls, filename):
+        d = np.load(filename)
+        arr = Arrivals(**{f.name: d[f"arrivals_{f.name}"]
+                          for f in dataclasses.fields(Arrivals)})
+        analytic = d["analytic"]
+        return cls(
+            t=d["t"], waveform=analytic.real, analytic=analytic,
+            arrivals=arr, center_frequency=float(d["center_frequency"]),
+            bandwidth=float(d["bandwidth"]),
+        )
+
     def plot(self, ax=None):
         """Waveform + envelope with arrival-time markers."""
         from matplotlib import pyplot as plt

@@ -189,3 +189,29 @@ class TestEndToEnd:
                 launch_angles=np.asarray([7.9, 8.0]), num_save=100,
                 dx=50.0, flatearth=False,
             )
+
+
+class TestIO:
+    def test_arrivals_npz_round_trip(self, tmp_path):
+        import dataclasses
+
+        a = cat(one_arrival(0.5, 1.0, 0.0), one_arrival(0.25, 1.1, np.pi))
+        p = tmp_path / "arr.npz"
+        a.save_npz(p)
+        b = Arrivals.load_npz(p)
+        for f in dataclasses.fields(Arrivals):
+            np.testing.assert_array_equal(getattr(a, f.name),
+                                          getattr(b, f.name))
+
+    def test_response_npz_round_trip(self, tmp_path):
+        a = cat(one_arrival(0.5, 1.0, 0.0), one_arrival(0.25, 1.1, np.pi))
+        r = synthesize_response(a, FC, bandwidth=BW)
+        p = tmp_path / "resp.npz"
+        r.save_npz(p)
+        q = type(r).load_npz(p)
+        np.testing.assert_array_equal(r.t, q.t)
+        np.testing.assert_array_equal(r.waveform, q.waveform)
+        np.testing.assert_array_equal(r.analytic, q.analytic)
+        assert q.center_frequency == FC and q.bandwidth == BW
+        np.testing.assert_array_equal(r.arrivals.travel_time,
+                                      q.arrivals.travel_time)
