@@ -55,6 +55,22 @@ def main(smoke=False, outdir=None):
         f"{fc:.0f} Hz ({int(ok.sum())} arrivals)"
     )
     fig.savefig(out / "impulse_response.png", dpi=120, bbox_inches="tight")
+
+    # vertical-array record section: one fan, one multi-depth solve, one
+    # amplitude launch — the timefront with waveforms on it
+    zd = np.linspace(1100.0, 1500.0, 4 if smoke else 16)
+    ar = pr.array_response(
+        z_src, 0.0, zd, r_max, env, center_frequency=fc, bandwidth=fc / 2,
+        num_rays=256 if smoke else 2048, max_angle=14.0,
+        num_save=100 if smoke else 400, flatearth=False,
+    )
+    rows = int((np.abs(ar.waveform) > 0).any(axis=1).sum())
+    print(f"record section: {rows}/{zd.size} depths received arrivals")
+    assert rows > 0
+    fig2, ax2 = plt.subplots(figsize=(9, 6))
+    ar.plot(ax=ax2)
+    ax2.set_title(f"Vertical-array record section, {r_max/1e3:.0f} km")
+    fig2.savefig(out / "record_section.png", dpi=120, bbox_inches="tight")
     plt.close("all")
 
 

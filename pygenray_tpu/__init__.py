@@ -31,7 +31,13 @@ from .adjoint import (
     travel_time_jacobian_2d,
 )
 from .amplitudes import Arrivals, arrival_amplitudes
-from .response import Response, impulse_response, synthesize_response
+from .response import (
+    ArrayResponse,
+    Response,
+    array_response,
+    impulse_response,
+    synthesize_response,
+)
 from .ray_objects import EigenRays, Ray, RayFan
 from .ops.host import (
     bilinear_np,
@@ -81,8 +87,10 @@ __all__ = [
     "Arrivals",
     "arrival_amplitudes",
     "Response",
+    "ArrayResponse",
     "synthesize_response",
     "impulse_response",
+    "array_response",
     "Ray",
     "RayFan",
     "EigenRays",

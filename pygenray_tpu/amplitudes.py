@@ -87,6 +87,15 @@ class Arrivals:
     def __len__(self):
         return self.theta0.shape[0]
 
+    def __getitem__(self, idx):
+        """Field-wise selection (int, slice, or index/boolean array);
+        always returns an ``Arrivals`` with 1-D fields."""
+        sel = np.atleast_1d(np.arange(len(self))[idx])
+        return Arrivals(**{
+            f.name: np.asarray(getattr(self, f.name))[sel]
+            for f in dataclasses.fields(self)
+        })
+
     def save_npz(self, filename):
         """Numpy-native export (round-trips with ``Arrivals.load_npz``)."""
         np.savez(filename, **{

@@ -33,7 +33,8 @@ import numpy as np
 
 from .amplitudes import Arrivals, arrival_amplitudes
 
-__all__ = ["Response", "synthesize_response", "impulse_response"]
+__all__ = ["Response", "ArrayResponse", "synthesize_response",
+           "impulse_response", "array_response"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,6 +155,40 @@ def synthesize_response(
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class ArrayResponse:
+    """Received waveforms for a vertical receiver array on one shared
+    time grid: ``waveform[d]`` is receiver ``receiver_depths[d]``'s real
+    waveform; ``responses[d]`` the full per-depth `Response` (a depth
+    that captured no eigenrays gets a zero waveform and an empty
+    arrivals container)."""
+
+    receiver_depths: np.ndarray   # (nd,) positive down (m)
+    t: np.ndarray                 # (nt,) shared time grid (s)
+    waveform: np.ndarray          # (nd, nt)
+    responses: list               # of Response
+
+    def plot(self, ax=None, scale=None):
+        """Record section: each depth's waveform offset to its depth.
+        ``scale`` maps unit pressure to meters of offset (default: the
+        array spacing over twice the peak amplitude)."""
+        from matplotlib import pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots(figsize=(8, 6))
+        zd = np.asarray(self.receiver_depths, float)
+        if scale is None:
+            spread = np.ptp(zd) if zd.size > 1 and np.ptp(zd) > 0 else 100.0
+            peak = max(float(np.abs(self.waveform).max()), 1e-30)
+            scale = spread / (2.0 * peak * max(zd.size - 1, 1))
+        for d, z in enumerate(zd):
+            ax.plot(self.t, z + scale * self.waveform[d], lw=0.6, color="C0")
+        ax.invert_yaxis()
+        ax.set_xlabel("time (s)")
+        ax.set_ylabel("receiver depth (m)")
+        return ax
+
+
 def impulse_response(
     source_depth: float,
     source_range: float,
@@ -220,4 +255,103 @@ def impulse_response(
     )
     return synthesize_response(
         arr, center_frequency, bandwidth=bandwidth, fs=fs, t=t
+    )
+
+
+def array_response(
+    source_depth: float,
+    source_range: float,
+    receiver_depths,
+    receiver_range: float,
+    environment,
+    center_frequency: float,
+    *,
+    bandwidth: float = None,
+    fs: float = None,
+    launch_angles=None,
+    num_rays: int = 1024,
+    max_angle: float = 15.0,
+    num_save: int = 512,
+    ztol: float = 1.0,
+    rtol: float = 1e-9,
+    flatearth: bool = True,
+    dx: float = None,
+    interp: str = "auto",
+    dtype=None,
+    backend: str = "auto",
+) -> ArrayResponse:
+    """Received waveforms for a vertical receiver array, one shared grid.
+
+    The device-latency discipline of `eigenrays.find_eigenrays` carries
+    through: ONE fan trace, ONE multi-depth eigenray solve, and ONE
+    `arrival_amplitudes` call over every depth's converged launch angles
+    concatenated (a single tangent-seeded kernel launch on TPU), then the
+    per-depth waveforms are synthesized onto a common time axis spanning
+    all arrivals.  A depth that captured no eigenrays contributes a zero
+    waveform row (and an empty arrivals container) rather than raising.
+    """
+    from .eigenrays import find_eigenrays
+    from .shoot import shoot_rays
+
+    zd = np.atleast_1d(np.asarray(receiver_depths, float))
+    if launch_angles is None:
+        launch_angles = np.linspace(-abs(max_angle), abs(max_angle), num_rays)
+    launch_angles = np.atleast_1d(np.asarray(launch_angles, float))
+    kw = dict(dx=dx, interp=interp, dtype=dtype, backend=backend)
+    fc = float(center_frequency)
+    bw = fc / 2.0 if bandwidth is None else float(bandwidth)
+    if fs is None:
+        fs = 8.0 * fc
+    sigma_t = np.sqrt(2.0 * np.log(2.0)) / (np.pi * bw)
+
+    fan = shoot_rays(
+        source_depth, source_range, launch_angles, receiver_range,
+        num_save, environment, rtol=rtol, flatearth=flatearth, **kw,
+    )
+    erays = find_eigenrays(
+        fan, zd, source_depth, source_range, receiver_range, num_save,
+        environment, ztol=ztol, rtol=rtol, flatearth=flatearth, **kw,
+    )
+    th_per_depth = [np.asarray(erays.launch_angles[d], float)
+                    for d in range(zd.size)]
+    th_all = np.concatenate(th_per_depth) if any(
+        t.size for t in th_per_depth) else np.zeros(0)
+    if th_all.size == 0:
+        raise ValueError(
+            "array_response: no eigenrays at any depth — widen the fan "
+            f"(max_angle={max_angle}) or loosen ztol ({ztol})"
+        )
+    arr_all = arrival_amplitudes(
+        source_depth, source_range, th_all, receiver_range, environment,
+        num_save=max(int(num_save), 256), rtol=rtol, flatearth=flatearth,
+        **kw,
+    )
+
+    ok = np.asarray(arr_all.alive, bool) & np.isfinite(arr_all.amplitude)
+    tk = np.asarray(arr_all.travel_time, float)[ok]
+    pad = 4.0 * sigma_t
+    t0 = tk.min() - pad
+    nt = int(np.ceil((tk.max() + pad - t0) * fs)) + 1
+    t = t0 + np.arange(nt) / fs
+
+    responses, rows = [], []
+    off = 0
+    for d in range(zd.size):
+        n = th_per_depth[d].size
+        arr_d = arr_all[off:off + n]
+        off += n
+        alive_d = np.asarray(arr_d.alive, bool) & np.isfinite(arr_d.amplitude)
+        if alive_d.any():
+            resp = synthesize_response(arr_d, fc, bandwidth=bw, t=t)
+        else:
+            zero = np.zeros(t.shape, np.complex128)
+            resp = Response(t=t, waveform=zero.real, analytic=zero,
+                            arrivals=arr_d, center_frequency=fc,
+                            bandwidth=bw)
+        responses.append(resp)
+        rows.append(resp.waveform)
+
+    return ArrayResponse(
+        receiver_depths=zd, t=t, waveform=np.stack(rows),
+        responses=responses,
     )

@@ -215,3 +215,79 @@ class TestIO:
         assert q.center_frequency == FC and q.bandwidth == BW
         np.testing.assert_array_equal(r.arrivals.travel_time,
                                       q.arrivals.travel_time)
+
+
+class TestArrivalsSlicing:
+    def test_getitem_index_types(self):
+        a = cat(one_arrival(0.5, 1.0, 0.0), one_arrival(0.25, 1.1, np.pi))
+        one = a[0]
+        assert len(one) == 1 and one.amplitude[0] == 0.5
+        sl = a[0:2]
+        assert len(sl) == 2
+        mask = a[np.asarray([False, True])]
+        assert len(mask) == 1 and mask.amplitude[0] == 0.25
+        np.testing.assert_array_equal(a[[1, 0]].travel_time,
+                                      np.asarray([1.1, 1.0]))
+
+
+class TestArrayResponse:
+    def _env(self):
+        c0, depth = 1500.0, 2000.0
+        z = np.linspace(0.0, depth, 64)
+        r = np.linspace(0.0, 10e3, 8)
+        c = np.full((r.size, z.size), c0)
+        return make_env_data(c, r, z, np.full(r.size, depth), r,
+                             dtype=np.float64), c0
+
+    def test_isovelocity_array(self):
+        """3 receivers on one grid; the unreachable deep element gets a
+        zero row while the reachable ones peak at their direct slant
+        times with 1/s amplitudes."""
+        env, c0 = self._env()
+        rng_km = 5e3
+        zd = np.asarray([900.0, 1100.0, 1950.0])  # 1950 m: outside ±8° fan
+        ar = pt.array_response(
+            1000.0, 0.0, zd, rng_km, env, center_frequency=50.0,
+            bandwidth=25.0, num_rays=33, max_angle=8.0, num_save=200,
+            dx=25.0, flatearth=False,
+        )
+        assert ar.waveform.shape == (3, ar.t.size)
+        # shared grid: every per-depth Response rides the same axis
+        for resp in ar.responses:
+            np.testing.assert_array_equal(resp.t, ar.t)
+        for d, z_r in enumerate(zd[:2]):
+            s = np.hypot(rng_km, z_r - 1000.0)
+            i = np.argmax(np.abs(ar.responses[d].envelope()))
+            assert abs(ar.t[i] - s / c0) < 2e-3
+            np.testing.assert_allclose(
+                np.abs(ar.responses[d].envelope())[i], 1.0 / s, rtol=0.05
+            )
+        # unreachable element: zero row, empty arrivals
+        assert not ar.waveform[2].any()
+        assert len(ar.responses[2].arrivals) == 0
+
+    def test_no_eigenrays_anywhere_raises(self):
+        env, _ = self._env()
+        with pytest.raises(ValueError, match="no eigenrays at any depth"):
+            pt.array_response(
+                1000.0, 0.0, np.asarray([10.0]), 5e3, env,
+                center_frequency=50.0,
+                launch_angles=np.asarray([7.9, 8.0]), num_save=100,
+                dx=50.0, flatearth=False,
+            )
+
+    def test_record_section_plot(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        env, _ = self._env()
+        ar = pt.array_response(
+            1000.0, 0.0, np.asarray([900.0, 1100.0]), 5e3, env,
+            center_frequency=50.0, bandwidth=25.0, num_rays=17,
+            max_angle=8.0, num_save=100, dx=50.0, flatearth=False,
+        )
+        ax = ar.plot()
+        ax.figure.savefig(tmp_path / "record_section.png")
+        plt.close("all")
