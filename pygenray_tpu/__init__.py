@@ -37,6 +37,7 @@ from .response import (
     array_response,
     impulse_response,
     synthesize_response,
+    thorp_attenuation,
 )
 from .ray_objects import EigenRays, Ray, RayFan
 from .ops.host import (
@@ -91,6 +92,7 @@ __all__ = [
     "synthesize_response",
     "impulse_response",
     "array_response",
+    "thorp_attenuation",
     "Ray",
     "RayFan",
     "EigenRays",

@@ -78,6 +78,10 @@ class Arrivals:
     n_bott: np.ndarray
     alive: np.ndarray
     death_code: np.ndarray
+    # arc length along the ray path (m), summed over the save grid —
+    # what frequency-dependent volume absorption multiplies.  None on
+    # archives written before the field existed.
+    path_length: np.ndarray = None
 
     def pressure(self) -> np.ndarray:
         """Complex arrival factor ``A exp(i phase)`` (travel-time phase
@@ -92,7 +96,8 @@ class Arrivals:
         always returns an ``Arrivals`` with 1-D fields."""
         sel = np.atleast_1d(np.arange(len(self))[idx])
         return Arrivals(**{
-            f.name: np.asarray(getattr(self, f.name))[sel]
+            f.name: (None if getattr(self, f.name) is None
+                     else np.asarray(getattr(self, f.name))[sel])
             for f in dataclasses.fields(self)
         })
 
@@ -101,12 +106,14 @@ class Arrivals:
         np.savez(filename, **{
             f.name: getattr(self, f.name)
             for f in dataclasses.fields(self)
+            if getattr(self, f.name) is not None
         })
 
     @classmethod
     def load_npz(cls, filename):
         d = np.load(filename)
-        return cls(**{f.name: d[f.name] for f in dataclasses.fields(cls)})
+        return cls(**{f.name: d[f.name] for f in dataclasses.fields(cls)
+                      if f.name in d})
 
 
 def arrival_amplitudes(
@@ -189,6 +196,11 @@ def arrival_amplitudes(
     theta_r = np.degrees(np.arcsin(sin_r))
 
     R = x1 - x0
+    # arc length over the save grid (volume-absorption input; dead rays'
+    # frozen post-death saves contribute level segments, but their
+    # amplitude is NaN anyway)
+    dr_save = R / max(zs.shape[1] - 1, 1)
+    path_len = np.hypot(dr_save, np.diff(zs, axis=1)).sum(axis=1)
     jac = np.abs(dzs[:, -1]) * cos_r
     with np.errstate(divide="ignore", invalid="ignore"):
         amp = np.sqrt((c_r * cos0) / (c_src * R * np.maximum(jac, 1e-300)))
@@ -232,4 +244,5 @@ def arrival_amplitudes(
         n_bott=n_bott,
         alive=alive,
         death_code=death,
+        path_length=path_len,
     )

@@ -34,7 +34,7 @@ import numpy as np
 from .amplitudes import Arrivals, arrival_amplitudes
 
 __all__ = ["Response", "ArrayResponse", "synthesize_response",
-           "impulse_response", "array_response"]
+           "impulse_response", "array_response", "thorp_attenuation"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,14 +64,16 @@ class Response:
             filename, t=self.t, analytic=self.analytic,
             center_frequency=self.center_frequency, bandwidth=self.bandwidth,
             **{f"arrivals_{f.name}": getattr(self.arrivals, f.name)
-               for f in dataclasses.fields(Arrivals)},
+               for f in dataclasses.fields(Arrivals)
+               if getattr(self.arrivals, f.name) is not None},
         )
 
     @classmethod
     def load_npz(cls, filename):
         d = np.load(filename)
         arr = Arrivals(**{f.name: d[f"arrivals_{f.name}"]
-                          for f in dataclasses.fields(Arrivals)})
+                          for f in dataclasses.fields(Arrivals)
+                          if f"arrivals_{f.name}" in d})
         analytic = d["analytic"]
         return cls(
             t=d["t"], waveform=analytic.real, analytic=analytic,
@@ -96,6 +98,20 @@ class Response:
         return ax
 
 
+def thorp_attenuation(f_hz: float) -> float:
+    """Thorp's seawater volume-absorption coefficient (dB/km).
+
+    The canonical low-frequency formula (Thorp 1967; Jensen et al. ch.
+    1.5, f in kHz)::
+
+        alpha = 0.11 f^2/(1+f^2) + 44 f^2/(4100+f^2)
+                + 2.75e-4 f^2 + 0.003
+    """
+    f2 = (float(f_hz) / 1e3) ** 2
+    return (0.11 * f2 / (1.0 + f2) + 44.0 * f2 / (4100.0 + f2)
+            + 2.75e-4 * f2 + 0.003)
+
+
 def synthesize_response(
     arrivals: Arrivals,
     center_frequency: float,
@@ -103,6 +119,7 @@ def synthesize_response(
     bandwidth: float = None,
     fs: float = None,
     t: np.ndarray = None,
+    attenuation=None,
 ) -> Response:
     """Sum band-limited wave packets from an `Arrivals` set.
 
@@ -111,6 +128,15 @@ def synthesize_response(
     to synthesize several receivers onto a common axis; otherwise the
     grid spans the arrival spread padded by 4 envelope-sigmas per side.
     Dead rays (NaN amplitude) are skipped; raises if no arrival is alive.
+
+    ``attenuation`` adds volume absorption over each arrival's path
+    length (requires ``arrivals.path_length``): ``"thorp"`` evaluates
+    `thorp_attenuation` at the center frequency, a float is dB/km
+    directly, a callable maps ``f_hz -> dB/km``.  Narrowband
+    approximation — one coefficient across the band (at 75 Hz over
+    100 km Thorp costs ~0.35 dB; it grows quadratically with frequency).
+    Geometric-only synthesis (``None``) matches the reference's lossless
+    reflection model.
     """
     fc = float(center_frequency)
     if fc <= 0.0:
@@ -124,6 +150,20 @@ def synthesize_response(
     tk = np.asarray(arrivals.travel_time, float)[ok]
     ak = np.asarray(arrivals.amplitude, float)[ok]
     ph = np.asarray(arrivals.phase, float)[ok]
+    if attenuation is not None:
+        if arrivals.path_length is None:
+            raise ValueError(
+                "attenuation needs arrivals.path_length (archives written "
+                "before the field existed lack it)"
+            )
+        if attenuation == "thorp":
+            alpha = thorp_attenuation(fc)
+        elif callable(attenuation):
+            alpha = float(attenuation(fc))
+        else:
+            alpha = float(attenuation)
+        L_km = np.asarray(arrivals.path_length, float)[ok] / 1e3
+        ak = ak * 10.0 ** (-alpha * L_km / 20.0)
 
     if t is None:
         if fs is None:
@@ -200,6 +240,7 @@ def impulse_response(
     bandwidth: float = None,
     fs: float = None,
     t: np.ndarray = None,
+    attenuation=None,
     launch_angles=None,
     num_rays: int = 1024,
     max_angle: float = 15.0,
@@ -254,7 +295,8 @@ def impulse_response(
         **kw,
     )
     return synthesize_response(
-        arr, center_frequency, bandwidth=bandwidth, fs=fs, t=t
+        arr, center_frequency, bandwidth=bandwidth, fs=fs, t=t,
+        attenuation=attenuation,
     )
 
 
@@ -268,6 +310,7 @@ def array_response(
     *,
     bandwidth: float = None,
     fs: float = None,
+    attenuation=None,
     launch_angles=None,
     num_rays: int = 1024,
     max_angle: float = 15.0,
@@ -342,7 +385,8 @@ def array_response(
         off += n
         alive_d = np.asarray(arr_d.alive, bool) & np.isfinite(arr_d.amplitude)
         if alive_d.any():
-            resp = synthesize_response(arr_d, fc, bandwidth=bw, t=t)
+            resp = synthesize_response(arr_d, fc, bandwidth=bw, t=t,
+                                       attenuation=attenuation)
         else:
             zero = np.zeros(t.shape, np.complex128)
             resp = Response(t=t, waveform=zero.real, analytic=zero,

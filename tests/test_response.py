@@ -45,6 +45,7 @@ def cat(a, b):
     return Arrivals(**{
         k: np.concatenate([getattr(a, k), getattr(b, k)])
         for k in (fld.name for fld in dataclasses.fields(Arrivals))
+        if getattr(a, k) is not None and getattr(b, k) is not None
     })
 
 
@@ -291,3 +292,56 @@ class TestArrayResponse:
         ax = ar.plot()
         ax.figure.savefig(tmp_path / "record_section.png")
         plt.close("all")
+
+
+class TestAttenuation:
+    def _arr(self, L):
+        import dataclasses
+
+        a = one_arrival(0.5, 1.0)
+        return dataclasses.replace(a, path_length=np.asarray([L], float))
+
+    def test_thorp_formula_pin(self):
+        # canonical values: ~0.069 dB/km at 1 kHz, ~0.003 dB/km floor
+        assert abs(pt.thorp_attenuation(1000.0) - 0.0690) < 2e-3
+        assert pt.thorp_attenuation(1.0) == pytest.approx(0.003, rel=1e-2)
+        # 75 Hz over 100 km: a fraction of a dB
+        assert 0.1 < pt.thorp_attenuation(75.0) * 100.0 < 1.0
+
+    def test_float_and_callable_attenuation_scale_the_packet(self):
+        t = np.linspace(0.8, 1.2, 1001)
+        a = self._arr(100e3)  # 100 km
+        r0 = synthesize_response(a, FC, bandwidth=BW, t=t)
+        r1 = synthesize_response(a, FC, bandwidth=BW, t=t, attenuation=1.0)
+        np.testing.assert_allclose(r1.waveform, 1e-5 * r0.waveform,
+                                   atol=1e-18)
+        r2 = synthesize_response(a, FC, bandwidth=BW, t=t,
+                                 attenuation=lambda f: 0.2)
+        np.testing.assert_allclose(r2.waveform, 1e-1 * r0.waveform,
+                                   atol=1e-14)
+        # "thorp" resolves through the formula at fc
+        r3 = synthesize_response(a, FC, bandwidth=BW, t=t,
+                                 attenuation="thorp")
+        scale = 10 ** (-pt.thorp_attenuation(FC) * 100.0 / 20.0)
+        np.testing.assert_allclose(r3.waveform, scale * r0.waveform,
+                                   atol=1e-14)
+
+    def test_missing_path_length_raises(self):
+        t = np.linspace(0.8, 1.2, 101)
+        with pytest.raises(ValueError, match="path_length"):
+            synthesize_response(one_arrival(), FC, bandwidth=BW, t=t,
+                                attenuation="thorp")
+
+    def test_path_length_is_the_slant_distance(self):
+        """Isovelocity straight rays: arc length == R / cos(theta0)."""
+        c0, depth = 1500.0, 20000.0
+        z = np.linspace(0.0, depth, 64)
+        r = np.linspace(0.0, 300e3, 8)
+        c = np.full((r.size, z.size), c0)
+        env = make_env_data(c, r, z, np.full(r.size, depth), r,
+                            dtype=np.float64)
+        th = np.asarray([0.0, 5.0, 12.0])
+        arr = pt.arrival_amplitudes(10000.0, 0.0, th, 100e3, env,
+                                    num_save=512, flatearth=False)
+        want = 100e3 / np.cos(np.radians(th))
+        np.testing.assert_allclose(arr.path_length, want, rtol=1e-4)
