@@ -36,6 +36,7 @@ from .response import (
     Response,
     array_response,
     impulse_response,
+    received_waveform,
     synthesize_response,
     thorp_attenuation,
 )
@@ -92,6 +93,7 @@ __all__ = [
     "synthesize_response",
     "impulse_response",
     "array_response",
+    "received_waveform",
     "thorp_attenuation",
     "Ray",
     "RayFan",

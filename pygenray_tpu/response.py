@@ -34,7 +34,8 @@ import numpy as np
 from .amplitudes import Arrivals, arrival_amplitudes
 
 __all__ = ["Response", "ArrayResponse", "synthesize_response",
-           "impulse_response", "array_response", "thorp_attenuation"]
+           "impulse_response", "array_response", "received_waveform",
+           "thorp_attenuation"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +97,78 @@ class Response:
         ax.set_ylabel("pressure re 1 m")
         ax.legend(loc="upper right", fontsize=8)
         return ax
+
+    def correlate(self, source: np.ndarray, fs: float) -> "Response":
+        """Matched-filter pulse compression against a source replica.
+
+        Returns a new `Response` whose waveform is the cross-correlation
+        ``c(t) = (1/E) * integral y(u) s(u - t) du`` (``E`` the replica
+        energy ``integral s^2``), so a received copy ``A s(t - tau)`` of
+        the replica compresses to an envelope peak of height ``~A`` at
+        ``t = tau`` — the standard tomography observable for coded
+        transmissions (m-sequences, chirps).  ``source`` is the replica
+        sampled at ``fs`` from its own time zero; the time axis of the
+        result is the same absolute axis as ``self.t``.  ``fs`` must
+        match the grid this response was synthesized on.
+        """
+        s = np.asarray(source, float)
+        fs = float(fs)
+        dt = float(self.t[1] - self.t[0])
+        if abs(dt * fs - 1.0) > 1e-6:
+            raise ValueError(
+                f"replica sample rate {fs} does not match the response "
+                f"grid spacing {dt} (= {1.0 / dt} Hz)"
+            )
+        n = self.t.size
+        N = 1 << int(np.ceil(np.log2(n + s.size)))
+        Y = np.fft.rfft(self.waveform, N)
+        S = np.fft.rfft(s, N)
+        E = float((s * s).sum()) / fs
+        spec = Y * np.conj(S) / (E * fs)
+        c_a = _irfft_analytic(spec, N)[:n]
+        return Response(
+            t=self.t, waveform=c_a.real, analytic=c_a,
+            arrivals=self.arrivals, center_frequency=self.center_frequency,
+            bandwidth=self.bandwidth,
+        )
+
+
+def _irfft_analytic(spec: np.ndarray, N: int) -> np.ndarray:
+    """Analytic (complex) time signal from an rfft half-spectrum.
+
+    The real part equals ``np.fft.irfft(spec, N)``; the imaginary part is
+    its Hilbert transform (negative frequencies zeroed, positive doubled).
+    """
+    Z = np.zeros(N, np.complex128)
+    Z[0] = spec[0]
+    if N % 2 == 0:
+        Z[1 : N // 2] = 2.0 * spec[1 : N // 2]
+        Z[N // 2] = spec[N // 2]
+    else:
+        Z[1 : (N + 1) // 2] = 2.0 * spec[1:]
+    return np.fft.ifft(Z)
+
+
+def _attenuation_db_per_km(attenuation, f_hz: np.ndarray) -> np.ndarray:
+    """Evaluate an attenuation spec (``"thorp"`` / float / callable) on a
+    frequency grid, elementwise in dB/km."""
+    f_hz = np.asarray(f_hz, float)
+    if isinstance(attenuation, str):
+        if attenuation != "thorp":
+            raise ValueError(f"unknown attenuation model {attenuation!r}")
+        f2 = (f_hz / 1e3) ** 2
+        return (0.11 * f2 / (1.0 + f2) + 44.0 * f2 / (4100.0 + f2)
+                + 2.75e-4 * f2 + 0.003)
+    if callable(attenuation):
+        try:
+            a = np.asarray(attenuation(f_hz), float)
+            if a.shape == f_hz.shape:
+                return a
+        except Exception:
+            pass
+        return np.asarray([float(attenuation(f)) for f in f_hz.ravel()],
+                          float).reshape(f_hz.shape)
+    return np.full(f_hz.shape, float(attenuation))
 
 
 def thorp_attenuation(f_hz: float) -> float:
@@ -195,6 +268,107 @@ def synthesize_response(
     )
 
 
+def received_waveform(
+    arrivals: Arrivals,
+    source: np.ndarray,
+    fs: float,
+    *,
+    t: np.ndarray = None,
+    attenuation=None,
+) -> Response:
+    """Received waveform for an ARBITRARY source signal.
+
+    Where `synthesize_response` assumes the canonical Gaussian-cosine
+    wavelet, this propagates a user-supplied transmit signal (an
+    m-sequence, an LFM chirp, a measured signature...) through the ray
+    channel: arrival ``k`` contributes ``A_k Re[e^{i phi_k} s_a(t - tau_k)]``
+    with ``s_a`` the analytic signal of ``source`` — the exact
+    analytic-signal construction, evaluated in the frequency domain with
+    exact (fractional-sample) delays.
+
+    ``source`` is the real transmit signal sampled at ``fs`` starting at
+    its own time zero, so source time zero arrives at each eigenray's
+    travel time.  ``t`` (optional) is a uniform output grid with spacing
+    ``1/fs`` — pass a shared grid to build array record sections;
+    the default spans the arrival spread plus the source duration.
+
+    ``attenuation`` here is applied PER FREQUENCY BIN (``"thorp"``, a
+    dB/km float, or a callable ``f_hz -> dB/km``, evaluated across the
+    whole band and scaled by each arrival's ``path_length``) — the
+    broadband generalization of `synthesize_response`'s single-
+    coefficient approximation.
+
+    Pair with `Response.correlate` for matched-filter pulse compression
+    (the tomography observable for coded transmissions).
+    """
+    s = np.asarray(source, float)
+    fs = float(fs)
+    if s.ndim != 1 or s.size < 2:
+        raise ValueError("source must be a 1-D signal with >= 2 samples")
+
+    ok = np.asarray(arrivals.alive, bool) & np.isfinite(arrivals.amplitude)
+    if not ok.any():
+        raise ValueError("received_waveform: no alive arrivals")
+    tk = np.asarray(arrivals.travel_time, float)[ok]
+    ak = np.asarray(arrivals.amplitude, float)[ok]
+    ph = np.asarray(arrivals.phase, float)[ok]
+    if attenuation is not None and arrivals.path_length is None:
+        raise ValueError(
+            "attenuation needs arrivals.path_length (archives written "
+            "before the field existed lack it)"
+        )
+
+    dur = s.size / fs
+    if t is None:
+        pad = 0.125 * dur
+        t0 = tk.min() - pad
+        nt = int(np.ceil((tk.max() + dur + pad - t0) * fs)) + 1
+        t = t0 + np.arange(nt) / fs
+    else:
+        t = np.asarray(t, float)
+        if t.size < 2 or abs((t[1] - t[0]) * fs - 1.0) > 1e-6:
+            raise ValueError(
+                "explicit t must be uniform with spacing 1/fs "
+                f"(got {t[1] - t[0] if t.size > 1 else 'n/a'} vs {1.0 / fs})"
+            )
+        t0, nt = float(t[0]), t.size
+
+    N = 1 << int(np.ceil(np.log2(nt + s.size)))
+    S = np.fft.rfft(s, N)
+    f = np.fft.rfftfreq(N, 1.0 / fs)
+
+    # channel transfer function over the band; chunk the arrival axis so
+    # the (K, nf) temporaries stay small
+    H = np.zeros(f.shape, np.complex128)
+    factor = ak * np.exp(1j * ph)
+    if attenuation is not None:
+        alpha_f = _attenuation_db_per_km(attenuation, f)  # (nf,) dB/km
+        L_km = np.asarray(arrivals.path_length, float)[ok] / 1e3
+    chunk = max(1, int(4e6 // max(f.size, 1)))
+    for i in range(0, tk.size, chunk):
+        phase_ramp = np.exp(
+            -2j * np.pi * f[None, :] * (tk[i : i + chunk, None] - t0)
+        )
+        if attenuation is not None:
+            phase_ramp = phase_ramp * 10.0 ** (
+                -alpha_f[None, :] * L_km[i : i + chunk, None] / 20.0
+            )
+        H += (factor[i : i + chunk, None] * phase_ramp).sum(axis=0)
+
+    y_a = _irfft_analytic(S * H, N)[:nt]
+
+    # spectral centroid / rms width of the source, for the metadata slots
+    p = np.abs(S) ** 2
+    w = p.sum()
+    fc = float((f * p).sum() / w) if w > 0 else 0.0
+    bw = float(np.sqrt(max(((f - fc) ** 2 * p).sum() / w, 0.0))) if w > 0 else 0.0
+
+    return Response(
+        t=t, waveform=y_a.real, analytic=y_a, arrivals=arrivals,
+        center_frequency=fc, bandwidth=bw,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class ArrayResponse:
     """Received waveforms for a vertical receiver array on one shared
@@ -207,6 +381,43 @@ class ArrayResponse:
     t: np.ndarray                 # (nt,) shared time grid (s)
     waveform: np.ndarray          # (nd, nt)
     responses: list               # of Response
+
+    def save_npz(self, filename):
+        """Numpy-native export (round-trips with ``ArrayResponse.load_npz``).
+        Per-depth arrivals ride along under ``r{d}_{field}`` keys; the
+        shared grid, waveform matrix, and complex analytic rows at the top
+        level."""
+        payload = dict(
+            receiver_depths=self.receiver_depths, t=self.t,
+            waveform=self.waveform,
+            analytic=np.stack([r.analytic for r in self.responses]),
+            center_frequency=self.responses[0].center_frequency,
+            bandwidth=self.responses[0].bandwidth,
+        )
+        for d, r in enumerate(self.responses):
+            for f in dataclasses.fields(Arrivals):
+                v = getattr(r.arrivals, f.name)
+                if v is not None:
+                    payload[f"r{d:04d}_{f.name}"] = v
+        np.savez(filename, **payload)
+
+    @classmethod
+    def load_npz(cls, filename):
+        d = np.load(filename)
+        zd, t = d["receiver_depths"], d["t"]
+        fc, bw = float(d["center_frequency"]), float(d["bandwidth"])
+        analytic = d["analytic"]
+        responses = []
+        for k in range(zd.size):
+            arr = Arrivals(**{f.name: d[f"r{k:04d}_{f.name}"]
+                              for f in dataclasses.fields(Arrivals)
+                              if f"r{k:04d}_{f.name}" in d})
+            responses.append(Response(
+                t=t, waveform=analytic[k].real, analytic=analytic[k],
+                arrivals=arr, center_frequency=fc, bandwidth=bw,
+            ))
+        return cls(receiver_depths=zd, t=t, waveform=d["waveform"],
+                   responses=responses)
 
     def plot(self, ax=None, scale=None):
         """Record section: each depth's waveform offset to its depth.

@@ -345,3 +345,153 @@ class TestAttenuation:
                                     num_save=512, flatearth=False)
         want = 100e3 / np.cos(np.radians(th))
         np.testing.assert_allclose(arr.path_length, want, rtol=1e-4)
+
+
+class TestReceivedWaveform:
+    """Arbitrary-source reception: the FFT path must reproduce the
+    analytic-packet path exactly when fed the same Gaussian wavelet, and
+    matched filtering must compress a chirp back to the arrival pattern."""
+
+    FC2, BW2 = 100.0, 25.0  # fc*sigma ~ 1.5: negative-freq leakage ~1e-19
+    SIG2 = np.sqrt(2 * np.log(2)) / (np.pi * BW2)
+
+    def _packet_source(self, fs):
+        """Causal Gaussian-cosine wavelet peaking at t_p; returns (s, t_p)."""
+        t_p = 8.0 * self.SIG2
+        ts = np.arange(int(round(2 * t_p * fs)) + 1) / fs
+        tau = ts - t_p
+        s = np.exp(-0.5 * (tau / self.SIG2) ** 2) * np.cos(
+            2 * np.pi * self.FC2 * tau
+        )
+        return s, t_p
+
+    def _grid(self, fs, lo, hi):
+        n = int(np.ceil((hi - lo) * fs)) + 1
+        return lo + np.arange(n) / fs
+
+    def _shift(self, a, dt):
+        import dataclasses
+
+        return dataclasses.replace(
+            a, travel_time=np.asarray(a.travel_time, float) + dt
+        )
+
+    @pytest.mark.parametrize("phase", [0.0, np.pi, -np.pi / 2])
+    def test_packet_source_matches_synthesize(self, phase):
+        fs = 8.0 * self.FC2
+        s, t_p = self._packet_source(fs)
+        a = one_arrival(0.5, 1.0, phase)
+        t = self._grid(fs, 0.8, 1.4)
+        rw = pt.received_waveform(a, s, fs, t=t)
+        sr = synthesize_response(self._shift(a, t_p), self.FC2,
+                                 bandwidth=self.BW2, t=t)
+        np.testing.assert_allclose(rw.waveform, sr.waveform, atol=1e-9)
+        np.testing.assert_allclose(np.abs(rw.analytic), np.abs(sr.analytic),
+                                   atol=1e-9)
+
+    def test_two_arrivals_superpose(self):
+        fs = 8.0 * self.FC2
+        s, t_p = self._packet_source(fs)
+        ab = cat(one_arrival(0.5, 1.0, 0.0), one_arrival(0.25, 1.13, np.pi))
+        t = self._grid(fs, 0.8, 1.5)
+        rw = pt.received_waveform(ab, s, fs, t=t)
+        sr = synthesize_response(self._shift(ab, t_p), self.FC2,
+                                 bandwidth=self.BW2, t=t)
+        np.testing.assert_allclose(rw.waveform, sr.waveform, atol=1e-9)
+
+    def test_constant_broadband_attenuation_matches_narrowband(self):
+        import dataclasses
+
+        fs = 8.0 * self.FC2
+        s, t_p = self._packet_source(fs)
+        a = dataclasses.replace(one_arrival(0.5, 1.0),
+                                path_length=np.asarray([80e3]))
+        t = self._grid(fs, 0.8, 1.4)
+        rw = pt.received_waveform(a, s, fs, t=t, attenuation=0.7)
+        sr = synthesize_response(self._shift(a, t_p), self.FC2,
+                                 bandwidth=self.BW2, t=t, attenuation=0.7)
+        np.testing.assert_allclose(rw.waveform, sr.waveform, atol=1e-9)
+        # and it actually attenuated: 0.7 dB/km * 80 km = 56 dB
+        r0 = pt.received_waveform(a, s, fs, t=t)
+        assert np.abs(rw.waveform).max() == pytest.approx(
+            10 ** (-56.0 / 20.0) * np.abs(r0.waveform).max(), rel=1e-6
+        )
+
+    def test_default_grid_covers_source_duration(self):
+        fs = 8.0 * self.FC2
+        s, _ = self._packet_source(fs)
+        r = pt.received_waveform(one_arrival(1.0, 2.0), s, fs)
+        assert r.t[0] <= 2.0 and r.t[-1] >= 2.0 + s.size / fs
+        assert abs(r.waveform[0]) < 1e-6 and abs(r.waveform[-1]) < 1e-6
+
+    def test_nonuniform_grid_raises(self):
+        fs = 8.0 * self.FC2
+        s, _ = self._packet_source(fs)
+        with pytest.raises(ValueError, match="uniform"):
+            pt.received_waveform(one_arrival(), s, fs,
+                                 t=np.linspace(0.9, 1.1, 777))
+
+    def test_chirp_matched_filter_recovers_arrival_pattern(self):
+        """LFM chirp through a 2-arrival channel: pulse compression puts
+        envelope peaks at the travel times with the arrival amplitudes."""
+        fs = 800.0
+        dur, f0, f1 = 0.5, 50.0, 150.0
+        ts = np.arange(int(dur * fs)) / fs
+        chirp = np.sin(2 * np.pi * (f0 * ts + 0.5 * (f1 - f0) / dur * ts**2))
+        ab = cat(one_arrival(0.5, 1.0, 0.0), one_arrival(0.25, 1.12, np.pi))
+        rw = pt.received_waveform(ab, chirp, fs)
+        # raw reception: overlapping chirps, no visible arrival structure
+        c = rw.correlate(chirp, fs)
+        env = c.envelope()
+        # two separated peaks at the travel times with the right heights
+        for tk, amp in [(1.0, 0.5), (1.12, 0.25)]:
+            w = (c.t > tk - 0.02) & (c.t < tk + 0.02)
+            i = np.argmax(env[w])
+            assert abs(c.t[w][i] - tk) < 2e-3
+            assert env[w][i] == pytest.approx(amp, rel=0.1)
+        # peaks dominate away from the arrivals: an unwindowed LFM has
+        # -13 dB (~0.22) sinc time-sidelobes, decaying with lag
+        far = (c.t < 0.97) | ((c.t > 1.03) & (c.t < 1.09)) | (c.t > 1.15)
+        assert env[far].max() < 0.2 * env.max()
+
+    def test_correlate_rejects_wrong_fs(self):
+        fs = 8.0 * self.FC2
+        s, _ = self._packet_source(fs)
+        r = pt.received_waveform(one_arrival(), s, fs)
+        with pytest.raises(ValueError, match="sample rate"):
+            r.correlate(s, fs * 2)
+
+
+class TestArrayResponseIO:
+    def test_npz_round_trip(self, tmp_path):
+        import dataclasses
+
+        from pygenray_tpu.response import ArrayResponse, Response
+
+        t = np.linspace(0.9, 1.3, 801)
+        resps, rows = [], []
+        for k, (amp, tk) in enumerate([(0.5, 1.0), (0.25, 1.1)]):
+            r = synthesize_response(one_arrival(amp, tk), FC, bandwidth=BW,
+                                    t=t)
+            resps.append(r)
+            rows.append(r.waveform)
+        ar = ArrayResponse(receiver_depths=np.asarray([100.0, 200.0]), t=t,
+                           waveform=np.stack(rows), responses=resps)
+        p = tmp_path / "ar.npz"
+        ar.save_npz(p)
+        ar2 = ArrayResponse.load_npz(p)
+        np.testing.assert_array_equal(ar2.receiver_depths,
+                                      ar.receiver_depths)
+        np.testing.assert_array_equal(ar2.t, ar.t)
+        np.testing.assert_array_equal(ar2.waveform, ar.waveform)
+        assert len(ar2.responses) == 2
+        for r0, r1 in zip(ar.responses, ar2.responses):
+            np.testing.assert_array_equal(r1.analytic, r0.analytic)
+            assert r1.center_frequency == r0.center_frequency
+            for f in dataclasses.fields(Arrivals):
+                v0 = getattr(r0.arrivals, f.name)
+                v1 = getattr(r1.arrivals, f.name)
+                if v0 is None:
+                    assert v1 is None
+                else:
+                    np.testing.assert_array_equal(v1, v0)
