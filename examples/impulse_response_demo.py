@@ -71,6 +71,29 @@ def main(smoke=False, outdir=None):
     ar.plot(ax=ax2)
     ax2.set_title(f"Vertical-array record section, {r_max/1e3:.0f} km")
     fig2.savefig(out / "record_section.png", dpi=120, bbox_inches="tight")
+
+    # coded transmission: an LFM chirp through the same channel, then
+    # matched-filter pulse compression back to the arrival pattern —
+    # the actual tomography observable (with Thorp absorption)
+    fs = 8.0 * fc
+    dur = 0.5 if smoke else 2.0
+    ts = np.arange(int(dur * fs)) / fs
+    f0, f1 = 0.5 * fc, 1.5 * fc
+    chirp = np.sin(2 * np.pi * (f0 * ts + 0.5 * (f1 - f0) / dur * ts**2))
+    rw = pr.received_waveform(resp.arrivals, chirp, fs, attenuation="thorp")
+    cc = rw.correlate(chirp, fs)
+    tpk = cc.t[np.argmax(cc.envelope())]
+    print(f"chirp reception: raw peak {np.abs(rw.waveform).max():.3e}, "
+          f"compressed peak {cc.envelope().max():.3e} at {tpk:.4f} s")
+    tk_true = resp.arrivals.travel_time[ok]
+    assert np.abs(tk_true - tpk).min() < 5e-3
+    fig3, (ax3a, ax3b) = plt.subplots(2, 1, figsize=(9, 6), sharex=True)
+    ax3a.plot(rw.t, rw.waveform, lw=0.5)
+    ax3a.set_ylabel("received chirps")
+    cc.plot(ax=ax3b)
+    ax3b.set_ylabel("pulse-compressed")
+    ax3a.set_title(f"LFM {f0:.0f}-{f1:.0f} Hz, {dur:.1f} s, matched filter")
+    fig3.savefig(out / "pulse_compression.png", dpi=120, bbox_inches="tight")
     plt.close("all")
 
 
