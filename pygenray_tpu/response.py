@@ -193,6 +193,7 @@ def synthesize_response(
     fs: float = None,
     t: np.ndarray = None,
     attenuation=None,
+    bottom_loss_db: float = 0.0,
 ) -> Response:
     """Sum band-limited wave packets from an `Arrivals` set.
 
@@ -208,8 +209,12 @@ def synthesize_response(
     directly, a callable maps ``f_hz -> dB/km``.  Narrowband
     approximation — one coefficient across the band (at 75 Hz over
     100 km Thorp costs ~0.35 dB; it grows quadratically with frequency).
-    Geometric-only synthesis (``None``) matches the reference's lossless
-    reflection model.
+
+    ``bottom_loss_db`` subtracts that many dB per bottom bounce
+    (``arrivals.n_bott``) — the standard summary when sediment
+    parameters are reduced to a per-bounce reflection loss; angle
+    dependence is not modeled.  Defaults (``None``/0) match the
+    reference's lossless reflection model.
     """
     fc = float(center_frequency)
     if fc <= 0.0:
@@ -237,6 +242,9 @@ def synthesize_response(
             alpha = float(attenuation)
         L_km = np.asarray(arrivals.path_length, float)[ok] / 1e3
         ak = ak * 10.0 ** (-alpha * L_km / 20.0)
+    if bottom_loss_db:
+        nb = np.asarray(arrivals.n_bott, float)[ok]
+        ak = ak * 10.0 ** (-float(bottom_loss_db) * nb / 20.0)
 
     if t is None:
         if fs is None:
@@ -275,6 +283,7 @@ def received_waveform(
     *,
     t: np.ndarray = None,
     attenuation=None,
+    bottom_loss_db: float = 0.0,
 ) -> Response:
     """Received waveform for an ARBITRARY source signal.
 
@@ -296,7 +305,8 @@ def received_waveform(
     dB/km float, or a callable ``f_hz -> dB/km``, evaluated across the
     whole band and scaled by each arrival's ``path_length``) — the
     broadband generalization of `synthesize_response`'s single-
-    coefficient approximation.
+    coefficient approximation.  ``bottom_loss_db`` subtracts that many
+    dB per bottom bounce (``arrivals.n_bott``).
 
     Pair with `Response.correlate` for matched-filter pulse compression
     (the tomography observable for coded transmissions).
@@ -340,6 +350,9 @@ def received_waveform(
     # channel transfer function over the band; chunk the arrival axis so
     # the (K, nf) temporaries stay small
     H = np.zeros(f.shape, np.complex128)
+    if bottom_loss_db:
+        nb = np.asarray(arrivals.n_bott, float)[ok]
+        ak = ak * 10.0 ** (-float(bottom_loss_db) * nb / 20.0)
     factor = ak * np.exp(1j * ph)
     if attenuation is not None:
         alpha_f = _attenuation_db_per_km(attenuation, f)  # (nf,) dB/km
@@ -452,6 +465,7 @@ def impulse_response(
     fs: float = None,
     t: np.ndarray = None,
     attenuation=None,
+    bottom_loss_db: float = 0.0,
     launch_angles=None,
     num_rays: int = 1024,
     max_angle: float = 15.0,
@@ -507,7 +521,7 @@ def impulse_response(
     )
     return synthesize_response(
         arr, center_frequency, bandwidth=bandwidth, fs=fs, t=t,
-        attenuation=attenuation,
+        attenuation=attenuation, bottom_loss_db=bottom_loss_db,
     )
 
 
@@ -522,6 +536,7 @@ def array_response(
     bandwidth: float = None,
     fs: float = None,
     attenuation=None,
+    bottom_loss_db: float = 0.0,
     launch_angles=None,
     num_rays: int = 1024,
     max_angle: float = 15.0,
@@ -597,7 +612,8 @@ def array_response(
         alive_d = np.asarray(arr_d.alive, bool) & np.isfinite(arr_d.amplitude)
         if alive_d.any():
             resp = synthesize_response(arr_d, fc, bandwidth=bw, t=t,
-                                       attenuation=attenuation)
+                                       attenuation=attenuation,
+                                       bottom_loss_db=bottom_loss_db)
         else:
             zero = np.zeros(t.shape, np.complex128)
             resp = Response(t=t, waveform=zero.real, analytic=zero,

@@ -495,3 +495,53 @@ class TestArrayResponseIO:
                     assert v1 is None
                 else:
                     np.testing.assert_array_equal(v1, v0)
+
+
+class TestBottomLoss:
+    def _arr3(self, a=None):
+        import dataclasses
+
+        return dataclasses.replace(a or one_arrival(0.5, 1.0),
+                                   n_bott=np.asarray([3]))
+
+    def test_scales_by_bounce_count(self):
+        t = np.linspace(0.8, 1.2, 1001)
+        a3 = self._arr3()
+        r0 = synthesize_response(a3, FC, bandwidth=BW, t=t)
+        r1 = synthesize_response(a3, FC, bandwidth=BW, t=t,
+                                 bottom_loss_db=2.0)
+        np.testing.assert_allclose(r1.waveform,
+                                   10 ** (-6.0 / 20.0) * r0.waveform,
+                                   atol=1e-14)
+        # zero bounces: no effect
+        a0 = one_arrival(0.5, 1.0)
+        r2 = synthesize_response(a0, FC, bandwidth=BW, t=t,
+                                 bottom_loss_db=2.0)
+        rr = synthesize_response(a0, FC, bandwidth=BW, t=t)
+        np.testing.assert_array_equal(r2.waveform, rr.waveform)
+
+    def test_received_waveform_applies_the_same_loss(self):
+        fs = 800.0
+        ts = np.arange(400) / fs
+        src = np.sin(2 * np.pi * 100.0 * ts) * np.hanning(ts.size)
+        a3 = self._arr3()
+        t = 0.9 + np.arange(int(0.8 * fs)) / fs
+        r0 = pt.received_waveform(a3, src, fs, t=t)
+        r1 = pt.received_waveform(a3, src, fs, t=t, bottom_loss_db=2.0)
+        np.testing.assert_allclose(r1.waveform,
+                                   10 ** (-6.0 / 20.0) * r0.waveform,
+                                   atol=1e-15)
+
+    def test_composes_with_attenuation(self):
+        import dataclasses
+
+        t = np.linspace(0.8, 1.2, 1001)
+        a = dataclasses.replace(self._arr3(),
+                                path_length=np.asarray([50e3]))
+        r0 = synthesize_response(a, FC, bandwidth=BW, t=t)
+        r1 = synthesize_response(a, FC, bandwidth=BW, t=t,
+                                 attenuation=0.1, bottom_loss_db=1.0)
+        # 0.1 dB/km * 50 km + 1 dB * 3 bounces = 8 dB
+        np.testing.assert_allclose(r1.waveform,
+                                   10 ** (-8.0 / 20.0) * r0.waveform,
+                                   atol=1e-14)
