@@ -109,6 +109,17 @@ class Arrivals:
             if getattr(self, f.name) is not None
         })
 
+    def save_mat(self, filename):
+        """MATLAB export, one ``arrivals`` struct — the same convention as
+        ``RayFan.save_mat`` (reference `ray_objects.py:262-288`)."""
+        from scipy import io
+
+        io.savemat(filename, {"arrivals": {
+            f.name: getattr(self, f.name)
+            for f in dataclasses.fields(self)
+            if getattr(self, f.name) is not None
+        }})
+
     @classmethod
     def load_npz(cls, filename):
         d = np.load(filename)

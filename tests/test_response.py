@@ -545,3 +545,16 @@ class TestBottomLoss:
         np.testing.assert_allclose(r1.waveform,
                                    10 ** (-8.0 / 20.0) * r0.waveform,
                                    atol=1e-14)
+
+
+def test_arrivals_save_mat_round_trip(tmp_path):
+    from scipy import io
+
+    a = cat(one_arrival(0.5, 1.0, 0.0), one_arrival(0.25, 1.1, np.pi))
+    p = tmp_path / "arr.mat"
+    a.save_mat(p)
+    m = io.loadmat(p, simplify_cells=True)["arrivals"]
+    np.testing.assert_allclose(m["amplitude"], a.amplitude)
+    np.testing.assert_allclose(m["travel_time"], a.travel_time)
+    np.testing.assert_allclose(m["phase"], a.phase)
+    np.testing.assert_array_equal(m["n_bott"], a.n_bott)
