@@ -478,6 +478,67 @@ class EigenRays:
         ax.set_title("Ducted Eigen Rays")
         return ax
 
+    def save_npz(self, filename):
+        """Numpy-native export (round-trips with ``EigenRays.load_npz``).
+
+        Per-depth arrays live under ``d{idx}_*`` keys; the per-depth
+        bracket/found counts and failed brackets ride along, plus the
+        solver ``diagnostics`` dict when the instance carries one.
+        """
+        rd = np.asarray(self.receiver_depths, float)
+        payload = {
+            "receiver_depths": rd,
+            "num_eigenrays": np.asarray(
+                [self.num_eigenrays[d] for d in rd], int
+            ),
+            "num_eigenrays_found": np.asarray(
+                [self.num_eigenrays_found[i] for i in range(rd.size)], int
+            ),
+        }
+        fields = {
+            "rs": self.rs, "ts": self.ts, "zs": self.zs, "ps": self.ps,
+            "received_angles": self.received_angles,
+            "launch_angles": self.launch_angles,
+            "n_botts": self.n_botts, "n_surfs": self.n_surfs,
+            "ray_id": self.ray_id, "ray_id_int": self.ray_id_int,
+        }
+        for i in range(rd.size):
+            for name, d in fields.items():
+                payload[f"d{i:04d}_{name}"] = np.asarray(d[i])
+            payload[f"d{i:04d}_failed"] = np.asarray(
+                self.failed_eray_theta_brackets[i], float
+            ).reshape(-1, 2)
+        for k, v in getattr(self, "diagnostics", {}).items():
+            payload[f"diag_{k}"] = np.asarray(v)
+        np.savez(filename, **payload)
+
+    @classmethod
+    def load_npz(cls, filename):
+        d = np.load(filename)
+        obj = cls.__new__(cls)
+        rd = d["receiver_depths"]
+        obj.receiver_depths = rd
+        obj.num_eigenrays = {
+            k: int(n) for k, n in zip(rd, d["num_eigenrays"])
+        }
+        obj.num_eigenrays_found = {
+            i: int(n) for i, n in enumerate(d["num_eigenrays_found"])
+        }
+        for name in ("rs", "ts", "zs", "ps", "received_angles",
+                     "launch_angles", "n_botts", "n_surfs", "ray_id",
+                     "ray_id_int"):
+            setattr(obj, name, {
+                i: d[f"d{i:04d}_{name}"] for i in range(rd.size)
+            })
+        obj.failed_eray_theta_brackets = {
+            i: [tuple(row) for row in d[f"d{i:04d}_failed"]]
+            for i in range(rd.size)
+        }
+        diag_keys = [k for k in d.files if k.startswith("diag_")]
+        if diag_keys:
+            obj.diagnostics = {k[5:]: d[k] for k in diag_keys}
+        return obj
+
     def save_mat(self, filename):
         from scipy import io
 

@@ -357,3 +357,43 @@ class TestFindEigenraysBatch:
         assert total_found > 0  # and not everything failed
         assert ers_b[1].num_eigenrays == {5800.0: 0}
         assert ers_b[1].diagnostics["rd_idx"].size == 0
+
+
+class TestEigenRaysNpz:
+    def test_round_trip(self, tmp_path):
+        """save_npz/load_npz preserves every per-depth field, the count
+        bookkeeping, failed brackets, and solver diagnostics — including
+        an empty receiver depth."""
+        env = munk_env(r_max=50e3, nr=30, nz=400)
+        angles = np.linspace(-14, 14, 141)
+        rays = pr.shoot_rays(1300.0, 0.0, angles, 50e3, 50, env,
+                             flatearth=False, **TABLE)
+        # 5900 m is below every ray: zero brackets at that depth
+        er = pr.find_eigenrays(
+            rays, [1300.0, 5900.0], 1300.0, 0.0, 50e3, 50, env, ztol=1.0,
+            flatearth=False, **TABLE,
+        )
+        p = tmp_path / "er.npz"
+        er.save_npz(p)
+        er2 = pr.EigenRays.load_npz(p)
+
+        np.testing.assert_array_equal(er2.receiver_depths,
+                                      np.asarray(er.receiver_depths, float))
+        assert er2.num_eigenrays == er.num_eigenrays
+        assert er2.num_eigenrays_found == er.num_eigenrays_found
+        for i in range(len(er.receiver_depths)):
+            for name in ("rs", "ts", "zs", "ps", "received_angles",
+                         "launch_angles", "n_botts", "n_surfs",
+                         "ray_id_int"):
+                np.testing.assert_array_equal(
+                    getattr(er2, name)[i], np.asarray(getattr(er, name)[i])
+                )
+            assert list(er2.ray_id[i]) == list(er.ray_id[i])
+            assert er2.failed_eray_theta_brackets[i] == [
+                (float(a), float(b))
+                for a, b in er.failed_eray_theta_brackets[i]
+            ]
+        for k, v in er.diagnostics.items():
+            np.testing.assert_array_equal(er2.diagnostics[k], v)
+        # the empty depth survives with zero-size fields
+        assert er2.rs[1].size == 0 and er2.num_eigenrays[5900.0] == 0
