@@ -746,74 +746,6 @@ def _ab_paired(mA, mB, pairs=5):
             [round(r, 4) for r in ratios])
 
 
-def bench_event_groups():
-    """Interleaved A/B of settings.event_groups on the headline config —
-    the measurement that decides the sub-block crossing-branch default.
-    NOTE: before 2026-08-19 the group split required R % (8G) == 0, which
-    silently fell back to one whole-tile branch at the headline layout
-    (R=115) — the old 5-point sweep measured five identical G=1 programs
-    and its +9% "win" was tunnel jitter.  The quantum split now engages
-    for any R; this A/B interleaves G=1 and G=G pairs so minute-scale
-    drift cancels in the per-pair ratios."""
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/pygenray_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from jax import lax
-
-    from pygenray_tpu.integrate import SolverSettings, _plan, trace
-    from pygenray_tpu.ops.host import bilinear_np
-    from pygenray_tpu.ops.pallas_stepper import classify_calm
-
-    dtype = jnp.float32
-    env = build_env(dtype)
-    angles = np.linspace(-ANGLE_SPAN, ANGLE_SPAN, NUM_RAYS)
-    c_src = bilinear_np(0.0, SRC_DEPTH, np.asarray(env.r), np.asarray(env.z),
-                        np.asarray(env.c))
-    p0 = jnp.asarray(np.sin(np.radians(-angles)) / c_src, dtype)
-
-    base = SolverSettings(dx=200.0, dyn_calm=False)
-    h, sps, nseg = _plan(0.0, R_MAX, NUM_SAVE, base.dx)
-    calm_r = classify_calm(env, SRC_DEPTH, p0,
-                           (0.0, R_MAX, float(h), sps, nseg), base)
-
-    s1 = dataclasses.replace(base, event_groups=1)
-    ref = trace(env, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE,
-                dataclasses.replace(s1, calm=False))
-    nb1 = np.asarray(ref.n_bott)
-    dc1 = np.asarray(ref.death_code)
-
-    mk = lambda s, cm: _make_sustained(env, p0, s, cm, None, trace, lax,
-                                       jax, jnp)
-    for G in (4, 8, 16):
-        s_g = dataclasses.replace(base, event_groups=G)
-        r_g = trace(env, SRC_DEPTH, p0, 0.0, R_MAX, NUM_SAVE,
-                    dataclasses.replace(s_g, calm=False))
-        ok = bool(
-            np.array_equal(np.asarray(r_g.n_bott), nb1)
-            and np.array_equal(np.asarray(r_g.death_code), dc1)
-        )
-        for tag, cm in (("full-event", None), ("calm-on", calm_r)):
-            sA = dataclasses.replace(s1, calm=cm is not None)
-            sB = dataclasses.replace(s_g, calm=cm is not None)
-            med, a, b, rr = _ab_paired(mk(sA, cm), mk(sB, cm))
-            print(json.dumps({
-                "metric": "event_groups_ab",
-                "event_groups": G,
-                "config": tag,
-                "median_speedup_vs_g1": round(med, 4),
-                "g1_rays_per_sec": round(NUM_RAYS / a, 1),
-                "gN_rays_per_sec": round(NUM_RAYS / b, 1),
-                "pair_speedups": rr,
-                "counters_match_g1": ok,
-                "unit": "rays/s",
-            }), flush=True)
-
-
 def bench_dyn_calm(only=None):
     """Sustained throughput with dynamic calm windows off/on (one JSON line
     per variant) — the measurement that decides settings.dyn_calm's
@@ -1116,13 +1048,6 @@ def bench_cpu_oracle():
 if __name__ == "__main__":
     if "--cpu-oracle" in sys.argv:
         bench_cpu_oracle()
-        sys.exit(0)
-    if "--event-groups" in sys.argv:
-        if not device_ready():
-            print(json.dumps({"metric": "event_groups_sweep", "value": 0,
-                              "error": "accelerator unreachable"}))
-            sys.exit(1)
-        bench_event_groups()
         sys.exit(0)
     if "--dyn" in sys.argv:
         if not device_ready():

@@ -87,18 +87,12 @@ class SolverSettings:
     calm: bool = True
     # Pallas only: split each grid block's per-step crossing branch into
     # this many row groups, each gated by its own any(cross) scalar.
-    # MEASURED NEGATIVE — default 1.  The original R % (8G) == 0 guard
-    # silently fell back to one whole-tile branch at the headline layout
-    # (R=115), so the first sweep compared five identical G=1 programs
-    # and its "+9% at G=8" was tunnel jitter (same-program sustained
-    # throughput drifts ~9% across runs on the axon tunnel).  With the
-    # quantum group split actually engaging, the interleaved paired A/B
-    # (bench.py --event-groups, 2026-08-19) measures monotone losses:
-    # G=4/8/16 full-event 0.80/0.65/0.51x, calm-on 0.95/0.89/0.78x —
-    # per-group branch overhead swamps any skipped reductions.  The knob
-    # remains for experimentation; results are identical at every G
-    # (counters match G=1 exactly on hardware).
-    event_groups: int = 1
+    # (A former `event_groups` knob — sub-block granularity for the
+    # event-body branch — was DELETED after the interleaved paired A/B
+    # measured monotone losses: G=4/8/16 full-event 0.80/0.65/0.51x,
+    # calm-on 0.95/0.89/0.78x on 2026-08-19 hardware.  Per-group branch
+    # overhead swamps the skipped reductions; docs/tpu_design.md keeps
+    # the ledger entry.)
     # Pallas only: dynamic calm windows in non-calm blocks.  After each
     # event segment the kernel bounds, from the block's distance to the
     # audit band and its host-classified Snell slope bound (classify_dyn),

@@ -226,31 +226,11 @@ def _station_step_handles(k, STW, nblk, st_dma_blk, st_handle, KP):
 
 
 def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
-                 event_groups=1, dyn=False, hot=False):
+                 dyn=False, hot=False):
     x0g, x1g, h = geom
     (zlo, zhi, sc, off, sin_lim, btol, rlo, rhi, s2b_c, c2b_c, bangle_mode,
      b_rlo, b_rhi, term_back, any_x_oob, rd, use_pow, use_kahan,
      use_seg) = consts
-
-    # sub-block event granularity (settings.event_groups): group slices
-    # are built from 8-row sublane quanta — every group START is
-    # 8-aligned (Mosaic's hard constraint); the LAST group absorbs any
-    # ragged tail rows (whole-tile stores of a non-multiple-of-8 R are
-    # already sublane-masked, so a ragged trailing slice is too).  The
-    # old guard (R % G == 0 and (R//G) % 8 == 0) silently fell back to
-    # one whole-tile branch at the headline layout (R=115) — the quantum
-    # split engages for any R with at least two quanta.
-    n_q = R // 8
-    if event_groups > 1 and n_q >= 2:
-        G = min(event_groups, n_q)
-        base, rem = divmod(n_q, G)
-        sizes = [(base + (1 if i < rem else 0)) * 8 for i in range(G)]
-        sizes[-1] += R - 8 * n_q  # ragged tail rows
-        starts = [sum(sizes[:i]) for i in range(G)]
-        group_slices = [slice(s, s + z) for s, z in zip(starts, sizes)]
-    else:
-        group_slices = [slice(0, R)]
-    n_groups = len(group_slices)
 
     _nblk = -(-(nseg * sps) // STW)
 
@@ -585,22 +565,11 @@ def _make_kernel(geom, consts, K, KP, Kb, R, nseg, sps, STW=ST_BLOCK_W,
                     # gate nothing — no any(cross) reduction, no branch
                     _event_fix(None)
 
-                elif n_groups <= 1:
+                else:
 
                     @pl.when(jnp.any(cross))
                     def _():
                         _event_fix(None)
-
-                else:
-                    # sub-block granularity: one any(cross) scalar per row
-                    # group.  Angle-sorted fans keep bounce phases coherent
-                    # within a group, so between bounce clusters a quiet
-                    # group skips the whole crossing machinery.
-                    for sl in group_slices:
-
-                        @pl.when(jnp.any(cross[sl]))
-                        def _(sl=sl):
-                            _event_fix(sl)
 
             z_n = z_s[...]
             p_n = p_s[...]
@@ -2874,8 +2843,7 @@ def trace_pallas(env, z0, p0, geom, settings, interpret: bool = False,
     )
 
     kernel = _make_kernel((x0, x1, h), consts, K, KP, Kb, R, nseg, sps, STW,
-                          event_groups=settings.event_groups, dyn=use_dyn,
-                          hot=bool(hot) and not use_dyn)
+                          dyn=use_dyn, hot=bool(hot) and not use_dyn)
 
     num_save = nseg + 1
     out_shape = [

@@ -689,70 +689,6 @@ class TestDynCalmWindows:
                                    atol=5e-6)
 
 
-class TestEventGroups:
-    """Sub-block event granularity (settings.event_groups): the crossing
-    machinery is gated per row group instead of per block.  The event fix
-    is the identical where() merge per lane, so the results must match the
-    whole-tile branch to interpret-mode FMA tolerance, counters exactly."""
-
-    def _run(self, env, angles, s, x1=50e3, num_save=10):
-        h, sps, nseg = _plan(0.0, x1, num_save, s.dx)
-        geom = (0.0, x1, h, sps, nseg)
-        c_src = np.interp(1300.0, np.asarray(env.z), np.asarray(env.c[0]))
-        p0 = jnp.asarray(np.sin(np.radians(-np.asarray(angles))) / c_src,
-                         jnp.float32)
-        return trace_pallas(env, 1300.0, p0, geom, s, interpret=True)
-
-    @staticmethod
-    def _assert_equiv(ref, out, ts_atol=5e-6):
-        np.testing.assert_array_equal(np.asarray(ref.n_surf),
-                                      np.asarray(out.n_surf))
-        np.testing.assert_array_equal(np.asarray(ref.n_bott),
-                                      np.asarray(out.n_bott))
-        np.testing.assert_array_equal(np.asarray(ref.death_code),
-                                      np.asarray(out.death_code))
-        np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(out.ts),
-                                   atol=ts_atol)
-        np.testing.assert_allclose(np.asarray(ref.zs), np.asarray(out.zs),
-                                   atol=1e-2)
-
-    def test_groups_match_whole_tile_branch(self):
-        env = _env()
-        # bouncing fan wide enough that bounce clusters stagger across the
-        # 16 rows (B=2048 -> one block of 16 rows; G=2 -> two 8-row groups)
-        angles = np.linspace(-18, 18, 2048)
-        s = SolverSettings(dx=200.0, event_groups=1)
-        ref = self._run(env, angles, s)
-        out = self._run(env, angles, dataclasses.replace(s, event_groups=2))
-        assert int(np.asarray(ref.n_bott).sum()) > 0  # events exercised
-        self._assert_equiv(ref, out)
-
-    def test_ragged_rows_split_into_quantum_groups(self):
-        """R not divisible by 8·G: groups are built from 8-row quanta with
-        the ragged tail rows absorbed into the last group (the headline
-        layout R=115 hit the old guard's silent whole-tile fallback).
-        Counters must still match G=1 exactly."""
-        env = _env()
-        angles = np.linspace(-18, 18, 2560)  # R=20 rows: quanta [8, 12]
-        s = SolverSettings(dx=200.0, event_groups=1)
-        ref = self._run(env, angles, s)
-        out = self._run(env, angles, dataclasses.replace(s, event_groups=8))
-        assert int(np.asarray(ref.n_bott).sum()) > 0
-        self._assert_equiv(ref, out)
-
-    def test_invalid_group_count_falls_back(self):
-        env = _env()
-        angles = np.linspace(-18, 18, 512)  # R=4 rows: no valid 8-row split
-        s = SolverSettings(dx=200.0, event_groups=1)
-        ref = self._run(env, angles, s)
-        out = self._run(env, angles, dataclasses.replace(s, event_groups=3))
-        # fallback is the whole-tile branch: identical graph, identical
-        # results bitwise
-        np.testing.assert_array_equal(np.asarray(ref.ts), np.asarray(out.ts))
-        np.testing.assert_array_equal(np.asarray(ref.n_bott),
-                                      np.asarray(out.n_bott))
-
-
 class TestHotBlocks:
     """Hot-block kernel variant (settings.hot / classify_hot): non-calm
     blocks whose rays bounce nearly every step compile the crossing fix
