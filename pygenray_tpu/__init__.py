@@ -40,6 +40,7 @@ from .response import (
     synthesize_response,
     thorp_attenuation,
 )
+from .signals import msequence_code, msequence_signal
 from .ray_objects import EigenRays, Ray, RayFan
 from .ops.host import (
     bilinear_np,
@@ -95,6 +96,8 @@ __all__ = [
     "array_response",
     "received_waveform",
     "thorp_attenuation",
+    "msequence_code",
+    "msequence_signal",
     "Ray",
     "RayFan",
     "EigenRays",
