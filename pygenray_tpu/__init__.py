@@ -41,6 +41,7 @@ from .response import (
     thorp_attenuation,
 )
 from .signals import msequence_code, msequence_signal
+from .tlfield import TLField, transmission_loss_field
 from .ray_objects import EigenRays, Ray, RayFan
 from .ops.host import (
     bilinear_np,
@@ -98,6 +99,8 @@ __all__ = [
     "thorp_attenuation",
     "msequence_code",
     "msequence_signal",
+    "TLField",
+    "transmission_loss_field",
     "Ray",
     "RayFan",
     "EigenRays",
