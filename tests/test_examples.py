@@ -25,6 +25,7 @@ DEMOS = [
     "gradient_inversion_demo",
     "localization_demo",
     "rough_field_sensitivity_demo",
+    "tl_demo",
 ]
 
 
